@@ -1,0 +1,444 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Training-data-pipeline operators (SURVEY §2.11 + the driver north star):
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search over embeddings (brute-force + LSH-bucketed ANN), and text
+  * analysis (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * Scale shapes:
+  *  - exact dedup groups on md5(text), never raw text — the shuffle carries
+  *    16-byte keys, not documents;
+  *  - near-dup candidate generation goes through an inverted index
+  *    (shingle → doc) or LSH bands, never an all-pairs product; verified
+  *    here: 5-gram candidates are ~0.3% of the n² pairs at sf0.1;
+  *  - ANN probes a single sign-bucket (the IVF-style coarse quantizer);
+  *    brute-force cosine is kept as the recall baseline;
+  *  - similarity scores are rounded *before* ranking so float ulp noise
+  *    cannot reorder top-k between engines or partitionings.
+  */
+object Extensions {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ---- tokenization / shingling helpers ------------------------------------
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Distinct 5-gram word shingles; a document shorter than 5 tokens
+    * contributes its whole token sequence as one shingle.
+    */
+  private def shingles(text: Column): Column = {
+    val tk = toks(text)
+    array_distinct(
+      when(size(tk) >= 5,
+        transform(sequence(lit(0), size(tk) - 5), i => concat_ws(" ", slice(tk, i + 1, lit(5)))))
+      .otherwise(array(concat_ws(" ", tk))))
+  }
+
+  /** (doc_id, sh) inverted-index rows — the candidate-generation backbone
+    * shared by Jaccard and MinHash dedup.
+    */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+
+  // ---- X1: exact dedup -----------------------------------------------------
+
+  /** Exact dedup: keep the lowest doc_id per distinct text. Groups on
+    * md5(text) so only digests shuffle; deterministic keeper (min id) rather
+    * than `dropDuplicates`' arbitrary winner.
+    */
+  def x01ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- X2: n-gram Jaccard near-dup ----------------------------------------
+
+  /** Near-duplicate pairs by 5-gram Jaccard >= 0.5. Candidates come from the
+    * shingle inverted index (equi-join on shingle ⇒ hash-partitioned, only
+    * docs sharing a shingle ever meet); Jaccard is then exact on the
+    * candidate set. A hot shingle (boilerplate) would skew the join — AQE
+    * skew handling covers it, and the 5-gram choice keeps shingle frequency
+    * near 1 in practice.
+    */
+  def x02JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(s, dir)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val shared = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- X3: MinHash + LSH dedup (hash-based — no SQL oracle) ---------------
+
+  private val MinhashPerms = 32
+  private val LshBands = 8 // 4 rows per band
+
+  /** MinHash signatures: min over shingles of murmur3(sh, seed=i) for 32
+    * permutations — one groupBy, 32 partial-agg min columns, no per-doc
+    * materialized shingle arrays.
+    */
+  private[ops] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until MinhashPerms)
+      .map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
+    shingleIndex(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: 8 bands × 4 rows; docs agreeing on any whole band become
+    * candidates (bucket equi-join on (band, band_hash) — never all-pairs).
+    * Candidates are then verified with exact shingle Jaccard >= 0.5.
+    * Hash-dependent ⇒ no DuckDB oracle (driver records rows-only).
+    */
+  def x03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val bandCols = (0 until LshBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        hash((bnd * 4 until (bnd + 1) * 4).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard (inverted index join restricted
+    // to the candidate set — candidate count is tiny relative to n²)
+    val sh = shingleIndex(s, dir)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- X4: SimHash near-dup (hash-based — no SQL oracle) ------------------
+
+  /** 64-bit SimHash per document: per-bit majority vote of xxhash64(token).
+    * Near-dup pairs found via the pigeonhole band join (4 × 16-bit chunks:
+    * hamming <= 3 ⇒ at least one chunk equal), then filtered on true
+    * hamming distance.
+    */
+  def x04Simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sig = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L).cast("long") * (1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("v"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- X5/X6: embedding similarity search ---------------------------------
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+
+  private def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-5: the exact-recall baseline. Query set (10
+    * vectors) broadcasts against the candidate scan; similarity is rounded
+    * to 4 decimals BEFORE ranking (ties broken by vec_id) so ranking is
+    * reproducible across engines and partitionings. At 100 TB the candidate
+    * side streams — per-task state is one broadcast of the query block.
+    */
+  def x05CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (l2(col("qv")) * l2(col("cv"))), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** ANN via sign-bucket coarse quantization (IVF-style): bucket = sign bits
+    * of the first 8 dimensions (256 cells); a query probes only its own
+    * cell. The bucket join is an equi-join ⇒ hash-partitioned, no cross
+    * product anywhere. Exact same arithmetic is SQL-expressible, so this
+    * *is* oracle-checked (unlike random-hyperplane LSH).
+    */
+  def x06AnnSignBucket(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    def bucket(v: Column): Column =
+      (0 until 8).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
+        .reduce(_ + _)
+    val base = e.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+      bucket(col("embedding")).as("bkt"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bkt"))
+    val c = base.select(col("vec_id").as("c_id"), col("v").as("cv"), col("bkt"))
+    val scored = c.join(broadcast(q), Seq("bkt"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (l2(col("qv")) * l2(col("cv"))), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ---- X7-X10: text analysis ----------------------------------------------
+
+  /** Per-document quality/stat profile: token counts, uniqueness ratio,
+    * average token length — the length/ratio features of a pipeline quality
+    * filter. One narrow scan, no shuffle at all.
+    */
+  def x07TextStats(s: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(tk).as("n_tokens"),
+        size(array_distinct(tk)).as("n_uniq"),
+        round(size(array_distinct(tk)).cast("double") / size(tk), 4).as("uniq_ratio"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(tk), 4)
+          .as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val StopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "y", "que", "es"))
+
+  /** Language ID by stop-word-hit scoring (n-gram-heuristic family): count
+    * hits of each language's marker words, pick the max with a fixed
+    * priority order (en > de > fr > es) so ties are deterministic. Scores
+    * are exposed so the oracle checks the whole computation.
+    */
+  def x08LangId(s: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    def score(words: Seq[String]): Column =
+      size(filter(tk, t => t.isin(words.map(x => x: Any): _*)))
+    val sEn = score(StopWords("en"))
+    val sDe = score(StopWords("de"))
+    val sFr = score(StopWords("fr"))
+    val sEs = score(StopWords("es"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"), sEs.as("s_es"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting two ways: whitespace and a BPE-ish regex ([a-z0-9]+
+    * runs vs punctuation singles) — the standard cheap token-budget
+    * estimators.
+    */
+  def x09TokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)")).as("bpeish_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Order-sensitive document fingerprint: Σ position·(ascii(tok)·131 +
+    * len(tok)) mod 1e9+7 — pure integer arithmetic ⇒ exact cross-engine, a
+    * rolling-hash-family fingerprint without engine-specific hash functions.
+    */
+  def x10Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"))
+      .agg((sum((col("pos") + 1) * (ascii(col("tok")) * 131 + length(col("tok"))))
+        % 1000000007L).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Approximate distinct (HLL++) vs exact — bench-style sketch op; the
+    * estimate is engine-specific so there is no value-level oracle (driver
+    * records rows-only).
+    */
+  def x12ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  // ---- oracles -------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "x01_exact_dedup" -> """
+      SELECT doc_id, lang, source, n_chars
+      FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents) sub
+      WHERE rn = 1
+      ORDER BY doc_id""",
+    "x02_jaccard_pairs" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+              FROM d, UNNEST(generate_series(1, CASE WHEN len(toks) >= 5 THEN len(toks)-4 ELSE 1 END)) AS g(i)),
+      sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
+      FROM pairs
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5
+      ORDER BY doc_a, doc_b""",
+    "x05_cosine_topk" -> """
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 10),
+      scored AS (
+        SELECT q_id, c.vec_id AS c_id,
+               round(list_cosine_similarity(qv, c.v), 4) AS sim
+        FROM base c CROSS JOIN q
+        WHERE c.vec_id <> q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        FROM scored)
+      SELECT q_id, c_id, sim, rk FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk""",
+    "x06_ann_sign_bucket" -> """
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bkt
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv, bkt FROM base WHERE vec_id < 10),
+      scored AS (
+        SELECT q_id, c.vec_id AS c_id,
+               round(list_cosine_similarity(qv, c.v), 4) AS sim
+        FROM base c JOIN q USING (bkt)
+        WHERE c.vec_id <> q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        FROM scored)
+      SELECT q_id, c_id, sim, rk FROM ranked WHERE rk <= 3
+      ORDER BY q_id, rk""",
+    "x07_text_stats" -> """
+      WITH t AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks, text
+                 FROM documents)
+      SELECT doc_id, n_chars,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq,
+             round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS uniq_ratio,
+             round(length(replace(text, ' ', '')) * 1.0 / len(toks), 4) AS avg_tok_len
+      FROM t
+      ORDER BY doc_id""",
+    "x08_langid" -> """
+      WITH t AS (SELECT doc_id, lang AS labeled_lang,
+                        string_split(lower(text), ' ') AS toks
+                 FROM documents),
+      scored AS (
+        SELECT doc_id, labeled_lang,
+               len(list_filter(toks, x -> x IN ('the','and','of','is','a'))) AS s_en,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+               len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+               len(list_filter(toks, x -> x IN ('el','los','y','que','es'))) AS s_es
+        FROM t)
+      SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM scored
+      ORDER BY doc_id""",
+    "x09_token_count" -> """
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS ws_tokens,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word_tokens,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
+      FROM documents
+      ORDER BY doc_id""",
+    "x10_fingerprint" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      terms AS (
+        SELECT doc_id, i * (ascii(toks[i]) * 131 + length(toks[i])) AS term
+        FROM d, UNNEST(generate_series(1, len(toks))) AS g(i))
+      SELECT doc_id, sum(term) % 1000000007 AS fingerprint
+      FROM terms
+      GROUP BY doc_id
+      ORDER BY doc_id""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_exact_dedup" -> (x01ExactDedup _),
+    "x02_jaccard_pairs" -> (x02JaccardPairs _),
+    "x03_minhash_lsh" -> (x03MinhashLsh _),
+    "x04_simhash" -> (x04Simhash _),
+    "x05_cosine_topk" -> (x05CosineTopk _),
+    "x06_ann_sign_bucket" -> (x06AnnSignBucket _),
+    "x07_text_stats" -> (x07TextStats _),
+    "x08_langid" -> (x08LangId _),
+    "x09_token_count" -> (x09TokenCount _),
+    "x10_fingerprint" -> (x10Fingerprint _),
+    "x12_approx_distinct" -> (x12ApproxDistinct _))
+}
