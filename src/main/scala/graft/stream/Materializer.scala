@@ -1,0 +1,135 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.model.{Event, Schemas}
+import graft.state.Materialize.{jsonField, FoldBuf}
+
+/** A player-state update emitted by the streaming materializer; `deleted`
+  * carries the tombstone so a sink can remove the key (the reference's
+  * read model simply drops deleted aggregates — PlayerResourceIT.java:174-188).
+  */
+final case class PlayerUpdate(
+    id: Long, version: Long, firstName: String, lastName: String, deleted: Boolean)
+
+/** Structured Streaming materializer — the engine's analog of the
+  * reference's query-side service, which builds its read model *solely* by
+  * consuming the Kafka topic (reference: start_container.sh:95 — the query
+  * container is wired to Kafka only; replay-from-zero on boot because it
+  * owns no durable store).
+  *
+  * Transport mapping (SURVEY §7.0): no Kafka jar ships offline, so the bus
+  * is a file-spool directory tailed by the parquet file source (production:
+  * swap `format("parquet")` for `format("kafka")` — nothing else changes),
+  * and `MemoryStream[Event]` in tests. The reference leaned on its single
+  * Kafka partition for total order (start_container.sh:56); this fold
+  * orders by `version` per key instead, so it is free to consume from any
+  * number of partitions in any order — the property that lets the read
+  * side scale horizontally.
+  */
+object Materializer {
+
+  /** S4: tail the event spool as an unbounded stream (schema pinned —
+    * never inferred — matching the DDL-defined envelope).
+    */
+  def readEventStream(spark: SparkSession, spoolDir: String): Dataset[Event] = {
+    import spark.implicits._
+    spark.readStream.schema(Schemas.event).parquet(spoolDir).as[Event]
+  }
+
+  /** ST3: the keyed stateful fold. State per aggregate is one FoldBuf (the
+    * winning version so far) — O(#live aggregates) state total, independent
+    * of event volume; each micro-batch emits one update per touched key
+    * (OutputMode.Update).
+    */
+  def applyEvents(
+      id: Long,
+      events: Iterator[Event],
+      state: GroupState[FoldBuf]): Iterator[PlayerUpdate] = {
+    var buf = state.getOption.getOrElse(FoldBuf(Long.MinValue, null, null))
+    events.foreach { e =>
+      if (e.version > buf.version) buf = FoldBuf(e.version, e.name, e.data)
+    }
+    state.update(buf)
+    val deleted = buf.name == null || buf.name.endsWith("Deleted")
+    Iterator.single(PlayerUpdate(
+      id,
+      buf.version,
+      if (deleted) null else jsonField(buf.data, "firstName"),
+      if (deleted) null else jsonField(buf.data, "lastName"),
+      deleted))
+  }
+
+  /** Wire the fold over any event stream (works for both streaming and
+    * batch Datasets — Catalyst plans FlatMapGroupsWithState either way,
+    * which is what the batch≡stream equivalence test exploits).
+    */
+  def materialize(events: Dataset[Event]): Dataset[PlayerUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(applyEvents)
+  }
+
+  /** Run the materializer into an in-memory table (`queryName`), one row
+    * per (key, micro-batch) update — latest row per key is the read model.
+    * AvailableNow processes the current spool then stops: the reference's
+    * replay-from-zero cold start (ST4) as a trigger choice.
+    */
+  def startToMemory(
+      events: Dataset[Event],
+      queryName: String,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val writer = materialize(events).writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** ST5: watermarked tumbling event-time aggregation over the stream.
+    * Late events beyond the watermark are dropped and window state is
+    * evicted — bounded state at any volume.
+    */
+  def windowedCounts(events: Dataset[Event], watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("date", watermark)
+      .groupBy(window(col("date"), windowLen).as("w"), col("name"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("name"), col("n"))
+
+  /** foreachBatch snapshot variant (the simpler ST3 shape): each
+    * micro-batch merges updates into a parquet snapshot keyed by id —
+    * a durable read model a serving layer can scan.
+    */
+  def startSnapshot(
+      events: Dataset[Event],
+      snapshotDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val spark = events.sparkSession
+    materialize(events).writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[PlayerUpdate], _: Long) =>
+        import spark.implicits._
+        val updates = batch.dropDuplicates("id")
+        val existing =
+          try spark.read.parquet(snapshotDir).as[PlayerUpdate]
+          catch { case _: Exception => spark.emptyDataset[PlayerUpdate] }
+        existing
+          .join(updates.select(col("id")), Seq("id"), "left_anti")
+          .as[PlayerUpdate]
+          .union(updates.filter(!_.deleted))
+          .write.mode("overwrite").parquet(snapshotDir + ".tmp")
+        spark.read.parquet(snapshotDir + ".tmp")
+          .write.mode("overwrite").parquet(snapshotDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import graft.model.Event
+import graft.log.EventLog
+import graft.state.Materialize
+
+/** The reference's single E2E test, `PlayerResourceIT.crud()`
+  * (PlayerResourceIT.java:109-190), transliterated to data operations
+  * (SURVEY §5.2.2), plus ScalaCheck properties the REST test could never
+  * express (§5.2.4).
+  */
+class MaterializeSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  private def payload(first: String, last: String) =
+    s"""{"firstName":"$first","lastName":"$last"}"""
+
+  /** FIXTURES.md A.3: create → update → (second aggregate) → duplicate
+    * redelivery → delete → delete of absent id.
+    */
+  private val crudFixture: Seq[Event] = Seq(
+    Event(1, "PlayerCreated", 0, ts(0), payload("Robert", "Brem")),
+    Event(1, "PlayerUpdated", 1, ts(1), payload("Robertupdated", "Bremupdated")),
+    Event(2, "PlayerCreated", 0, ts(0), payload("Other", "Player")),
+    // duplicate redelivery of the update (tests A2 PK dedup)
+    Event(1, "PlayerUpdated", 1, ts(1), payload("Robertupdated", "Bremupdated")),
+    // delete of an id that never existed (IT:174-179 — must be harmless)
+    Event(-42, "PlayerDeleted", 0, ts(2), "{}"))
+
+  test("crud: create then update => latest state visible (IT:148-161)") {
+    import spark.implicits._
+    val state = Materialize.findAll(crudFixture.toDS.toDF).collect()
+    assert(state.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val p1 = state.find(_.getLong(0) == 1L).get
+    assert(p1.getString(1) == "Robertupdated" && p1.getString(2) == "Bremupdated")
+  }
+
+  test("crud: findById touches only the requested aggregate (IT:131-139)") {
+    import spark.implicits._
+    val row = Materialize.findById(crudFixture.toDS.toDF, 2).collect()
+    assert(row.length == 1 && row.head.getString(1) == "Other")
+  }
+
+  test("crud: delete tombstones the aggregate out of findAll (IT:182-188)") {
+    import spark.implicits._
+    val events = crudFixture :+ Event(1, "PlayerDeleted", 2, ts(3), "{}")
+    val state = Materialize.findAll(events.toDS.toDF).collect()
+    assert(state.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("crud: delete of a non-existent id is harmless (IT:174-179)") {
+    import spark.implicits._
+    val without = Materialize.findAll(crudFixture.filter(_.id != -42).toDS.toDF).collect()
+    val withDel = Materialize.findAll(crudFixture.toDS.toDF).collect()
+    assert(without.toSeq == withDel.toSeq)
+  }
+
+  test("typed Aggregator fold agrees with the DataFrame fold") {
+    import spark.implicits._
+    val events = crudFixture :+ Event(3, "PlayerCreated", 0, ts(4), payload("A", "B"))
+    val typed = Materialize.playerStateTyped(
+        EventLog.pkDedup(events.toDS.toDF).as[Event])
+      .collect().map(p => (p.id, p.firstName, p.lastName)).toSet
+    val df = Materialize.playerState(events.toDS.toDF)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(typed == df)
+  }
+
+  test("event log round-trip preserves the fold result") {
+    import spark.implicits._
+    val dir = tmpDir("eventlog")
+    EventLog.append(crudFixture.toDS, s"$dir/log", numPartitions = 2)
+    val replayed = Materialize.findAll(EventLog.scan(spark, s"$dir/log").toDF).collect()
+    val direct = Materialize.findAll(crudFixture.toDS.toDF).collect()
+    assert(replayed.toSeq == direct.toSeq)
+  }
+
+  // ---- randomized fold properties (SURVEY §5.2.4), seeded for determinism -
+
+  private def randomEvents(rnd: scala.util.Random, n: Int): Seq[Event] = {
+    val kinds = Seq("PlayerCreated", "PlayerUpdated", "PlayerDeleted")
+    (0 until n).map { _ =>
+      val v = rnd.nextInt(7).toLong
+      Event(1L + rnd.nextInt(5), kinds(rnd.nextInt(3)), v, ts(v),
+        payload("f" + rnd.nextInt(100), "l" + rnd.nextInt(100)))
+    }
+  }
+
+  private def stateOf(events: Seq[Event]): Set[(Long, String, String)] = {
+    import spark.implicits._
+    if (events.isEmpty) Set.empty
+    else Materialize.playerState(events.toDS.toDF)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+  }
+
+  test("property: replay order never matters (fold orders by version)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { _ =>
+      // PK-distinct so permutations can't change which payload wins a PK slot
+      val events = randomEvents(rnd, 10)
+        .groupBy(e => (e.id, e.name, e.version)).values.map(_.head).toSeq
+      assert(stateOf(events) == stateOf(rnd.shuffle(events)))
+    }
+  }
+
+  test("property: duplicate delivery is idempotent (latestState(log++log)==latestState(log))") {
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { _ =>
+      val events = randomEvents(rnd, 8)
+      assert(stateOf(events) == stateOf(events ++ events))
+    }
+  }
+}

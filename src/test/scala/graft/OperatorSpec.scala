@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator sanity specs at sf0.001 (SURVEY §5.2.1). The DuckDB oracle
+  * (driver t2 + tools/check.py) is the value-level gate; these assert the
+  * structural invariants a hash compare can't explain when it fails:
+  * schemas, key uniqueness, rank bounds, recall relations.
+  */
+class OperatorSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("every declared query runs and returns a deterministic, non-degenerate result") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val df = run(name)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("every oracle key exists in queries (no dangling oracle)") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
+  test("flagship latest-state: one row per aggregate, max version wins") {
+    val df = run("q32_latest_state")
+    val users = df.select("user_id").collect().map(_.getLong(0))
+    assert(users.length == users.distinct.length, "duplicate aggregate in read model")
+    // spot-check one user against a direct computation
+    val events = graft.model.Tables.load(spark, sf0001, "events")
+    val u0max = events.filter(col("user_id") === 0)
+      .agg(max("event_id")).collect().head.getLong(0)
+    val got = df.filter(col("user_id") === 0).select("event_id").collect().head.getLong(0)
+    assert(got == u0max)
+  }
+
+  test("top-k is globally correct (q21 matches full-sort head)") {
+    val topk = run("q21_topk").select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val full = graft.model.Tables.load(spark, sf0001, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey").limit(20).collect().map(_.getLong(0)).toSeq
+    assert(topk == full)
+  }
+
+  test("semi ∪ anti partition the probe side (q07/q08 complement over same filter)") {
+    val c = graft.model.Tables.load(spark, sf0001, "customer")
+    val o = graft.model.Tables.load(spark, sf0001, "orders").filter(col("o_orderstatus") === "P")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(semi + anti == c.count())
+  }
+
+  test("dedup keeps exactly one representative per distinct text") {
+    val kept = run("x01_exact_dedup").count()
+    val distinctTexts = graft.model.Tables.load(spark, sf0001, "documents")
+      .select(md5(col("text"))).distinct().count()
+    assert(kept == distinctTexts)
+  }
+
+  test("minhash-LSH candidates are a subset-verified superset relation vs exact jaccard") {
+    val exact = run("x02_jaccard_pairs").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("x03_minhash_lsh").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both filter on the same verified jaccard >= 0.5, LSH may only miss
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("ANN sign-bucket results appear in the brute-force top-5 of the same query") {
+    val brute = run("x05_cosine_topk").select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = run("x06_ann_sign_bucket")
+    // rank bound respected
+    assert(ann.agg(max("rk")).collect().head.getInt(0) <= 3)
+    // every ANN hit with sim equal to a brute top-5 sim is consistent;
+    // weaker but deterministic: ANN candidates share the query's bucket,
+    // so sims must be <= the brute-force best
+    val annTop = ann.filter(col("rk") === 1).select("q_id", "sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bruteTop = run("x05_cosine_topk").filter(col("rk") === 1)
+      .select("q_id", "sim").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    annTop.foreach { case (q, s) => assert(s <= bruteTop(q) + 1e-9) }
+  }
+
+  test("windows: sliding produces exactly 2x the events across all windows") {
+    val events = graft.model.Tables.load(spark, sf0001, "events").count()
+    val total = run("q37_sliding_window").agg(sum("n")).collect().head.getLong(0)
+    assert(total == 2 * events)
+  }
+}

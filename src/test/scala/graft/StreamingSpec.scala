@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.Event
+import graft.state.Materialize
+import graft.stream.Materializer
+
+/** Streaming semantics (SURVEY §2.8): the batch≡stream equivalence the
+  * reference demonstrates operationally (command-then-query round trip,
+  * PlayerResourceIT.java:123-139) plus watermark/window behavior the
+  * reference never exercises but the engine ships.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+  private def payload(f: String, l: String) = s"""{"firstName":"$f","lastName":"$l"}"""
+
+  private val fixture = Seq(
+    Event(1, "PlayerCreated", 0, ts(0), payload("Robert", "Brem")),
+    Event(2, "PlayerCreated", 0, ts(1), payload("Other", "Player")),
+    Event(1, "PlayerUpdated", 1, ts(2), payload("Robertupdated", "Bremupdated")),
+    Event(2, "PlayerDeleted", 1, ts(3), "{}"))
+
+  test("streaming materialization over replay equals batch latestState (ST3/ST4)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // two micro-batches: create-create, then update-delete — exercises
+    // cross-batch state carry, not just a single-batch fold
+    val q = Materializer.startToMemory(stream.toDS(), "stream_state", tmpDir("ckpt"),
+      availableNow = false)
+    stream.addData(fixture.take(2))
+    q.processAllAvailable()
+    stream.addData(fixture.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    // latest update per key (max version), minus tombstones = the read model
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"version".desc)
+    val live = spark.table("stream_state")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && !$"deleted")
+      .select($"id", $"firstName", $"lastName")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    val batch = Materialize.playerState(fixture.toDS.toDF)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(live == batch)
+    assert(batch == Set((1L, "Robertupdated", "Bremupdated")))
+  }
+
+  test("file-spool source: append then tail (S3/S4 transport stand-in)") {
+    import spark.implicits._
+    val spool = tmpDir("spool")
+    fixture.take(2).toDS.write.mode("append").parquet(spool)
+    val q = Materializer.startToMemory(
+      Materializer.readEventStream(spark, spool), "spool_state", tmpDir("ckpt2"),
+      availableNow = false)
+    q.processAllAvailable()
+    fixture.drop(2).toDS.write.mode("append").parquet(spool)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("spool_state").filter(!$"deleted")
+      .select($"id").distinct().as[Long].collect().toSet
+    assert(ids.contains(1L))
+  }
+
+  test("watermarked tumbling windows drop late data past the watermark (ST5)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val windowed = Materializer.windowedCounts(stream.toDS(), "10 minutes", "1 hour")
+    val q = windowed.writeStream
+      .outputMode("append")
+      .format("memory").queryName("windowed")
+      .option("checkpointLocation", tmpDir("ckpt3"))
+      .start()
+    val base = 1700000000000L // 2023-11-14 22:13:20 UTC
+    def at(ms: Long) = new Timestamp(ms)
+    // events in hour-window W0, then jump far ahead (advances watermark
+    // past W0's end + 10 min), then a late straggler back in W0
+    stream.addData(Seq(
+      Event(1, "click", 0, at(base), "{}"),
+      Event(2, "click", 1, at(base + 60000), "{}")))
+    q.processAllAvailable()
+    stream.addData(Seq(Event(3, "click", 2, at(base + 8L * 3600 * 1000), "{}")))
+    q.processAllAvailable()
+    stream.addData(Seq(Event(4, "click", 3, at(base + 120000), "{}"))) // late, beyond watermark
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("windowed").select($"n").as[Long].collect()
+    // W0 must have closed with exactly 2 rows; the late event must not
+    // have produced a correction row (it was dropped)
+    assert(counts.contains(2L) && !counts.contains(3L))
+  }
+
+  test("batch window operators agree between sessionize formulations") {
+    // native session_window vs manual lag+cumsum over the same data
+    val native = graft.ops.TimeWindows.q38SessionWindow(spark, sf0001)
+      .select(col("user_id"), col("session_start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val manual = graft.ops.EventSourcing.sessionize(spark, sf0001)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(native == manual)
+  }
+}
