@@ -180,12 +180,21 @@ object Extensions {
 
   // ---- X5/X6: embedding similarity search ---------------------------------
 
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** HOF reference formulation of cosine similarity — kept as the
+    * composable/auditable baseline; queries use the codegen'd native
+    * expression [[graft.functions.VectorFunctions.cosine_similarity]]
+    * (bit-identical arithmetic, asserted in ExtensionsSpec).
+    */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
+    def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+    val (ad, bd) = (asDouble(a), asDouble(b))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
-
-  private def l2(a: Column): Column = sqrt(dot(a, a))
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
 
   /** Brute-force cosine top-5: the exact-recall baseline. Query set (10
     * vectors) broadcasts against the candidate scan; similarity is rounded
@@ -196,11 +205,11 @@ object Extensions {
   def x05CosineTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
-    val c = e.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))
-      .withColumn("sim", round(dot(col("qv"), col("cv")) / (l2(col("qv")) * l2(col("cv"))), 4))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored
       .withColumn("rk", row_number().over(w))
@@ -220,14 +229,14 @@ object Extensions {
     def bucket(v: Column): Column =
       (0 until 8).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
         .reduce(_ + _)
-    val base = e.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+    val base = e.select(col("vec_id"), col("embedding").as("v"),
       bucket(col("embedding")).as("bkt"))
     val q = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bkt"))
     val c = base.select(col("vec_id").as("c_id"), col("v").as("cv"), col("bkt"))
     val scored = c.join(broadcast(q), Seq("bkt"))
       .filter(col("c_id") =!= col("q_id"))
-      .withColumn("sim", round(dot(col("qv"), col("cv")) / (l2(col("qv")) * l2(col("cv"))), 4))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored
       .withColumn("rk", row_number().over(w))

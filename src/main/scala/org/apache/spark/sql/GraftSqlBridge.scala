@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` surface needed to expose custom Catalyst
+  * expressions as `Column`s on Spark 4 (where `Column` wraps a ColumnNode,
+  * not an Expression). Standard pattern for Spark extension libraries —
+  * confined to exactly these two conversions.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

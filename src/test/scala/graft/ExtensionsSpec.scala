@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.ops.{Extensions, Multimodal}
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("native CosineSimilarity expression is bit-identical to the HOF formulation") {
+    val e = graft.model.Tables.load(spark, sf0001, "embeddings")
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(2000)
+    val diff = pairs.select(
+        (VectorFunctions.cosine_similarity(col("a"), col("b")) -
+          Extensions.cosineHof(col("a"), col("b"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(diff == 0.0, s"native vs HOF max abs diff: $diff")
+  }
+
+  test("native CosineSimilarity stays inside whole-stage codegen") {
+    val e = graft.model.Tables.load(spark, sf0001, "embeddings")
+    val plan = e.select(VectorFunctions.cosine_similarity(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen span
+    assert(plan.linesIterator.exists(l => l.contains("Project") && l.trim.startsWith("*")),
+      s"Project with cosine_similarity not codegen-fused:\n$plan")
+  }
+
+  test("self-similarity is 1.0") {
+    val e = graft.model.Tables.load(spark, sf0001, "embeddings")
+    val sims = e.select(
+        round(VectorFunctions.cosine_similarity(col("embedding"), col("embedding")), 9).as("s"))
+      .distinct().collect().map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("multimodal: feature extraction runs per-partition and is deterministic") {
+    val assets = Multimodal.syntheticAssets(spark, sf0001)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length == assets.count())
+    // video samples fewer frames than image for the same byte length
+    val byId = feats.map(f => f.asset_id -> f).toMap
+    assert(feats.forall(_.n_bytes > 0))
+    assert(feats.forall(f => f.n_frames_sampled > 0))
+    val again = Multimodal.extractFeatures(assets).collect()
+    assert(feats.sortBy(_.asset_id).toSeq == again.sortBy(_.asset_id).toSeq)
+    // brightness is a mean byte value: printable ASCII text => between 32 and 127
+    assert(feats.forall(f => f.brightness >= 32 && f.brightness <= 127), s"${byId.take(3)}")
+  }
+
+  test("multimodal: stride sampling reduces frames for video vs image of equal size") {
+    import Multimodal.StubCodec
+    val bytes = Array.fill[Byte](1024)(42)
+    assert(StubCodec.sampleFrames(bytes, 4).length < StubCodec.sampleFrames(bytes, 1).length)
+    assert(StubCodec.sampleFrames(Array.emptyByteArray, 1).isEmpty)
+  }
+}
