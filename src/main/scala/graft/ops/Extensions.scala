@@ -74,17 +74,18 @@ object Extensions {
     * near 1 in practice.
     */
   def x02JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(s, dir)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val shared = a.join(b, Seq("sh"))
+    // per-doc shingle count rides along on every index row (window over the
+    // doc partition) so the pair join carries everything Jaccard needs — no
+    // post-join count lookups, and the two join sides are identical subplans
+    // (one shared shuffle via exchange reuse)
+    val w = Window.partitionBy(col("doc_id"))
+    val sh = shingleIndex(s, dir).withColumn("n_sh", count(lit(1)).over(w))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("na"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("nb"))
+    a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
       .filter(col("jaccard") >= 0.5)
@@ -128,17 +129,15 @@ object Extensions {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // verify candidates with exact Jaccard (inverted index join restricted
-    // to the candidate set — candidate count is tiny relative to n²)
-    val sh = shingleIndex(s, dir)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shared = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+    // to the candidate set — candidate count is tiny relative to n²); same
+    // count-on-index-row shape as x02
+    val w = Window.partitionBy(col("doc_id"))
+    val sh = shingleIndex(s, dir).withColumn("n_sh", count(lit(1)).over(w))
+    sh.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("na"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("nb")), Seq("sh"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
       .filter(col("jaccard") >= 0.5)

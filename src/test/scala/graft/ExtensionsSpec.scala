@@ -49,6 +49,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(feats.forall(f => f.brightness >= 32 && f.brightness <= 127), s"${byId.take(3)}")
   }
 
+  test("cosine_similarity is callable from SQL after GraftExtensions registration") {
+    GraftExtensions.register(spark)
+    graft.model.Tables.load(spark, sf0001, "embeddings").createOrReplaceTempView("emb_sql")
+    val n = spark.sql(
+      """SELECT vec_id, cosine_similarity(embedding, embedding) AS s
+         FROM emb_sql WHERE cosine_similarity(embedding, embedding) > 0.999""").count()
+    assert(n == spark.table("emb_sql").count())
+  }
+
   test("multimodal: stride sampling reduces frames for video vs image of equal size") {
     import Multimodal.StubCodec
     val bytes = Array.fill[Byte](1024)(42)
