@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Scale-technique operators: explicit physical-join control (SMJ vs BHJ),
+  * salting for skewed keys, and bucketed layouts. These are the knobs a
+  * 1000-executor deployment turns; demonstrated here as first-class library
+  * functions with oracle/equivalence checks.
+  */
+object Scale {
+
+  /** Sort-merge join pinned via the `merge` hint — the plan Spark picks on
+    * its own once both sides exceed the broadcast threshold (i.e., the plan
+    * this query WILL be at 100 TB; pinning it makes the bench measure the
+    * at-scale shape instead of a small-data broadcast shortcut).
+    */
+  def q48SortMergeJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders").hint("merge")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("gross"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Salted equi-join for skewed keys: the large (skewed) side gets a random-
+    * free deterministic salt derived from a high-cardinality column; the
+    * small side is exploded across all salt values. Result is identical to
+    * the plain join (SkewSpec asserts it) while the shuffle spreads each hot
+    * key over `saltBuckets` reducers.
+    *
+    * AQE's skew-join handling covers sort-merge joins automatically; explicit
+    * salting remains necessary for skewed *aggregations* and for stateful
+    * streaming keys, so the engine ships it as a reusable transform.
+    */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int, saltSource: Column): DataFrame = {
+    val salted = large.withColumn("__salt", pmod(hash(saltSource), lit(saltBuckets)))
+    val exploded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Salted aggregation: two-phase (salt-local partial, then final) — the
+    * pattern for a groupBy where one key dominates. Phase one reduces each
+    * hot key to `saltBuckets` partials; phase two folds those.
+    */
+  def saltedCount(df: DataFrame, key: String, saltBuckets: Int,
+      saltSource: Column): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltSource), lit(saltBuckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("n"))
+
+  /** S7-style DDL + bucketed layout: register the event log as a bucketed,
+    * sorted table so downstream key joins/aggregations on `user_id` are
+    * co-located (no exchange). Bucket count pins the join parallelism.
+    */
+  def writeBucketedEvents(s: SparkSession, dir: String, table: String,
+      buckets: Int = 8): Unit = {
+    Tables.load(s, dir, "events")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "user_id")
+      .sortBy("user_id", "event_id")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q48_sort_merge_join" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice), 2) AS gross
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_sort_merge_join" -> (q48SortMergeJoin _))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.Scale
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted join result is identical to the plain join") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    val o = Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Scale.saltedJoin(li, o, "l_orderkey",
+      saltBuckets = 7, saltSource = col("l_partkey") * 31 + col("l_linenumber"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted aggregation equals plain groupBy count") {
+    val e = Tables.load(spark, sf0001, "events")
+    val plain = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedCount(e, "event_type", 7, col("event_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("q48 is planned as SortMergeJoin (the at-scale join shape)") {
+    val plan = Scale.q48SortMergeJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+  }
+
+  test("S7 DDL + bucketed table: co-located aggregation plans without exchange") {
+    Scale.writeBucketedEvents(spark, sf0001, "events_bucketed", buckets = 4)
+    val agg = spark.table("events_bucketed")
+      .groupBy(col("user_id")).agg(max(col("event_id")))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed agg should not reshuffle on the bucket key:\n$plan")
+    // and the result matches the unbucketed fold
+    val a = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Tables.load(spark, sf0001, "events")
+      .groupBy(col("user_id")).agg(max(col("event_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    spark.sql("DROP TABLE IF EXISTS events_bucketed")
+  }
+}
