@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: spin up executor threads, codegen, and the parquet
+    // reader path once so JVM/JIT startup is not attributed to whichever
+    // query happens to run first. Timed numbers below are unaffected
+    // otherwise (each query is still a cold plan).
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("count(*)", "sum(l_quantity)").collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -116,7 +116,24 @@ object Relational2 {
       .orderBy(col("user_id"))
   }
 
+  /** S5 JSON ingest with an explicit schema (`from_json` — the typed parse
+    * used by the read-model fold, vs q28's path-extraction form). Schema is
+    * declared, never inferred, mirroring the reference's per-NAME payload
+    * contracts (SURVEY §1.3).
+    */
+  def q49FromJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), lit("k LONG")).getField("k").as("k"))
+      .filter(col("k") > 50)
+      .orderBy(col("event_id"))
+
   val oracles: Map[String, String] = Map(
+    "q49_from_json" -> """
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      ORDER BY event_id""",
     "q39_pivot" -> """
       SELECT o_orderpriority,
              count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
@@ -181,6 +198,7 @@ object Relational2 {
       ORDER BY user_id""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_from_json" -> (q49FromJson _),
     "q39_pivot" -> (q39Pivot _),
     "q40_having" -> (q40Having _),
     "q41_stats_agg" -> (q41StatsAgg _),
