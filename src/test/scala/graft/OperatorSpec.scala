@@ -86,6 +86,19 @@ class OperatorSpec extends SparkSpec {
     annTop.foreach { case (q, s) => assert(s <= bruteTop(q) + 1e-9) }
   }
 
+  test("ANN multiprobe recall >= single-probe recall vs brute force") {
+    def hits(name: String): Set[(Long, Long)] =
+      run(name).filter(col("rk") <= 3).select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = run("x05_cosine_topk").filter(col("rk") <= 3)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = hits("x06_ann_sign_bucket")
+    val multi = hits("x13_ann_multiprobe")
+    val rs = (single intersect brute).size.toDouble / brute.size
+    val rm = (multi intersect brute).size.toDouble / brute.size
+    assert(rm >= rs, s"multiprobe recall $rm < single-probe $rs")
+  }
+
   test("windows: sliding produces exactly 2x the events across all windows") {
     val events = graft.model.Tables.load(spark, sf0001, "events").count()
     val total = run("q37_sliding_window").agg(sum("n")).collect().head.getLong(0)

@@ -97,6 +97,29 @@ class StreamingSpec extends SparkSpec {
     assert(counts.contains(2L) && !counts.contains(3L))
   }
 
+  test("streaming PK dedup: redelivered events collapse across micro-batches (A2 on the stream)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val deduped = stream.toDS().dropDuplicates("id", "name", "version")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_state")
+      .option("checkpointLocation", tmpDir("ckpt4"))
+      .start()
+    stream.addData(fixture.take(2))
+    q.processAllAvailable()
+    // redeliver batch 1 (duplicate PKs) together with new events
+    stream.addData(fixture.take(2) ++ fixture.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_state")
+      .select($"id", $"name", $"version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == rows.distinct.length, "duplicate PK survived streaming dedup")
+    assert(rows.length == fixture.map(e => (e.id, e.name, e.version)).distinct.length)
+  }
+
   test("batch window operators agree between sessionize formulations") {
     // native session_window vs manual lag+cumsum over the same data
     val native = graft.ops.TimeWindows.q38SessionWindow(spark, sf0001)
