@@ -73,7 +73,34 @@ object EventSourcing {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("day"), col("event_type"))
 
+  /** Batch form of the stream-stream interval join (click → purchase
+    * attribution within 10 minutes). The equi component (user_id) drives the
+    * join partitioning; the time bound is a post-join range filter, so
+    * per-key pair volume — not n² — is the cost, exactly as in the streaming
+    * formulation (stream/Materializer.intervalJoin).
+    */
+  def intervalJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(unix_micros(col("purchase_ts")) >= unix_micros(col("click_ts")) &&
+        unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")) <= 600L * 1000000)
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q50_interval_join" -> """
+      SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND epoch_us(p.ts) >= epoch_us(c.ts)
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+      ORDER BY 1, 2, 3""",
     "q32_latest_state" -> """
       SELECT event_id, ts, user_id, event_type, value, props
       FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
@@ -115,6 +142,7 @@ object EventSourcing {
       ORDER BY day, event_type""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_interval_join" -> (intervalJoinBatch _),
     "q32_latest_state" -> (latestState _),
     "q33_user_stats" -> (userStats _),
     "q34_sessionize" -> (sessionize _),

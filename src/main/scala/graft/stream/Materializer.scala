@@ -103,6 +103,31 @@ object Materializer {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("name"), col("n"))
 
+  /** Stream-stream interval join: correlate two event streams on key within
+    * an event-time bound. Both sides carry watermarks so Spark can bound the
+    * join state (rows older than watermark+interval are evicted) — the
+    * at-scale requirement for any stream-stream join. Column names follow
+    * the Event envelope; `leftName`/`rightName` filter the event types being
+    * correlated (e.g. click → purchase attribution).
+    */
+  def intervalJoin(
+      events: Dataset[Event],
+      leftName: String,
+      rightName: String,
+      watermark: String = "10 minutes",
+      withinSeconds: Long = 3600): DataFrame = {
+    val left = events.filter(col("name") === leftName)
+      .withWatermark("date", watermark)
+      .select(col("id").as("l_id"), col("version").as("l_version"), col("date").as("l_date"))
+    val right = events.filter(col("name") === rightName)
+      .withWatermark("date", watermark)
+      .select(col("id").as("r_id"), col("version").as("r_version"), col("date").as("r_date"))
+    left.join(right,
+      col("l_id") === col("r_id") &&
+        col("r_date") >= col("l_date") &&
+        col("r_date") <= col("l_date") + expr(s"interval $withinSeconds seconds"))
+  }
+
   /** foreachBatch snapshot variant (the simpler ST3 shape): each
     * micro-batch merges updates into a parquet snapshot keyed by id —
     * a durable read model a serving layer can scan.

@@ -120,6 +120,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == fixture.map(e => (e.id, e.name, e.version)).distinct.length)
   }
 
+  test("stream-stream interval join correlates click->purchase within the bound") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val joined = Materializer.intervalJoin(stream.toDS(), "click", "purchase",
+      watermark = "1 minute", withinSeconds = 600)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName("corr")
+      .option("checkpointLocation", tmpDir("ckpt5"))
+      .start()
+    val base = 1700000000000L
+    def at(ms: Long) = new Timestamp(ms)
+    stream.addData(Seq(
+      Event(1, "click", 0, at(base), "{}"),
+      Event(1, "purchase", 1, at(base + 300000), "{}"),   // 5 min later: inside bound
+      Event(2, "click", 0, at(base), "{}"),
+      Event(2, "purchase", 1, at(base + 1200000), "{}"),  // 20 min later: outside bound
+      Event(3, "purchase", 0, at(base + 60000), "{}")))   // purchase with no click
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("corr").select($"l_id", $"r_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 1L)), s"got $pairs")
+  }
+
   test("batch window operators agree between sessionize formulations") {
     // native session_window vs manual lag+cumsum over the same data
     val native = graft.ops.TimeWindows.q38SessionWindow(spark, sf0001)
