@@ -106,9 +106,10 @@ object Materializer {
   /** Stream-stream interval join: correlate two event streams on key within
     * an event-time bound. Both sides carry watermarks so Spark can bound the
     * join state (rows older than watermark+interval are evicted) — the
-    * at-scale requirement for any stream-stream join. Column names follow
-    * the Event envelope; `leftName`/`rightName` filter the event types being
-    * correlated (e.g. click → purchase attribution).
+    * at-scale requirement for any stream-stream join. Output columns:
+    * `id` (the shared key), `l_version`/`l_date` from the left event and
+    * `r_version`/`r_date` from the right; `leftName`/`rightName` filter the
+    * event types being correlated (e.g. click → purchase attribution).
     */
   def intervalJoin(
       events: Dataset[Event],
@@ -123,9 +124,11 @@ object Materializer {
       .withWatermark("date", watermark)
       .select(col("id").as("r_id"), col("version").as("r_version"), col("date").as("r_date"))
     left.join(right,
-      col("l_id") === col("r_id") &&
-        col("r_date") >= col("l_date") &&
-        col("r_date") <= col("l_date") + expr(s"interval $withinSeconds seconds"))
+        col("l_id") === col("r_id") &&
+          col("r_date") >= col("l_date") &&
+          col("r_date") <= col("l_date") + expr(s"interval $withinSeconds seconds"))
+      .select(col("l_id").as("id"), col("l_version"), col("l_date"),
+        col("r_version"), col("r_date"))
   }
 
   /** foreachBatch snapshot variant (the simpler ST3 shape): each

@@ -141,7 +141,7 @@ class StreamingSpec extends SparkSpec {
       Event(3, "purchase", 0, at(base + 60000), "{}")))   // purchase with no click
     q.processAllAvailable()
     q.stop()
-    val pairs = spark.table("corr").select($"l_id", $"r_version")
+    val pairs = spark.table("corr").select($"id", $"r_version")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 1L)), s"got $pairs")
   }
