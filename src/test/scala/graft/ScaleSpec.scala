@@ -33,6 +33,20 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
   }
 
+  test("partitioned parquet layout: partition filter prunes directories at plan time") {
+    val dir = tmpDir("partlayout")
+    Tables.load(spark, sf0001, "events")
+      .write.partitionBy("event_type").parquet(s"$dir/events_by_type")
+    val scan = spark.read.parquet(s"$dir/events_by_type")
+      .filter(col("event_type") === "purchase")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"partition filter not pushed:\n$plan")
+    val expected = Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(scan.count() == expected)
+  }
+
   test("S7 DDL + bucketed table: co-located aggregation plans without exchange") {
     Scale.writeBucketedEvents(spark, sf0001, "events_bucketed", buckets = 4)
     val agg = spark.table("events_bucketed")
