@@ -315,6 +315,30 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the dedup-shaped variant of
+    * similarity search: ALL vector pairs above a similarity threshold, not a
+    * per-query top-k. Candidate pairs come from the same sign-bucket cells
+    * (equi-join on bucket ⇒ per-cell products only, never n²); both engines
+    * compute the identical bucketed candidate set, so the recall trade-off
+    * is part of the (matching) semantics. Threshold 0.45 sits just under
+    * the same-bucket corpus maximum at every sf (0.47-0.6 — no planted
+    * near-dups in this data) so the query exercises real row flow.
+    */
+  def x15EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    def bucket(v: Column): Column =
+      (0 until SignBits).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
+        .reduce(_ + _)
+    val base = e.select(col("vec_id"), col("embedding").as("v"),
+      bucket(col("embedding")).as("bkt"))
+    base.as("a").join(base.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   // ---- X7-X10: text analysis ----------------------------------------------
 
   /** Per-document quality/stat profile: token counts, uniqueness ratio,
@@ -485,6 +509,21 @@ object Extensions {
         FROM scored)
       SELECT q_id, c_id, sim, rk FROM ranked WHERE rk <= 3
       ORDER BY q_id, rk""",
+    "x15_embedding_neardup" -> """
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
+        FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM base a JOIN base b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+      ORDER BY 1, 2""",
     "x14_quality_score" -> """
       WITH f AS (
         SELECT doc_id,
@@ -558,6 +597,7 @@ object Extensions {
     "x06_ann_sign_bucket" -> (x06AnnSignBucket _),
     "x13_ann_multiprobe" -> (x13AnnMultiprobe _),
     "x14_quality_score" -> (x14QualityScore _),
+    "x15_embedding_neardup" -> (x15EmbeddingNearDup _),
     "x07_text_stats" -> (x07TextStats _),
     "x08_langid" -> (x08LangId _),
     "x09_token_count" -> (x09TokenCount _),

@@ -58,6 +58,16 @@ object Multimodal {
     def checksum(bytes: Array[Byte]): Long =
       bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
 
+    /** "Resize" to a target byte budget: nearest-neighbor downsampling over
+      * the byte stream (stride = ceil(len/target)). Deterministic; a real
+      * codec would do pixel-space interpolation with identical plumbing.
+      */
+    def resize(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+      if (bytes.length <= targetLen || targetLen <= 0) return bytes
+      val stride = math.ceil(bytes.length.toDouble / targetLen).toInt
+      (0 until bytes.length by stride).map(bytes).toArray
+    }
+
     def brightness(frames: Seq[Array[Byte]]): Double = {
       val all = frames.flatten
       if (all.isEmpty) 0.0 else all.map(b => (b & 0xff).toDouble).sum / all.length
@@ -84,6 +94,18 @@ object Multimodal {
           height = (nChars % 480).toInt + 1,
           duration_ms = nChars * 10)
       }
+  }
+
+  /** Resize stage: cap every asset's payload at `targetBytes` via the stub
+    * codec's downsampler, preserving metadata. A map-only stage — no
+    * shuffle; at 100 TB this is the bandwidth-reduction step that runs
+    * before any join or collect touches the bytes column.
+    */
+  def resizeAssets(assets: Dataset[MediaAsset], targetBytes: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map(a => a.copy(bytes = StubCodec.resize(a.bytes, targetBytes)))
+    }
   }
 
   /** The decode/feature-extract stage: per-partition batched, pruning-

@@ -64,4 +64,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(StubCodec.sampleFrames(bytes, 4).length < StubCodec.sampleFrames(bytes, 1).length)
     assert(StubCodec.sampleFrames(Array.emptyByteArray, 1).isEmpty)
   }
+
+  test("multimodal: resize caps payload size and is a no-op under target") {
+    import Multimodal.StubCodec
+    val big = Array.tabulate[Byte](1000)(i => (i % 127).toByte)
+    val r = StubCodec.resize(big, 100)
+    assert(r.length <= 100 && r.length > 0)
+    assert(r.head == big.head, "downsampling must keep the first byte")
+    assert(StubCodec.resize(big, 2000).sameElements(big))
+    // distributed stage preserves row count and caps every payload
+    val resized = Multimodal.resizeAssets(
+      Multimodal.syntheticAssets(spark, sf0001), targetBytes = 64).collect()
+    assert(resized.length == 500 && resized.forall(_.bytes.length <= 64))
+  }
 }
