@@ -128,7 +128,44 @@ object Relational2 {
       .filter(col("k") > 50)
       .orderBy(col("event_id"))
 
+  /** Deterministic systematic sampling (key-modulus) — the reproducible
+    * alternative to TABLESAMPLE for pipeline debugging/estimation: the same
+    * ~5% sample on every engine and every run, no RNG state.
+    */
+  def q51Sample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter((col("l_orderkey") * 31 + col("l_linenumber")) % 97 < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** NULL-handling suite: nullif/coalesce/null-safe equality/null ordering.
+    * The source tables carry no nulls, so nulls are introduced with nullif —
+    * exercising three-valued logic end to end.
+    */
+  def q52NullHandling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_filled"),
+        nullif(col("o_orderstatus"), lit("P")).eqNullSafe(lit("F")).as("is_f_nullsafe"),
+        isnull(nullif(col("o_orderstatus"), lit("P"))).as("was_pending"))
+      .orderBy(col("o_orderkey"))
+
   val oracles: Map[String, String] = Map(
+    "q51_sample" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE (l_orderkey * 31 + l_linenumber) % 97 < 5
+      ORDER BY l_orderkey, l_linenumber""",
+    "q52_null_handling" -> """
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P') AS status_or_null,
+             coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+             nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS is_f_nullsafe,
+             nullif(o_orderstatus, 'P') IS NULL AS was_pending
+      FROM orders
+      ORDER BY o_orderkey""",
     "q49_from_json" -> """
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events
@@ -198,6 +235,8 @@ object Relational2 {
       ORDER BY user_id""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_sample" -> (q51Sample _),
+    "q52_null_handling" -> (q52NullHandling _),
     "q49_from_json" -> (q49FromJson _),
     "q39_pivot" -> (q39Pivot _),
     "q40_having" -> (q40Having _),
