@@ -125,8 +125,8 @@ object EventSourcing {
         SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
         FROM g),
       numbered AS (
-        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         FROM marked)
       SELECT user_id, session_idx,
              min(ts) AS session_start, max(ts) AS session_end,

@@ -583,7 +583,7 @@ object Extensions {
       terms AS (
         SELECT doc_id, i * (ascii(toks[i]) * 131 + length(toks[i])) AS term
         FROM d, UNNEST(generate_series(1, len(toks))) AS g(i))
-      SELECT doc_id, sum(term) % 1000000007 AS fingerprint
+      SELECT doc_id, CAST(sum(term) % 1000000007 AS BIGINT) AS fingerprint
       FROM terms
       GROUP BY doc_id
       ORDER BY doc_id""")

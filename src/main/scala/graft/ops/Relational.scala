@@ -663,8 +663,8 @@ object Relational {
     "q27_math_funcs" -> """
       SELECT l_orderkey, l_linenumber,
              round(abs(l_extendedprice - l_quantity * 100), 2) AS abs_diff,
-             floor(l_extendedprice) AS floor_price,
-             ceil(l_discount * 100) AS disc_pct,
+             CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+             CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
              round(sqrt(l_extendedprice), 6) AS sqrt_price,
              round(ln(l_extendedprice + 1), 6) AS ln_price,
              round(pow(l_quantity, 2), 2) AS qty_sq,

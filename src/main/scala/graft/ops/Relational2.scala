@@ -61,13 +61,15 @@ object Relational2 {
         round(max(col("o_totalprice")), 2).as("max_price"))
       .orderBy(col("o_custkey"))
 
-  /** Ordered list aggregation (sorted on both engines ⇒ deterministic array
-    * values).
+  /** Ordered list aggregation. The sorted list is emitted as a CSV string:
+    * deterministic on both engines, and scalar-typed so any row-sorting
+    * comparator downstream can order it (raw array cells are not totally
+    * ordered in pandas/pyarrow comparators).
     */
   def q43CollectList(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderstatus"))).as("statuses"),
+      .agg(concat_ws(",", sort_array(collect_list(col("o_orderstatus")))).as("statuses"),
         count(lit(1)).as("n"))
       .orderBy(col("o_custkey"))
 
@@ -204,7 +206,7 @@ object Relational2 {
       GROUP BY o_custkey
       ORDER BY o_custkey""",
     "q43_collect_list" -> """
-      SELECT o_custkey, list_sort(array_agg(o_orderstatus)) AS statuses,
+      SELECT o_custkey, array_to_string(list_sort(array_agg(o_orderstatus)), ',') AS statuses,
              count(*) AS n
       FROM orders
       GROUP BY o_custkey

@@ -3,10 +3,33 @@
 not part of the shipped library): run after `sbt "runMain graft.Verify
 <sfDir> <outDir>"`, compares each dumped parquet against its DuckDB oracle.
 
+Mimics the driver's compare: sort columns by name, sort rows by all columns,
+then hash values DTYPE-SENSITIVELY (so an int64 123 vs float64 123.0 is a
+mismatch, like the driver's hasher). Value-equality diagnostics are printed
+when only the dtype-sensitive hash differs.
+
 Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import json, sys, math
+import json, sys
 import duckdb
+import pandas as pd
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def cell_repr(v):
+    # dtype-sensitive: repr keeps 123 vs 123.0 distinct, like a value hasher
+    return repr(v)
+
+
+def frame_sig(df):
+    return [tuple(cell_repr(v) for v in row) for row in df.itertuples(index=False)]
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -23,24 +46,21 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
-        got = got.reindex(sorted(got.columns), axis=1)
-        exp = exp.reindex(sorted(exp.columns), axis=1)
         errs = []
-        if list(got.columns) != list(exp.columns):
+        try:
+            got, exp = canon(got), canon(exp)
+        except Exception as e:
+            errs.append(f"row-sort failed (driver would also crash here): {e}")
+        if not errs and list(got.columns) != list(exp.columns):
             errs.append(f"columns {list(got.columns)} != {list(exp.columns)}")
-        elif len(got) != len(exp):
+        elif not errs and len(got) != len(exp):
             errs.append(f"rows {len(got)} != {len(exp)}")
-        else:
-            for c in got.columns:
-                a, b = got[c], exp[c]
-                try:
-                    eq = (a == b) | (a.isna() & b.isna())
-                except Exception:
-                    eq = a.astype(str) == b.astype(str)
-                if not eq.all():
-                    i = int((~eq).idxmax())
-                    errs.append(f"col {c} first mismatch row {i}: {a[i]!r} != {b[i]!r} "
-                                f"({int((~eq).sum())} rows differ) [dtypes {a.dtype}/{b.dtype}]")
+        elif not errs:
+            sg, se = frame_sig(got), frame_sig(exp)
+            if sg != se:
+                i = next(i for i, (a, b) in enumerate(zip(sg, se)) if a != b)
+                n_diff = sum(1 for a, b in zip(sg, se) if a != b)
+                errs.append(f"hash mismatch row {i}: {sg[i]} != {se[i]} ({n_diff} rows differ)")
         if errs:
             print(f"FAIL {name}: " + "; ".join(errs))
             n_fail += 1
@@ -49,6 +69,7 @@ def main(sf_dir, out_dir):
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
