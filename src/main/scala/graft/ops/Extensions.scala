@@ -49,6 +49,15 @@ object Extensions {
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
+  /** (doc_id, n_sh, sh) inverted-index rows. The per-doc shingle count is
+    * the array size taken BEFORE exploding — narrow, no window shuffle+sort
+    * over the exploded rows (the round-1 formulation cost one extra
+    * doc_id-exchange plus a per-doc sort at every use site).
+    */
+  private def shingleIndexCounted(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), shingles(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+
   // ---- X1: exact dedup -----------------------------------------------------
 
   /** Exact dedup: keep the lowest doc_id per distinct text. Groups on
@@ -93,33 +102,54 @@ object Extensions {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  // ---- X3: MinHash + LSH dedup (hash-based — no SQL oracle) ---------------
+  // ---- X3: MinHash + LSH dedup --------------------------------------------
 
   private val MinhashPerms = 32
   private val LshBands = 8 // 4 rows per band
+  /** 2^31-1 (prime) — modulus of the affine MinHash permutations. */
+  private val LshP = 2147483647L
+  /** Largest prime below 2^30 — shingle-id modulus, keeps a*x < 2^61. */
+  private val ShingleP = 1073741789L
+  /** Fixed permutation coefficients (Knuth / FNV-style odd constants); pure
+    * literals so the DuckDB oracle can replay the identical arithmetic.
+    */
+  private val permA: IndexedSeq[Long] =
+    (0 until MinhashPerms).map(i => ((i + 1) * 2654435761L) % LshP)
+  private val permB: IndexedSeq[Long] =
+    (0 until MinhashPerms).map(i => ((i + 1) * 1779033703L) % LshP)
 
-  /** MinHash signatures: min over shingles of murmur3(sh, seed=i) for 32
-    * permutations — one groupBy, 32 partial-agg min columns, no per-doc
-    * materialized shingle arrays.
+  /** Engine-portable 60-bit string hash: first 15 hex chars of md5. md5 is
+    * bit-identical everywhere, 60 bits fits a signed long exactly — so any
+    * SQL engine with md5 + hex-cast replays it (the DuckDB oracle does).
+    */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signatures: min over shingles of the affine permutation
+    * (a_i·x + b_i) mod p for 32 permutations — one groupBy, 32 partial-agg
+    * min columns, no per-doc materialized shingle arrays. x is the portable
+    * md5-derived shingle id, so the whole signature is oracle-replayable.
     */
   private[ops] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until MinhashPerms)
-      .map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
+      .map(i => min((lit(permA(i)) * col("shx") + lit(permB(i))) % LshP).as(s"h$i"))
     shingleIndex(s, dir)
+      .withColumn("shx", md5Hash60(col("sh")) % ShingleP)
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: 8 bands × 4 rows; docs agreeing on any whole band become
-    * candidates (bucket equi-join on (band, band_hash) — never all-pairs).
-    * Candidates are then verified with exact shingle Jaccard >= 0.5.
-    * Hash-dependent ⇒ no DuckDB oracle (driver records rows-only).
+    * candidates (bucket equi-join on (band, band_key) — never all-pairs).
+    * Candidates are then verified with exact shingle Jaccard >= 0.5. The
+    * band key is the ':'-joined 4-minhash tuple (portable, unlike an
+    * engine-specific hash), so the DuckDB oracle replays the full pipeline.
     */
   def x03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(s, dir)
     val bandCols = (0 until LshBands).map { bnd =>
       struct(lit(bnd).as("band"),
-        hash((bnd * 4 until (bnd + 1) * 4).map(i => col(s"h$i")): _*).as("bh"))
+        concat_ws(":", (bnd * 4 until (bnd + 1) * 4).map(i => col(s"h$i")): _*).as("bh"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
@@ -145,33 +175,36 @@ object Extensions {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  // ---- X4: SimHash near-dup (hash-based — no SQL oracle) ------------------
+  // ---- X4: SimHash near-dup -----------------------------------------------
 
-  /** 64-bit SimHash per document: per-bit majority vote of xxhash64(token).
-    * Near-dup pairs found via the pigeonhole band join (4 × 16-bit chunks:
-    * hamming <= 3 ⇒ at least one chunk equal), then filtered on true
-    * hamming distance.
+  private val SimhashBits = 60 // md5Hash60 width; 4 chunks × 15 bits
+
+  /** 60-bit SimHash per document: per-bit majority vote of the portable
+    * md5-derived token hash. Near-dup pairs found via the pigeonhole band
+    * join (4 × 15-bit chunks: hamming <= 3 ⇒ at least one chunk equal),
+    * then filtered on true hamming distance. Every step is integer
+    * arithmetic on md5 bits ⇒ fully oracle-replayable.
     */
   def x04Simhash(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", md5Hash60(col("tok")))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val sig = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L).cast("long") * (1L << b)).otherwise(0L))
+        (0 until SimhashBits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
-          struct(lit(c).as("c"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("v"))): _*)).as("ch"))
+          struct(lit(c).as("c"), shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFF).as("v"))): _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
     chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -414,21 +447,105 @@ object Extensions {
         % 1000000007L).as("fingerprint"))
       .orderBy(col("doc_id"))
 
-  /** Approximate distinct (HLL++) vs exact — bench-style sketch op; the
-    * estimate is engine-specific so there is no value-level oracle (driver
-    * records rows-only).
+  /** Approximate distinct (HLL++) vs exact. The raw HLL estimate is
+    * engine-specific, so the oracle checks a PROPERTY instead of the value:
+    * the sketch (rsd=0.01) must land within 5% of the exact count (≈5σ — a
+    * deterministic pass for a correct HLL++), and the exact count itself is
+    * value-checked against DuckDB.
     */
   def x12ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("approx_within_5pct"))
       .orderBy(col("event_type"))
 
   // ---- oracles -------------------------------------------------------------
 
+  /** DuckDB replay of the full MinHash+LSH pipeline — generated from the
+    * same permutation constants the Spark plan uses, so the two engines run
+    * literally identical integer arithmetic.
+    */
+  private def x03OracleSql: String = {
+    val mins = (0 until MinhashPerms)
+      .map(i => s"min((${permA(i)} * shx + ${permB(i)}) % $LshP) AS h$i")
+      .mkString(",\n                   ")
+    val bands = (0 until LshBands)
+      .map { bnd =>
+        val cols = (bnd * 4 until (bnd + 1) * 4).map(i => s"h$i").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws(':', $cols) AS bh FROM sig"
+      }
+      .mkString("\n                UNION ALL ")
+    s"""
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+              FROM d, UNNEST(generate_series(1, CASE WHEN len(toks) >= 5 THEN len(toks)-4 ELSE 1 END)) AS g(i)),
+      sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+      hx AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $ShingleP AS shx FROM sh),
+      sig AS (SELECT doc_id, $mins
+              FROM hx GROUP BY doc_id),
+      bands AS ($bands),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      jac AS (SELECT doc_a, doc_b,
+                     round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
+              FROM pairs
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b)
+      SELECT j.doc_a, j.doc_b, j.jaccard
+      FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.5
+      ORDER BY j.doc_a, j.doc_b"""
+  }
+
+  /** DuckDB replay of the 60-bit SimHash pipeline (bit votes, chunk
+    * pigeonhole join, hamming filter) — same md5-derived bits as Spark.
+    */
+  private def x04OracleSql: String = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n                     ")
+    val shsum = (0 until SimhashBits)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    val chunks = (0 until 4)
+      .map(c => s"SELECT doc_id, simhash, $c AS c, (simhash >> ${c * 15}) & 32767 AS v FROM sig")
+      .mkString("\n                UNION ALL ")
+    s"""
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      tok AS (SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+      hx AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+      votes AS (SELECT doc_id, $votes
+                FROM hx GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST($shsum AS BIGINT) AS simhash FROM votes),
+      chunks AS ($chunks),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+               FROM chunks x JOIN chunks y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+      ORDER BY doc_a, doc_b"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "x03_minhash_lsh" -> x03OracleSql,
+    "x04_simhash" -> x04OracleSql,
+    "x12_approx_distinct" -> """
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             TRUE AS approx_within_5pct
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     "x01_exact_dedup" -> """
       SELECT doc_id, lang, source, n_chars
       FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
