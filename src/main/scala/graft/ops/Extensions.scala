@@ -83,16 +83,17 @@ object Extensions {
     * near 1 in practice.
     */
   def x02JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    // per-doc shingle count rides along on every index row (window over the
-    // doc partition) so the pair join carries everything Jaccard needs — no
-    // post-join count lookups, and the two join sides are identical subplans
-    // (one shared shuffle via exchange reuse)
-    val w = Window.partitionBy(col("doc_id"))
-    val sh = shingleIndex(s, dir).withColumn("n_sh", count(lit(1)).over(w))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("na"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("nb"))
-    a.join(b, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
+    // per-doc shingle count rides along on every index row (array size taken
+    // before the explode) so the pair join carries everything Jaccard needs —
+    // no post-join count lookups. The join is a TRUE self-join of one plan
+    // (aliases applied AFTER the join), so both shuffle exchanges
+    // canonicalize identically and the scan+explode+shuffle runs once
+    // (ReusedExchange), not twice.
+    val sh = shingleIndexCounted(s, dir)
+    sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
@@ -158,13 +159,20 @@ object Extensions {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard (inverted index join restricted
-    // to the candidate set — candidate count is tiny relative to n²); same
-    // count-on-index-row shape as x02
-    val w = Window.partitionBy(col("doc_id"))
-    val sh = shingleIndex(s, dir).withColumn("n_sh", count(lit(1)).over(w))
-    sh.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("na"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("nb")), Seq("sh"))
+    // verify candidates with exact Jaccard. The inverted index is first
+    // semi-joined (broadcast — the candidate doc set is tiny relative to the
+    // corpus) down to docs that appear in ANY candidate pair, so the
+    // pair-generating self-join runs over a sliver of the index rather than
+    // the whole corpus; the final semi-join keeps only candidate pairs.
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sh = shingleIndexCounted(s, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))

@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Second extensions batch for the training-data pipeline surface:
+  * IVF-style ANN with precomputed coarse centroids, deterministic
+  * stratified sampling, and near-duplicate clustering (connected
+  * components over the verified Jaccard pair graph).
+  *
+  * Scale shapes:
+  *  - IVF: the centroid table is tiny (k rows) and BROADCAST to assign
+  *    every vector to its nearest cell in one narrow pass; search probes
+  *    only the query's best cells (cells ≈ k buckets ⇒ candidate set is
+  *    ~probes/k of the corpus, the classic IVF trade);
+  *  - stratified sampling uses a deterministic per-key hash threshold, not
+  *    an RNG — reproducible across retries/partitionings, no seed plumbing;
+  *  - connected components run label propagation to a fixpoint: per
+  *    iteration one join + one min-agg (both on the component-graph, which
+  *    is MUCH smaller than the corpus: only docs appearing in near-dup
+  *    pairs), converging in O(log n) rounds like GraphX/Pregel CC.
+  */
+object Extensions2 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ---- X16: IVF ANN (coarse quantizer + cell probe) ------------------------
+
+  private val IvfCells = 8
+  private val IvfProbes = 2
+  private val AnnK = 5
+
+  private def cosine(a: Column, b: Column): Column = {
+    def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+    val (ad, bd) = (asDouble(a), asDouble(b))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** IVF (inverted-file) ANN with a deterministic coarse quantizer: the
+    * first k vectors (vec_id < k) act as cell centroids — the stand-in for
+    * k-means centroids that keeps the whole pipeline value-reproducible.
+    * Every vector is assigned to its nearest centroid (broadcast join,
+    * narrow); each query probes its best `IvfProbes` cells and ranks only
+    * those cells' members by exact cosine. Similarities are rounded BEFORE
+    * ranking so ulp noise cannot reorder the top-k.
+    */
+  def x16IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    // cell assignment: argmax_cell cos(v, centroid); ties broken by cell id
+    val simToCell = round(cosine(col("embedding"), col("cvec")), 6)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val assigned = base.join(broadcast(cents))
+      .withColumn("csim", simToCell)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // queries probe their IvfProbes best cells
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      .join(broadcast(cents))
+      .withColumn("csim", round(cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("q_id"), col("qvec"), col("cell"))
+    // search only the probed cells
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(cosine(col("qvec"), col("embedding")), 4).as("sim"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= AnnK)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rk").cast("long").as("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ---- X17: deterministic stratified sampling ------------------------------
+
+  /** Stratified sample with per-stratum rates (en 20%, other langs 50%),
+    * selected by md5-hash threshold on doc_id — a reproducible systematic
+    * sample: no RNG state, stable under retries, re-partitioning, and
+    * engine choice, which is what a 100 TB pipeline actually wants from
+    * `sampleBy`.
+    */
+  def x17StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000
+    val keep = when(col("lang") === "en", bucket < 200).otherwise(bucket < 500)
+    docs(s, dir)
+      .filter(keep)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- X18: near-dup clusters (connected components) -----------------------
+
+  /** Connected components over the verified near-duplicate pair graph
+    * (x02's Jaccard >= 0.5 pairs): every document in a near-dup cluster is
+    * labeled with the minimum doc_id of its component — the canonical
+    * "keep one representative per duplicate cluster" step after candidate
+    * verification. Min-label propagation to a fixpoint; each round is one
+    * equi-join + min-agg on the pair graph only (not the corpus), and the
+    * iteration count is bounded by the graph diameter (O(log n) with
+    * doubling; near-dup clusters are shallow in practice).
+    */
+  def x18DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Extensions.x02JaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true) // pair generation runs once, not per round
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      // candidate label per node: min over neighbors' labels and its own
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("comp"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(eager = true) // cut the lineage each round
+      changed = next.withColumnRenamed("comp", "comp_next")
+        .join(labels.withColumnRenamed("comp", "comp_prev"), Seq("node"))
+        .filter(col("comp_next") =!= col("comp_prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- oracles -------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "x16_ivf_ann" -> s"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cell, v AS cvec FROM base WHERE vec_id < $IvfCells),
+      assigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT b.vec_id, b.v, c.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY round(list_cosine_similarity(b.v, c.cvec), 6) DESC, c.cell) AS rk
+          FROM base b CROSS JOIN cents c) sub
+        WHERE rk = 1),
+      probes AS (
+        SELECT q_id, qv, cell FROM (
+          SELECT b.vec_id AS q_id, b.v AS qv, c.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY round(list_cosine_similarity(b.v, c.cvec), 6) DESC, c.cell) AS rk
+          FROM base b CROSS JOIN cents c
+          WHERE b.vec_id < 10) sub
+        WHERE rk <= $IvfProbes),
+      scored AS (
+        SELECT p.q_id, a.vec_id AS c_id,
+               round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE a.vec_id <> p.q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        FROM scored)
+      SELECT q_id, c_id, sim, CAST(rk AS BIGINT) AS rk
+      FROM ranked WHERE rk <= $AnnK
+      ORDER BY q_id, rk""",
+    "x17_stratified_sample" -> """
+      SELECT doc_id, lang, source
+      FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket
+            FROM documents)
+      WHERE CASE WHEN lang = 'en' THEN bucket < 200 ELSE bucket < 500 END
+      ORDER BY doc_id""",
+    "x18_dup_clusters" -> """
+      WITH RECURSIVE
+      d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+              FROM d, UNNEST(generate_series(1, CASE WHEN len(toks) >= 5 THEN len(toks)-4 ELSE 1 END)) AS g(i)),
+      sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      jpairs AS (SELECT doc_a, doc_b
+                 FROM pairs
+                 JOIN cnt ca ON ca.doc_id = doc_a
+                 JOIN cnt cb ON cb.doc_id = doc_b
+                 WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+                UNION ALL SELECT doc_b, doc_a FROM jpairs),
+      reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+      SELECT node AS doc_id, min(comp) AS component
+      FROM reach
+      GROUP BY node
+      ORDER BY doc_id""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_ivf_ann" -> (x16IvfAnn _),
+    "x17_stratified_sample" -> (x17StratifiedSample _),
+    "x18_dup_clusters" -> (x18DupClusters _))
+}

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Third relational batch — distribution windows, bitwise aggregation,
+  * bivariate statistics, value-range frames, unpivot/melt, and
+  * ignore-nulls window navigation. All are [absent] in the reference
+  * (its query side is a key-value read model, SURVEY §2.3-§2.5); they
+  * complete the analytic surface a user would expect when switching.
+  *
+  * Scale notes: every query here is a single window or hash-agg pass —
+  * one shuffle on the partition/group key, partial aggregation where the
+  * agg allows it, no self-joins. Range frames use a sliding frame over a
+  * sorted partition (Spark's WindowExec keeps only the frame in memory,
+  * so a 100 TB events table with bounded per-key data streams through).
+  */
+object Relational3 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Distribution ranks: percent_rank + cume_dist per order-priority
+    * cohort. Both are tie-stable (equal inputs get equal ranks), so the
+    * output is deterministic even under shuffle reordering.
+    */
+  def q53PercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Bitwise aggregation (bit_and / bit_or / bit_xor) — pure integer
+    * semantics, partial-aggregable (each is associative+commutative).
+    */
+  def q54BitwiseAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        expr("bit_and(l_linenumber)").cast("long").as("band"),
+        expr("bit_or(l_linenumber)").cast("long").as("bor"),
+        expr("bit_xor(l_linenumber)").cast("long").as("bxor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_orderkey"))
+
+  /** Bivariate statistics per return-flag cohort: Pearson correlation and
+    * covariance. Rounded before compare — the one-pass co-moment update is
+    * associativity-sensitive in the last ulps across engines.
+    */
+  def q55CorrStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("cov_p"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_s"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Value-range window frame: per-customer 30-day rolling spend, framed by
+    * ORDER BY day-number RANGE 30 PRECEDING — frame membership depends only
+    * on values (not row position), so ties cannot destabilize the result.
+    */
+  def q56RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
+      .rangeBetween(-30, 0)
+    t(s, dir, "orders")
+      .withColumn("days", datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"))
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("days"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Unpivot/melt: wide measure columns → (metric, value) rows — the
+    * narrow shape feature pipelines want. Spark's native unpivot (no
+    * explode-of-structs detour).
+    */
+  def q57Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 200)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  /** IGNORE NULLS window navigation: first/last non-null observation per
+    * user over the full partition (nulls injected deterministically — click
+    * events carry no value — so the skip semantics actually bite).
+    */
+  def q58FirstLastIgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .withColumn("v", when(col("event_type") === "click", lit(null)).otherwise(col("value")))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        round(first(col("v"), ignoreNulls = true).over(w), 2).as("first_v"),
+        round(last(col("v"), ignoreNulls = true).over(w), 2).as("last_v"))
+      .orderBy(col("event_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q53_percent_rank" -> """
+      SELECT o_orderkey, o_orderpriority,
+             round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pr,
+             round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS cd
+      FROM orders
+      WHERE o_orderkey <= 2000
+      ORDER BY o_orderkey""",
+    "q54_bitwise_agg" -> """
+      SELECT l_orderkey,
+             CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+             CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+             CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey""",
+    "q55_corr_stats" -> """
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 4) AS r,
+             round(covar_pop(l_quantity, l_extendedprice), 2) AS cov_p,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q56_range_frame" -> """
+      SELECT o_orderkey, o_custkey, days,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY days
+                    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+      FROM (SELECT *, date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days
+            FROM orders)
+      ORDER BY o_orderkey""",
+    "q57_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, metric, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      WHERE l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber, metric""",
+    "q58_first_last_ignore_nulls" -> """
+      SELECT event_id, user_id,
+             round(first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS first_v,
+             round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_v
+      FROM (SELECT *, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+            FROM events)
+      ORDER BY event_id""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_percent_rank" -> (q53PercentRank _),
+    "q54_bitwise_agg" -> (q54BitwiseAgg _),
+    "q55_corr_stats" -> (q55CorrStats _),
+    "q56_range_frame" -> (q56RangeFrame _),
+    "q57_unpivot" -> (q57Unpivot _),
+    "q58_first_last_ignore_nulls" -> (q58FirstLastIgnoreNulls _))
+}

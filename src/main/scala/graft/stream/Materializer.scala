@@ -131,6 +131,26 @@ object Materializer {
         col("r_version"), col("r_date"))
   }
 
+  /** Streaming exact-dedup with BOUNDED state: drop redelivered events by
+    * (id, version) inside the watermark horizon. Unlike plain
+    * `dropDuplicates` (whose key state grows forever),
+    * `dropDuplicatesWithinWatermark` evicts keys once the watermark passes
+    * them — the only dedup shape that survives an unbounded at-least-once
+    * transport. A2 on the stream.
+    */
+  def dedupStream(events: Dataset[Event], watermark: String = "10 minutes"): Dataset[Event] =
+    events
+      .withWatermark("date", watermark)
+      .dropDuplicatesWithinWatermark("id", "version")
+
+  /** Stream-static enrichment join: the static dimension is re-planned per
+    * micro-batch and BROADCAST (no shuffle of the stream, no join state
+    * to checkpoint) — the standard shape for decorating an event stream
+    * with reference data at scale.
+    */
+  def enrichStream(events: Dataset[Event], dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("id"), "left")
+
   /** foreachBatch snapshot variant (the simpler ST3 shape): each
     * micro-batch merges updates into a parquet snapshot keyed by id —
     * a durable read model a serving layer can scan.

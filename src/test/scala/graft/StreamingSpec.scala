@@ -120,6 +120,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == fixture.map(e => (e.id, e.name, e.version)).distinct.length)
   }
 
+  test("bounded-state streaming dedup drops watermark-horizon redeliveries (dropDuplicatesWithinWatermark)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = Materializer.dedupStream(stream.toDS(), watermark = "10 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_wm")
+      .option("checkpointLocation", tmpDir("ckpt_wm"))
+      .start()
+    stream.addData(fixture.take(2))
+    q.processAllAvailable()
+    // redeliver inside the watermark horizon together with fresh events
+    stream.addData(fixture.take(2) ++ fixture.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_wm")
+      .select($"id", $"version").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, "duplicate (id,version) survived watermarked dedup")
+    assert(rows.toSet == fixture.map(e => (e.id, e.version)).toSet)
+  }
+
+  test("stream-static broadcast enrichment decorates the stream without join state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "emea"), (2L, "amer")).toDF("id", "region")
+    val stream = MemoryStream[Event]
+    val q = Materializer.enrichStream(stream.toDS(), dim)
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("enriched")
+      .option("checkpointLocation", tmpDir("ckpt_enrich"))
+      .start()
+    stream.addData(fixture)
+    q.processAllAvailable()
+    q.stop()
+    val regions = spark.table("enriched").select($"id", $"region")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(regions == Set((1L, "emea"), (2L, "amer")))
+  }
+
   test("stream-stream interval join correlates click->purchase within the bound") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
