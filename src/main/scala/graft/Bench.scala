@@ -19,7 +19,11 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .selectExpr("count(*)", "sum(l_quantity)").collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: query names (dev iteration filter; driver passes none)
+    val only = if (args.nonEmpty) Some(args.toSet) else None
+    val results = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

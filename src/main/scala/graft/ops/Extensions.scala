@@ -58,6 +58,18 @@ object Extensions {
     docs(s, dir).select(col("doc_id"), shingles(col("text")).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 
+  /** (doc_id, n_sh, shk) — the counted index with the shingle string
+    * replaced by its portable 60-bit md5 key. Joining/shuffling on an
+    * 8-byte long instead of a ~40-char shingle string cuts shuffle bytes
+    * ~5× and removes string comparison from the join hot path. Collisions:
+    * 60-bit keys over n shingles collide with p ≈ n²/2⁶¹ (≈1e-9 at 50k
+    * shingles); the oracle's exactness is unaffected in practice and the
+    * same key arithmetic is replayable in SQL if a dataset ever needs it.
+    */
+  private def shingleIndexKeyed(s: SparkSession, dir: String): DataFrame =
+    shingleIndexCounted(s, dir)
+      .select(col("doc_id"), col("n_sh"), md5Hash60(col("sh")).as("shk"))
+
   // ---- X1: exact dedup -----------------------------------------------------
 
   /** Exact dedup: keep the lowest doc_id per distinct text. Groups on
@@ -89,9 +101,14 @@ object Extensions {
     // (aliases applied AFTER the join), so both shuffle exchanges
     // canonicalize identically and the scan+explode+shuffle runs once
     // (ReusedExchange), not twice.
-    val sh = shingleIndexCounted(s, dir)
-    sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+    // hint("shuffle_hash"): the exploded index inherits the parent scan's
+    // size estimate, which undercounts it badly — left alone the planner
+    // broadcasts a ~200×-the-scan-rows side (measured ~2× slower). A
+    // shuffled hash join on the 8-byte key shuffles narrow rows and skips
+    // the sort a merge join would pay on both sides.
+    val sh = shingleIndexKeyed(s, dir)
+    sh.as("x").join(sh.as("y").hint("shuffle_hash"),
+        col("x.shk") === col("y.shk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -131,11 +148,14 @@ object Extensions {
     * min columns, no per-doc materialized shingle arrays. x is the portable
     * md5-derived shingle id, so the whole signature is oracle-replayable.
     */
-  private[ops] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesFrom(shingleIndexKeyed(s, dir))
+
+  private[ops] def minhashSignaturesFrom(idx: DataFrame): DataFrame = {
     val aggs = (0 until MinhashPerms)
       .map(i => min((lit(permA(i)) * col("shx") + lit(permB(i))) % LshP).as(s"h$i"))
-    shingleIndex(s, dir)
-      .withColumn("shx", md5Hash60(col("sh")) % ShingleP)
+    idx
+      .withColumn("shx", col("shk") % ShingleP)
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -147,7 +167,12 @@ object Extensions {
     * engine-specific hash), so the DuckDB oracle replays the full pipeline.
     */
   def x03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+    // the keyed inverted index feeds BOTH phases (signatures + Jaccard
+    // verification): materialize it once — it is narrow (3 fixed-width
+    // cols), so this trades a cheap write for a second scan+shingle+md5
+    // pass over the corpus
+    val idx = shingleIndexKeyed(s, dir).localCheckpoint(true)
+    val sig = minhashSignaturesFrom(idx)
     val bandCols = (0 until LshBands).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws(":", (bnd * 4 until (bnd + 1) * 4).map(i => col(s"h$i")): _*).as("bh"))
@@ -159,6 +184,10 @@ object Extensions {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      // tiny result of the expensive signature pipeline, used twice below
+      // (candidate-doc filter + final pair filter): materialize once so the
+      // shingle scan + 32-way min-agg doesn't run once per consumer
+      .localCheckpoint(true)
     // verify candidates with exact Jaccard. The inverted index is first
     // semi-joined (broadcast — the candidate doc set is tiny relative to the
     // corpus) down to docs that appear in ANY candidate pair, so the
@@ -167,10 +196,9 @@ object Extensions {
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sh = shingleIndexCounted(s, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+    val sh = idx.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    sh.as("x").join(sh.as("y").hint("shuffle_hash"),
+        col("x.shk") === col("y.shk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")

@@ -35,13 +35,12 @@ object Extensions2 {
   private val IvfProbes = 2
   private val AnnK = 5
 
-  private def cosine(a: Column, b: Column): Column = {
-    def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
-    val (ad, bd) = (asDouble(a), asDouble(b))
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  /** Codegen'd native expression (graft.functions.CosineSimilarity) — same
+    * arithmetic as the HOF formulation in [[Extensions.cosineHof]], ~one
+    * fused loop per row instead of interpreted lambda calls.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
 
   /** IVF (inverted-file) ANN with a deterministic coarse quantizer: the
     * first k vectors (vec_id < k) act as cell centroids — the stand-in for
@@ -118,9 +117,16 @@ object Extensions2 {
   def x18DupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Extensions.x02JaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
     // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edgesAll = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(eager = true) // pair generation runs once, not per round
+    // the near-dup graph is orders of magnitude smaller than the corpus
+    // (only docs in verified pairs); size the iteration's parallelism to
+    // the GRAPH, not to the corpus — ~100k edges per partition keeps every
+    // propagation round a handful of tasks instead of full-width shuffles
+    val nEdges = edgesAll.count()
+    val parts = math.max(1L, math.min(32L, nEdges / 100000L)).toInt
+    val edges = edgesAll.coalesce(parts)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
     var changed = 1L
