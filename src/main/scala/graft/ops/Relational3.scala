@@ -112,7 +112,98 @@ object Relational3 {
       .orderBy(col("event_id"))
   }
 
+  /** Map-typed payload access: parse the JSON props envelope into a real
+    * MapType and drive the map function family (keys/lookup/cardinality/
+    * membership) — the dynamic-schema analog of the reference's DATA column.
+    */
+  def q59MapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        array_join(array_sort(map_keys(m)), ",").as("keys"),
+        element_at(m, "k").cast("long").as("k_val"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        map_contains_key(m, "k").as("has_k"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Array set-algebra over token arrays (intersect/union/contains/sort) —
+    * the HOF-free slice of the array function family.
+    */
+  def q60ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(lower(col("text")), " ")
+    val head5 = slice(tk, 1, 5)
+    val tail5 = slice(tk, -5, 5)
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(array_intersect(head5, tail5)).cast("long").as("n_common"),
+        size(array_union(head5, tail5)).cast("long").as("n_union"),
+        array_contains(tk, "the").as("has_the"),
+        array_join(array_sort(array_distinct(head5)), " ").as("head_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Boolean aggregates: bool_and / bool_or / count_if per cohort. */
+  def q61BoolAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("bool_and(o_totalprice > 1000)").as("all_gt_1k"),
+        expr("bool_or(o_totalprice > 400000)").as("any_gt_400k"),
+        expr("count_if(o_totalprice > 100000)").cast("long").as("n_gt_100k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Ordered string aggregation (listagg/string_agg): the SQL:2016 form of
+    * q43's collect+join — deterministic via the WITHIN GROUP ordering.
+    */
+  def q62Listagg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 100)
+      .groupBy(col("o_custkey"))
+      .agg(expr("listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus, o_orderkey)")
+        .as("statuses"))
+      .orderBy(col("o_custkey"))
+
   val oracles: Map[String, String] = Map(
+    "q59_map_funcs" -> """
+      SELECT event_id,
+             array_to_string(list_sort(json_keys(props)), ',') AS keys,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             json_extract_string(props, '$.k') IS NOT NULL AS has_k
+      FROM events
+      ORDER BY event_id""",
+    "q60_array_funcs" -> """
+      SELECT doc_id,
+             CAST(len(list_intersect(head5, tail5)) AS BIGINT) AS n_common,
+             CAST(len(list_distinct(list_concat(head5, tail5))) AS BIGINT) AS n_union,
+             list_contains(tk, 'the') AS has_the,
+             array_to_string(list_sort(list_distinct(head5)), ' ') AS head_sorted
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk,
+                   string_split(lower(text), ' ')[1:5] AS head5,
+                   string_split(lower(text), ' ')[-5:] AS tail5
+            FROM documents)
+      ORDER BY doc_id""",
+    "q61_bool_agg" -> """
+      SELECT o_orderpriority,
+             bool_and(o_totalprice > 1000) AS all_gt_1k,
+             bool_or(o_totalprice > 400000) AS any_gt_400k,
+             CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_gt_100k,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    "q62_listagg" -> """
+      SELECT o_custkey,
+             string_agg(o_orderstatus, ',' ORDER BY o_orderstatus, o_orderkey) AS statuses
+      FROM orders
+      WHERE o_custkey <= 100
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
     "q53_percent_rank" -> """
       SELECT o_orderkey, o_orderpriority,
              round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pr,
@@ -167,6 +258,10 @@ object Relational3 {
       ORDER BY event_id""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_map_funcs" -> (q59MapFuncs _),
+    "q60_array_funcs" -> (q60ArrayFuncs _),
+    "q61_bool_agg" -> (q61BoolAgg _),
+    "q62_listagg" -> (q62Listagg _),
     "q53_percent_rank" -> (q53PercentRank _),
     "q54_bitwise_agg" -> (q54BitwiseAgg _),
     "q55_corr_stats" -> (q55CorrStats _),
