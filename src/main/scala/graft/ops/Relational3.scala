@@ -168,7 +168,31 @@ object Relational3 {
         .as("statuses"))
       .orderBy(col("o_custkey"))
 
+  /** ANSI-safe error handling: try_divide / try_cast return NULL instead of
+    * raising — the semantics a 100 TB batch job needs (one malformed row
+    * must not kill a 6-hour stage). Division-by-zero and bad casts are
+    * manufactured deterministically from the data.
+    */
+  def q63TryFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 500)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(expr("try_divide(l_extendedprice, l_linenumber - 1)"), 4).as("per_prior_line"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_as_int"),
+        expr("try_cast(concat('200', l_linenumber, '-01-01') AS DATE)").as("synth_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val oracles: Map[String, String] = Map(
+    "q63_try_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice / nullif(l_linenumber - 1, 0), 4) AS per_prior_line,
+             TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+             TRY_CAST(concat('200', l_linenumber, '-01-01') AS DATE) AS synth_date
+      FROM lineitem
+      WHERE l_orderkey <= 500
+      ORDER BY l_orderkey, l_linenumber""",
     "q59_map_funcs" -> """
       SELECT event_id,
              array_to_string(list_sort(json_keys(props)), ',') AS keys,
@@ -258,6 +282,7 @@ object Relational3 {
       ORDER BY event_id""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_try_funcs" -> (q63TryFuncs _),
     "q59_map_funcs" -> (q59MapFuncs _),
     "q60_array_funcs" -> (q60ArrayFuncs _),
     "q61_bool_agg" -> (q61BoolAgg _),

@@ -47,6 +47,29 @@ class ScaleSpec extends SparkSpec {
     assert(scan.count() == expected)
   }
 
+  test("x02 shingle self-join plans as ShuffledHashJoin on the 8-byte key (no broadcast of the exploded index, no sort)") {
+    val plan = graft.ops.Extensions.x02JaccardPairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected SHJ in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"exploded index must not be broadcast (size misestimate):\n$plan")
+  }
+
+  test("x16 IVF cell assignment broadcasts the centroid table") {
+    val plan = graft.ops.Extensions2.x16IvfAnn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids should broadcast:\n$plan")
+  }
+
+  test("q54 bitwise agg plans with map-side partial aggregation") {
+    val plan = graft.ops.Relational3.q54BitwiseAgg(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bit_and") || plan.contains("partial"),
+      s"expected partial aggregation before the exchange:\n$plan")
+  }
+
   test("S7 DDL + bucketed table: co-located aggregation plans without exchange") {
     Scale.writeBucketedEvents(spark, sf0001, "events_bucketed", buckets = 4)
     val agg = spark.table("events_bucketed")
