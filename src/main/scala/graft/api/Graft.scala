@@ -1,0 +1,112 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import graft.model.Event
+import graft.ops.{Extensions, Extensions2}
+import graft.state.Materialize
+import graft.stream.Materializer
+
+/** The user-facing surface of the graft library: every operator the
+  * oracle-checked query inventory exercises, exposed with real parameters
+  * so it runs over arbitrary DataFrames (the `SparkEntry.queries` entries
+  * are these same operators bound to the driver's test tables).
+  *
+  * All operators follow the engine's 100 TB design rules: shuffles carry
+  * reduced/narrow data, candidate generation never goes all-pairs, small
+  * sides broadcast, similarity scores round before ranking, and every
+  * pipeline is deterministic under retries and re-partitioning.
+  */
+object Graft {
+
+  // ---- deduplication -------------------------------------------------------
+
+  /** Keep the lowest-id row per distinct `textCol` value (deterministic
+    * keeper; only md5 digests shuffle).
+    */
+  def exactDedup(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    Extensions.exactDedup(corpus, idCol, textCol)
+
+  /** Exact n-gram Jaccard near-duplicate pairs (inverted-index candidate
+    * join). Output (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def jaccardNearDupPairs(
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleSize: Int = 5): DataFrame =
+    Extensions.jaccardPairs(corpus, idCol, textCol, threshold, shingleSize)
+
+  /** MinHash+LSH near-duplicate pairs (banded signatures for candidates,
+    * exact Jaccard verification). Same contract as [[jaccardNearDupPairs]]
+    * minus LSH's bounded miss probability; use when the corpus is too large
+    * for the full inverted-index join.
+    */
+  def minhashNearDupPairs(
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleSize: Int = 5): DataFrame =
+    Extensions.minhashLshPairs(corpus, idCol, textCol, threshold, shingleSize)
+
+  /** SimHash near-duplicate pairs: (doc_a, doc_b, hamming), hamming <=
+    * maxHamming (<= 3; pigeonhole-exact candidate join).
+    */
+  def simhashNearDupPairs(
+      corpus: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Extensions.simhashPairs(corpus, idCol, textCol, maxHamming)
+
+  /** Cluster near-duplicate pairs into components: (doc_id, component) with
+    * component = min reachable id — feed [[jaccardNearDupPairs]] (or the
+    * MinHash/SimHash variants) in, keep `doc_id === component` rows of the
+    * corpus to retain one representative per duplicate cluster.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    Extensions2.connectedComponents(pairs, aCol, bCol)
+
+  // ---- similarity search ---------------------------------------------------
+
+  /** Codegen'd cosine similarity over two array<float|double> columns. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
+
+  /** IVF approximate nearest neighbors: `centroids` (cell, cvec) is the
+    * broadcast coarse quantizer; each query probes its best `probes` cells
+    * and reranks members by exact cosine. Output (q_id, c_id, sim, rk).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5, probes: Int = 2): DataFrame =
+    Extensions2.ivfTopK(corpus, queries, centroids, idCol, vecCol, k, probes)
+
+  // ---- sampling ------------------------------------------------------------
+
+  /** Deterministic stratified sample: per-stratum rates via an md5-bucket
+    * threshold on `keyCol` — reproducible under retries, re-partitioning,
+    * and engine choice (no RNG state).
+    */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      rates: Map[String, Double], default: Double): DataFrame =
+    Extensions2.stratifiedSample(df, stratumCol, keyCol, rates, default)
+
+  // ---- event-sourced state (the reference's read model) --------------------
+
+  /** Latest state per aggregate: max_by partial+final hash agg — the
+    * shuffle carries one candidate per (key × partition), not the events.
+    */
+  def latestState(events: DataFrame, keyCol: String, orderCol: String): DataFrame =
+    Materialize.latestState(events, keyCol, orderCol)
+
+  /** Streaming materialization of the same fold (flatMapGroupsWithState;
+    * O(live keys) state).
+    */
+  def materializeStream(events: Dataset[Event]): DataFrame =
+    Materializer.materialize(events).toDF()
+
+  /** Bounded-state streaming dedup of redelivered events (watermark-evicted
+    * key state).
+    */
+  def dedupStream(events: Dataset[Event], watermark: String = "10 minutes"): Dataset[Event] =
+    Materializer.dedupStream(events, watermark)
+
+  /** Stream-static broadcast enrichment. */
+  def enrichStream(events: Dataset[Event], dim: DataFrame): DataFrame =
+    Materializer.enrichStream(events, dim)
+}

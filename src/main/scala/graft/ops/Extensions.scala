@@ -30,16 +30,16 @@ object Extensions {
 
   // ---- tokenization / shingling helpers ------------------------------------
 
-  private def toks(c: Column): Column = split(lower(c), " ")
+  private[ops] def toks(c: Column): Column = split(lower(c), " ")
 
-  /** Distinct 5-gram word shingles; a document shorter than 5 tokens
+  /** Distinct n-gram word shingles; a document shorter than n tokens
     * contributes its whole token sequence as one shingle.
     */
-  private def shingles(text: Column): Column = {
+  private[ops] def shingles(text: Column, n: Int = 5): Column = {
     val tk = toks(text)
     array_distinct(
-      when(size(tk) >= 5,
-        transform(sequence(lit(0), size(tk) - 5), i => concat_ws(" ", slice(tk, i + 1, lit(5)))))
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n), i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", tk))))
   }
 
@@ -49,13 +49,14 @@ object Extensions {
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
-  /** (doc_id, n_sh, sh) inverted-index rows. The per-doc shingle count is
-    * the array size taken BEFORE exploding — narrow, no window shuffle+sort
-    * over the exploded rows (the round-1 formulation cost one extra
-    * doc_id-exchange plus a per-doc sort at every use site).
+  /** (doc_id, n_sh, sh) inverted-index rows over any corpus. The per-doc
+    * shingle count is the array size taken BEFORE exploding — narrow, no
+    * window shuffle+sort over the exploded rows (the round-1 formulation
+    * cost one extra id-exchange plus a per-doc sort at every use site).
     */
-  private def shingleIndexCounted(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), shingles(col("text")).as("shs"))
+  private def shingleIndexCountedOf(
+      corpus: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    corpus.select(col(idCol).as("doc_id"), shingles(col(textCol), shingleSize).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 
   /** (doc_id, n_sh, shk) — the counted index with the shingle string
@@ -66,47 +67,57 @@ object Extensions {
     * shingles); the oracle's exactness is unaffected in practice and the
     * same key arithmetic is replayable in SQL if a dataset ever needs it.
     */
-  private def shingleIndexKeyed(s: SparkSession, dir: String): DataFrame =
-    shingleIndexCounted(s, dir)
+  private[ops] def shingleIndexKeyedOf(
+      corpus: DataFrame, idCol: String, textCol: String, shingleSize: Int = 5): DataFrame =
+    shingleIndexCountedOf(corpus, idCol, textCol, shingleSize)
       .select(col("doc_id"), col("n_sh"), md5Hash60(col("sh")).as("shk"))
+
+  private def shingleIndexKeyed(s: SparkSession, dir: String): DataFrame =
+    shingleIndexKeyedOf(docs(s, dir), "doc_id", "text")
 
   // ---- X1: exact dedup -----------------------------------------------------
 
-  /** Exact dedup: keep the lowest doc_id per distinct text. Groups on
-    * md5(text) so only digests shuffle; deterministic keeper (min id) rather
-    * than `dropDuplicates`' arbitrary winner.
+  /** Exact dedup over any corpus: keep the lowest-id row per distinct
+    * value of `textCol`. Groups on md5(text) so only digests shuffle;
+    * deterministic keeper (min id) rather than `dropDuplicates`' arbitrary
+    * winner. Returns the surviving rows with their original columns.
     */
-  def x01ExactDedup(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    docs(s, dir)
+  def exactDedup(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    corpus
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  def x01ExactDedup(s: SparkSession, dir: String): DataFrame =
+    exactDedup(docs(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
-  }
 
   // ---- X2: n-gram Jaccard near-dup ----------------------------------------
 
-  /** Near-duplicate pairs by 5-gram Jaccard >= 0.5. Candidates come from the
-    * shingle inverted index (equi-join on shingle ⇒ hash-partitioned, only
-    * docs sharing a shingle ever meet); Jaccard is then exact on the
-    * candidate set. A hot shingle (boilerplate) would skew the join — AQE
-    * skew handling covers it, and the 5-gram choice keeps shingle frequency
-    * near 1 in practice.
+  /** Near-duplicate pairs over any corpus by n-gram Jaccard >= threshold.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard rounded to 4dp
+    * BEFORE thresholding (ulp noise cannot flip membership).
+    *
+    * Candidates come from the shingle inverted index (equi-join on the
+    * shingle key ⇒ hash-partitioned, only docs sharing a shingle ever
+    * meet); Jaccard is then exact on the candidate set. A hot shingle
+    * (boilerplate) would skew the join — AQE skew handling covers it, and
+    * the 5-gram default keeps shingle frequency near 1 in practice.
     */
-  def x02JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  def jaccardPairs(
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleSize: Int = 5): DataFrame = {
     // per-doc shingle count rides along on every index row (array size taken
     // before the explode) so the pair join carries everything Jaccard needs —
-    // no post-join count lookups. The join is a TRUE self-join of one plan
-    // (aliases applied AFTER the join), so both shuffle exchanges
-    // canonicalize identically and the scan+explode+shuffle runs once
-    // (ReusedExchange), not twice.
-    // hint("shuffle_hash"): the exploded index inherits the parent scan's
-    // size estimate, which undercounts it badly — left alone the planner
-    // broadcasts a ~200×-the-scan-rows side (measured ~2× slower). A
-    // shuffled hash join on the 8-byte key shuffles narrow rows and skips
-    // the sort a merge join would pay on both sides.
-    val sh = shingleIndexKeyed(s, dir)
+    // no post-join count lookups. hint("shuffle_hash"): the exploded index
+    // inherits the parent scan's size estimate, which undercounts it badly —
+    // left alone the planner broadcasts a ~200×-the-scan-rows side (measured
+    // ~2× slower). A shuffled hash join on the 8-byte key shuffles narrow
+    // rows and skips the sort a merge join would pay on both sides.
+    val sh = shingleIndexKeyedOf(corpus, idCol, textCol, shingleSize)
     sh.as("x").join(sh.as("y").hint("shuffle_hash"),
         col("x.shk") === col("y.shk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -115,10 +126,13 @@ object Extensions {
       .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def x02JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
 
   // ---- X3: MinHash + LSH dedup --------------------------------------------
 
@@ -166,12 +180,20 @@ object Extensions {
     * band key is the ':'-joined 4-minhash tuple (portable, unlike an
     * engine-specific hash), so the DuckDB oracle replays the full pipeline.
     */
-  def x03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash+LSH near-duplicate pairs over any corpus. Same output contract
+    * as [[jaccardPairs]] (candidates are verified with exact Jaccard >=
+    * threshold), but candidate generation is O(docs·bands) via the LSH
+    * band buckets instead of the full inverted-index self-join — the shape
+    * that stays tractable when the corpus no longer fits a pair join.
+    */
+  def minhashLshPairs(
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleSize: Int = 5): DataFrame = {
     // the keyed inverted index feeds BOTH phases (signatures + Jaccard
     // verification): materialize it once — it is narrow (3 fixed-width
     // cols), so this trades a cheap write for a second scan+shingle+md5
     // pass over the corpus
-    val idx = shingleIndexKeyed(s, dir).localCheckpoint(true)
+    val idx = shingleIndexKeyedOf(corpus, idCol, textCol, shingleSize).localCheckpoint(true)
     val sig = minhashSignaturesFrom(idx)
     val bandCols = (0 until LshBands).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -206,10 +228,13 @@ object Extensions {
       .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def x03MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
 
   // ---- X4: SimHash near-dup -----------------------------------------------
 
@@ -221,9 +246,16 @@ object Extensions {
     * then filtered on true hamming distance. Every step is integer
     * arithmetic on md5 bits ⇒ fully oracle-replayable.
     */
-  def x04Simhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = docs(s, dir)
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+  /** SimHash near-duplicate pairs over any corpus. Output: (doc_a, doc_b,
+    * hamming), doc_a < doc_b, hamming <= maxHamming (<= 3 keeps the 4-chunk
+    * pigeonhole join exact: 3 flips cannot touch all 4 chunks).
+    */
+  def simhashPairs(
+      corpus: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole join is only exact for hamming <= 3")
+    val tok = corpus
+      .select(col(idCol).as("doc_id"), explode(array_distinct(toks(col(textCol)))).as("tok"))
       .withColumn("h", md5Hash60(col("tok")))
     val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
@@ -242,9 +274,12 @@ object Extensions {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("hamming") <= maxHamming)
   }
+
+  def x04Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
 
   // ---- X5/X6: embedding similarity search ---------------------------------
 

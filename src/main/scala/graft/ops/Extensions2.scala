@@ -50,38 +50,54 @@ object Extensions2 {
     * those cells' members by exact cosine. Similarities are rounded BEFORE
     * ranking so ulp noise cannot reorder the top-k.
     */
-  def x16IvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val base = emb(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = base.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+  /** IVF ANN over any corpus of (id, vector). `centroids` is the coarse
+    * quantizer table (cell, cvec) — precomputed (k-means offline, or any
+    * deterministic pick); it is tiny and broadcast everywhere. Each query
+    * probes its `probes` best cells and reranks those cells' members by
+    * exact cosine. Output: (q_id, c_id, sim, rk), rk <= k, sims rounded
+    * BEFORE ranking so ulp noise cannot reorder the top-k.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, probes: Int): DataFrame = {
+    val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
     // cell assignment: argmax_cell cos(v, centroid); ties broken by cell id
-    val simToCell = round(cosine(col("embedding"), col("cvec")), 6)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cell"))
-    val assigned = base.join(broadcast(cents))
-      .withColumn("csim", simToCell)
+    val assigned = base.join(cents)
+      .withColumn("csim", round(cosine(col("embedding"), col("cvec")), 6))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    // queries probe their IvfProbes best cells
+    // queries probe their `probes` best cells
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col("cell"))
-    val probes = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
-      .join(broadcast(cents))
+    val probed = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qvec"))
+      .join(cents)
       .withColumn("csim", round(cosine(col("qvec"), col("cvec")), 6))
       .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= IvfProbes)
+      .filter(col("rk") <= probes)
       .select(col("q_id"), col("qvec"), col("cell"))
     // search only the probed cells
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    probes.join(assigned, Seq("cell"))
+    probed.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
         round(cosine(col("qvec"), col("embedding")), 4).as("sim"))
       .withColumn("rk", row_number().over(wRank))
-      .filter(col("rk") <= AnnK)
+      .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  def x16IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+    // deterministic stand-in for offline k-means centroids: first k vectors
+    val cents = base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    ivfTopK(base, base.filter(col("vec_id") < 10), cents,
+        "vec_id", "embedding", k = AnnK, probes = IvfProbes)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -93,32 +109,42 @@ object Extensions2 {
     * engine choice, which is what a 100 TB pipeline actually wants from
     * `sampleBy`.
     */
-  def x17StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+  /** Deterministic stratified sample over any DataFrame: keep a row iff its
+    * key's md5-bucket (0..999) falls under the stratum's rate. `rates` maps
+    * stratum value → sampling fraction; unlisted strata use `default`.
+    */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      rates: Map[String, Double], default: Double): DataFrame = {
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
       .cast("long") % 1000
-    val keep = when(col("lang") === "en", bucket < 200).otherwise(bucket < 500)
-    docs(s, dir)
-      .filter(keep)
+    val keep = rates.foldLeft(when(lit(false), lit(true))) { case (acc, (stratum, rate)) =>
+      acc.when(col(stratumCol) === stratum, bucket < (rate * 1000).toLong)
+    }.otherwise(bucket < (default * 1000).toLong)
+    df.filter(keep)
+  }
+
+  def x17StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(docs(s, dir), "lang", "doc_id",
+        rates = Map("en" -> 0.2), default = 0.5)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
-  }
 
   // ---- X18: near-dup clusters (connected components) -----------------------
 
-  /** Connected components over the verified near-duplicate pair graph
-    * (x02's Jaccard >= 0.5 pairs): every document in a near-dup cluster is
-    * labeled with the minimum doc_id of its component — the canonical
-    * "keep one representative per duplicate cluster" step after candidate
-    * verification. Min-label propagation to a fixpoint; each round is one
-    * equi-join + min-agg on the pair graph only (not the corpus), and the
-    * iteration count is bounded by the graph diameter (O(log n) with
-    * doubling; near-dup clusters are shallow in practice).
+  /** Connected components over any undirected pair list: returns
+    * (doc_id, component) where component = min id reachable — applied to
+    * x02's verified Jaccard pairs this is the canonical "keep one
+    * representative per duplicate cluster" step after near-dup detection.
+    * Min-label propagation to a fixpoint; each round is one equi-join +
+    * min-agg on the pair graph only (not the corpus), and the iteration
+    * count is bounded by the graph diameter (near-dup clusters are shallow
+    * in practice).
     */
-  def x18DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Extensions.x02JaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // undirected edge list, both directions
-    val edgesAll = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edgesAll = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(eager = true) // pair generation runs once, not per round
     // the near-dup graph is orders of magnitude smaller than the corpus
     // (only docs in verified pairs); size the iteration's parallelism to
@@ -146,8 +172,13 @@ object Extensions2 {
       rounds += 1
     }
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
-      .orderBy(col("doc_id"))
   }
+
+  def x18DupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+        Extensions.x02JaccardPairs(s, dir).select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      .orderBy(col("doc_id"))
 
   // ---- oracles -------------------------------------------------------------
 
