@@ -2,7 +2,8 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2}
+import graft.ops.{Extensions, Extensions2, Multimodal}
+import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
 
@@ -85,6 +86,18 @@ object Graft {
       df: DataFrame, stratumCol: String, keyCol: String,
       rates: Map[String, Double], default: Double): DataFrame =
     Extensions2.stratifiedSample(df, stratumCol, keyCol, rates, default)
+
+  // ---- multimodal columns --------------------------------------------------
+
+  /** Map-only payload cap for binary media columns (runs BEFORE any shuffle
+    * touches the bytes). Codec is stubbed; the batching contract is real.
+    */
+  def resizeAssets(assets: Dataset[MediaAsset], targetBytes: Int): Dataset[MediaAsset] =
+    Multimodal.resizeAssets(assets, targetBytes)
+
+  /** Per-partition batched decode/feature-extract over binary media. */
+  def extractMediaFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] =
+    Multimodal.extractFeatures(assets)
 
   // ---- event-sourced state (the reference's read model) --------------------
 
