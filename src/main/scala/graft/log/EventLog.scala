@@ -52,4 +52,28 @@ object EventLog {
     */
   def pkDedup(events: DataFrame): DataFrame =
     events.dropDuplicates("id", "name", "version")
+
+  /** M1: id assignment for create commands. The reference's command service
+    * allocates the new aggregate id at POST time (PlayerResourceIT.java:
+    * 123-128 — the Location header carries it); the engine analog assigns
+    * ids = max(existing) + dense position within the create batch.
+    *
+    * Deliberately serial semantics: the single global window mirrors the
+    * reference's single serialized writer. Id allocation is the one step a
+    * CQRS command side cannot parallelize without coordination — at scale
+    * you shard the id space per writer (prefix ids with a writer epoch),
+    * which composes with this exact code run per shard. The batch being
+    * windowed is the CREATE batch (requests in flight), never the log.
+    */
+  def allocateIds(
+      newRows: DataFrame, existing: Dataset[Event], orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val base: Long = existing.agg(max(col("id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    newRows.withColumn("id",
+      lit(base) + row_number().over(Window.orderBy(col(orderCol))).cast("long"))
+  }
 }

@@ -57,6 +57,20 @@ class MaterializeSpec extends SparkSpec {
     assert(without.toSeq == withDel.toSeq)
   }
 
+  test("crud: create allocates the next ids past the existing log (M1, IT:123-128)") {
+    import spark.implicits._
+    val existing = crudFixture.toDS()
+    val creates = Seq(("Ada", "L"), ("Grace", "H")).toDF("firstName", "lastName")
+    val assigned = EventLog.allocateIds(creates, existing, "firstName")
+      .collect().map(r => r.getAs[String]("firstName") -> r.getAs[Long]("id")).toMap
+    // max existing id is 2; batch ordered by firstName: Ada -> 3, Grace -> 4
+    assert(assigned == Map("Ada" -> 3L, "Grace" -> 4L))
+    // empty log starts at 1
+    val fresh = EventLog.allocateIds(creates, spark.emptyDataset[Event], "firstName")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(fresh == Set(1L, 2L))
+  }
+
   test("typed Aggregator fold agrees with the DataFrame fold") {
     import spark.implicits._
     val events = crudFixture :+ Event(3, "PlayerCreated", 0, ts(4), payload("A", "B"))
