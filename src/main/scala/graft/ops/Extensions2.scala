@@ -141,16 +141,26 @@ object Extensions2 {
     * count is bounded by the graph diameter (near-dup clusters are shallow
     * in practice).
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // undirected edge list, both directions
-    val edgesAll = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(eager = true) // pair generation runs once, not per round
-    // the near-dup graph is orders of magnitude smaller than the corpus
-    // (only docs in verified pairs); size the iteration's parallelism to
-    // the GRAPH, not to the corpus — ~100k edges per partition keeps every
-    // propagation round a handful of tasks instead of full-width shuffles
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
+    // materialize the pair pipeline ONCE before mirroring directions — a
+    // union of two projections of the same plan would otherwise run the
+    // whole (expensive) pair-generation subtree twice
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint(true)
+    val edgesAll = p.union(p.select(col("dst"), col("src")))
+      .localCheckpoint(true) // rounds read blocks, not lineage
     val nEdges = edgesAll.count()
+    // Size-gated algorithm selection (the AQE philosophy applied to the
+    // operator): the pair graph is the OUTPUT of near-dup verification —
+    // orders of magnitude smaller than the corpus (~1e-3 of candidate
+    // pairs here). Below the threshold (default 4M edges ≈ 64 MB) a
+    // driver-side union-find replaces O(diameter) distributed rounds with
+    // one job; above it, min-label propagation runs fully distributed.
+    if (nEdges <= driverMaxEdges) return ccUnionFind(edgesAll)
+    // the distributed path sizes the iteration's parallelism to the GRAPH,
+    // not the corpus — ~100k edges per partition keeps every propagation
+    // round a handful of tasks instead of full-width shuffles
     val parts = math.max(1L, math.min(32L, nEdges / 100000L)).toInt
     val edges = edgesAll.coalesce(parts)
     var labels = edges.select(col("src").as("node")).distinct()
@@ -172,6 +182,31 @@ object Extensions2 {
       rounds += 1
     }
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
+  }
+
+  /** Driver-side union-find over a small edge list; component label = min
+    * node id (identical contract to the distributed path — ApiSpec asserts
+    * the two agree on the same graph).
+    */
+  private def ccUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min id wins
+    }
+    val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+    spark.createDataset(out).toDF("doc_id", "component")
   }
 
   def x18DupClusters(s: SparkSession, dir: String): DataFrame =

@@ -37,6 +37,20 @@ class ApiSpec extends SparkSpec {
     assert(comps(13L) == 10L && comps(11L) == 10L && comps(14L) == 12L)
   }
 
+  test("connected components: driver union-find and distributed label propagation agree") {
+    import spark.implicits._
+    // two chains and a triangle: 1-2-3-4, 20-21, 30-31-32-30
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L))
+      .toDF("doc_a", "doc_b")
+    val viaDriver = graft.ops.Extensions2.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = graft.ops.Extensions2.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxEdges = 0) // force the distributed path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop, s"$viaDriver != $viaLoop")
+    assert(viaDriver(4L) == 1L && viaDriver(21L) == 20L && viaDriver(32L) == 30L)
+  }
+
   test("minhash and simhash pair finders agree with jaccard on the obvious dups") {
     val mh = Graft.minhashNearDupPairs(corpus, "item_id", "body")
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
