@@ -49,6 +49,20 @@ object Extensions {
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
+  /** Rebalance before a CPU-heavy narrow stage: if the source scan arrives
+    * in far fewer partitions than the cluster has slots (single file / one
+    * row group / small-files layout), one cheap shuffle of the raw rows
+    * unlocks full-width parallelism for tokenize+shingle+hash. When the
+    * input is already well-partitioned (the 100 TB case), this is a no-op —
+    * no gratuitous text shuffle.
+    */
+  private def rebalanced(corpus: DataFrame, idCol: String): DataFrame = {
+    val target = corpus.sparkSession.sparkContext.defaultParallelism
+    if (corpus.rdd.getNumPartitions * 2 < target)
+      corpus.repartition(target, col(idCol))
+    else corpus
+  }
+
   /** (doc_id, n_sh, sh) inverted-index rows over any corpus. The per-doc
     * shingle count is the array size taken BEFORE exploding — narrow, no
     * window shuffle+sort over the exploded rows (the round-1 formulation
@@ -56,7 +70,8 @@ object Extensions {
     */
   private def shingleIndexCountedOf(
       corpus: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
-    corpus.select(col(idCol).as("doc_id"), shingles(col(textCol), shingleSize).as("shs"))
+    rebalanced(corpus, idCol)
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleSize).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 
   /** (doc_id, n_sh, shk) — the counted index with the shingle string
@@ -254,7 +269,7 @@ object Extensions {
       corpus: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole join is only exact for hamming <= 3")
-    val tok = corpus
+    val tok = rebalanced(corpus, idCol)
       .select(col(idCol).as("doc_id"), explode(array_distinct(toks(col(textCol)))).as("tok"))
       .withColumn("h", md5Hash60(col("tok")))
     val bitSums = (0 until SimhashBits).map { b =>
