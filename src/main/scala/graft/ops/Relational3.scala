@@ -184,7 +184,64 @@ object Relational3 {
         expr("try_cast(concat('200', l_linenumber, '-01-01') AS DATE)").as("synth_date"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** nth_value window navigation: 2nd-cheapest and 2nd-priciest order per
+    * customer over the full partition.
+    */
+  def q64NthValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 300)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_cheapest"),
+        round(nth_value(col("o_totalprice"), 2, ignoreNulls = false)
+          .over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 2)
+          .as("second_priciest"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** grouping_id over a rollup — the bitmask that distinguishes subtotal
+    * levels without COALESCE sentinels.
+    */
+  def q65GroupingId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("total"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
   val oracles: Map[String, String] = Map(
+    "q64_nth_value" -> """
+      SELECT o_orderkey, o_custkey,
+             round(nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_cheapest,
+             round(nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_priciest
+      FROM orders
+      WHERE o_custkey <= 300
+      ORDER BY o_orderkey""",
+    "q65_grouping_id" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority""",
     "q63_try_funcs" -> """
       SELECT l_orderkey, l_linenumber,
              round(l_extendedprice / nullif(l_linenumber - 1, 0), 4) AS per_prior_line,
@@ -283,6 +340,8 @@ object Relational3 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_try_funcs" -> (q63TryFuncs _),
+    "q64_nth_value" -> (q64NthValue _),
+    "q65_grouping_id" -> (q65GroupingId _),
     "q59_map_funcs" -> (q59MapFuncs _),
     "q60_array_funcs" -> (q60ArrayFuncs _),
     "q61_bool_agg" -> (q61BoolAgg _),
