@@ -120,6 +120,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == fixture.map(e => (e.id, e.name, e.version)).distinct.length)
   }
 
+  test("streaming session windows merge within the gap and emit once the watermark passes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val sessions = stream.toDS()
+      .withWatermark("date", "1 minute")
+      .groupBy(session_window(col("date"), "10 minutes").as("sw"), col("id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("id"), col("n"))
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory").queryName("sessions_stream")
+      .option("checkpointLocation", tmpDir("ckpt_sess"))
+      .start()
+    val base = 1700000000000L
+    def at(ms: Long) = new Timestamp(ms)
+    // two bursts for id=1 separated by > gap => two sessions; id=2 one burst
+    stream.addData(Seq(
+      Event(1, "click", 0, at(base), "{}"),
+      Event(1, "click", 1, at(base + 60000), "{}"),          // same session (1 min later)
+      Event(1, "click", 2, at(base + 30 * 60000), "{}"),     // new session (30 min later)
+      Event(2, "click", 0, at(base + 60000), "{}")))
+    q.processAllAvailable()
+    // advance the watermark far past every session end so all sessions close
+    stream.addData(Seq(Event(99, "click", 0, at(base + 3 * 3600000), "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_stream").select($"id", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // id=1: sessions of 2 and 1 events; id=2: one session of 1
+    assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)), s"got $got")
+  }
+
   test("bounded-state streaming dedup drops watermark-horizon redeliveries (dropDuplicatesWithinWatermark)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
