@@ -109,6 +109,26 @@ class MaterializeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
   }
 
+  test("event log round-trips through JSONL and CSV with pinned schemas (source-format breadth)") {
+    import spark.implicits._
+    val events = crudFixture.toDS()
+    val expected = Materialize.latestState(events.toDF(), "id", "version")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    val jsonDir = tmpDir("log_jsonl")
+    events.write.mode("overwrite").json(jsonDir)
+    val fromJson = spark.read.schema(graft.model.Schemas.event).json(jsonDir)
+    assert(Materialize.latestState(fromJson, "id", "version")
+      .collect().map(_.getLong(0)).sorted.toSeq == expected)
+
+    val csvDir = tmpDir("log_csv")
+    events.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val fromCsv = spark.read.schema(graft.model.Schemas.event)
+      .option("header", "true").csv(csvDir)
+    assert(Materialize.latestState(fromCsv, "id", "version")
+      .collect().map(_.getLong(0)).sorted.toSeq == expected)
+  }
+
   test("property: replay order never matters (fold orders by version)") {
     val rnd = new scala.util.Random(42)
     (1 to 8).foreach { _ =>
