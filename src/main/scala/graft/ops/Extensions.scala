@@ -253,41 +253,54 @@ object Extensions {
 
   // ---- X4: SimHash near-dup -----------------------------------------------
 
-  private val SimhashBits = 60 // md5Hash60 width; 4 chunks × 15 bits
-
-  /** 60-bit SimHash per document: per-bit majority vote of the portable
-    * md5-derived token hash. Near-dup pairs found via the pigeonhole band
-    * join (4 × 15-bit chunks: hamming <= 3 ⇒ at least one chunk equal),
-    * then filtered on true hamming distance. Every step is integer
+  /** Full 64-bit SimHash per document, carried as TWO 32-bit halves (hi =
+    * md5 hex chars 1-8, lo = chars 9-16). Keeping the halves in separate
+    * BIGINT columns sidesteps signed-shift hazards in every engine — all
+    * values stay in [0, 2^32). Per-bit majority vote of the token hash;
+    * near-dup pairs via the pigeonhole band join (4 × 16-bit chunks:
+    * hamming <= 3 ⇒ at least one chunk equal), then filtered on true
+    * hamming = popcount(hi⊕hi') + popcount(lo⊕lo'). Pure integer
     * arithmetic on md5 bits ⇒ fully oracle-replayable.
-    */
-  /** SimHash near-duplicate pairs over any corpus. Output: (doc_a, doc_b,
-    * hamming), doc_a < doc_b, hamming <= maxHamming (<= 3 keeps the 4-chunk
-    * pigeonhole join exact: 3 flips cannot touch all 4 chunks).
+    *
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming <= maxHamming.
     */
   def simhashPairs(
       corpus: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole join is only exact for hamming <= 3")
+    def half(c: Column, from: Int): Column =
+      conv(substring(md5(c), from, 8), 16, 10).cast("long")
     val tok = rebalanced(corpus, idCol)
       .select(col(idCol).as("doc_id"), explode(array_distinct(toks(col(textCol)))).as("tok"))
-      .withColumn("h", md5Hash60(col("tok")))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      .withColumn("h_hi", half(col("tok"), 1))
+      .withColumn("h_lo", half(col("tok"), 9))
+    val bitSums = (0 until 64).map { b =>
+      val src = if (b < 32) col("h_lo") else col("h_hi")
+      sum(when(shiftright(src, b % 32).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
+    def packed(bits: Range): Column =
+      bits.map(b => when(col(s"b$b") > 0, lit(1L << (b % 32))).otherwise(0L)).reduce(_ + _)
     val sig = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until SimhashBits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-    val chunks = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("c"), shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFF).as("v"))): _*)).as("ch"))
-      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+        packed(0 until 32).as("sh_lo"),
+        packed(32 until 64).as("sh_hi"))
+    val chunkCols = Seq(
+      col("sh_lo").bitwiseAND(0xFFFF),
+      shiftright(col("sh_lo"), 16).bitwiseAND(0xFFFF),
+      col("sh_hi").bitwiseAND(0xFFFF),
+      shiftright(col("sh_hi"), 16).bitwiseAND(0xFFFF))
+    val chunks = sig.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        explode(array(chunkCols.zipWithIndex.map { case (v, c) =>
+          struct(lit(c).as("c"), v.as("v"))
+        }: _*)).as("ch"))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
     chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+        (bit_count(col("x.sh_hi").bitwiseXOR(col("y.sh_hi"))) +
+          bit_count(col("x.sh_lo").bitwiseXOR(col("y.sh_lo")))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -594,30 +607,44 @@ object Extensions {
       ORDER BY j.doc_a, j.doc_b"""
   }
 
-  /** DuckDB replay of the 60-bit SimHash pipeline (bit votes, chunk
-    * pigeonhole join, hamming filter) — same md5-derived bits as Spark.
+  /** DuckDB replay of the 64-bit two-half SimHash pipeline (bit votes,
+    * chunk pigeonhole join, hamming filter) — same md5-derived bits as
+    * Spark, halves kept in separate BIGINT columns exactly like the plan.
     */
   private def x04OracleSql: String = {
-    val votes = (0 until SimhashBits)
-      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+    val votes = (0 until 64)
+      .map { b =>
+        val src = if (b < 32) "h_lo" else "h_hi"
+        s"sum(CASE WHEN ($src >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+      }
       .mkString(",\n                     ")
-    val shsum = (0 until SimhashBits)
-      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+    def packed(bits: Range): String = bits
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << (b % 32)} ELSE 0 END")
       .mkString(" + ")
-    val chunks = (0 until 4)
-      .map(c => s"SELECT doc_id, simhash, $c AS c, (simhash >> ${c * 15}) & 32767 AS v FROM sig")
+    val chunkExprs = Seq(
+      "sh_lo & 65535", "(sh_lo >> 16) & 65535",
+      "sh_hi & 65535", "(sh_hi >> 16) & 65535")
+    val chunks = chunkExprs.zipWithIndex
+      .map { case (e, c) => s"SELECT doc_id, sh_lo, sh_hi, $c AS c, $e AS v FROM sig" }
       .mkString("\n                UNION ALL ")
     s"""
       WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
       tok AS (SELECT DISTINCT doc_id, tok
               FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
-      hx AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+      hx AS (SELECT doc_id,
+                    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+                    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+             FROM tok),
       votes AS (SELECT doc_id, $votes
                 FROM hx GROUP BY doc_id),
-      sig AS (SELECT doc_id, CAST($shsum AS BIGINT) AS simhash FROM votes),
+      sig AS (SELECT doc_id,
+                     CAST(${packed(0 until 32)} AS BIGINT) AS sh_lo,
+                     CAST(${packed(32 until 64)} AS BIGINT) AS sh_hi
+              FROM votes),
       chunks AS ($chunks),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                      CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+                      CAST(bit_count(xor(x.sh_hi, y.sh_hi)) +
+                           bit_count(xor(x.sh_lo, y.sh_lo)) AS BIGINT) AS hamming
                FROM chunks x JOIN chunks y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id)
       SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
       ORDER BY doc_a, doc_b"""
