@@ -25,6 +25,61 @@ class OperatorSpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
+  test("every query has an oracle (the correctness gate covers the whole inventory)") {
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without oracles: $unchecked")
+  }
+
+  test("q63 try_divide: NULL exactly where the manufactured division by zero hits") {
+    val df = run("q63_try_funcs")
+    val nullRows = df.filter(col("per_prior_line").isNull).count()
+    val line1Rows = df.filter(col("l_linenumber") === 1).count()
+    assert(nullRows == line1Rows && nullRows > 0,
+      s"try_divide must null exactly the l_linenumber=1 rows ($nullRows vs $line1Rows)")
+    assert(df.filter(col("flag_as_int").isNotNull).count() == 0,
+      "casting a letter flag to INT must always produce NULL")
+  }
+
+  test("q58 IGNORE NULLS semantics actually bite (click events carry nulls)") {
+    val df = run("q58_first_last_ignore_nulls")
+    // users whose stream is all clicks fold to NULL; everyone else non-null
+    val events = graft.model.Tables.load(spark, sf0001, "events")
+    val allClickUsers = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") =!= "click", 1).otherwise(0)).as("has_other"))
+      .filter(col("has_other") === 0).count()
+    val nullUsers = df.filter(col("first_v").isNull)
+      .select("user_id").distinct().count()
+    assert(nullUsers == allClickUsers, s"$nullUsers null-folded vs $allClickUsers all-click users")
+  }
+
+  test("q64 nth_value: single-order customers get NULL second-cheapest") {
+    val df = run("q64_nth_value")
+    val singles = df.groupBy(col("o_custkey")).count().filter(col("count") === 1).count()
+    val nullSeconds = df.filter(col("second_cheapest").isNull)
+      .select("o_custkey").distinct().count()
+    assert(singles == nullSeconds, s"$singles single-order customers vs $nullSeconds null seconds")
+  }
+
+  test("q65 grouping_id levels are exactly {0, 1, 3} for a 2-col rollup") {
+    val gids = run("q65_grouping_id").select("gid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(gids == Set(0L, 1L, 3L), s"got $gids")
+  }
+
+  test("x17 stratified rates land near their nominal fractions") {
+    val docs = graft.model.Tables.load(spark, sf0001, "documents")
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = run("x17_stratified_sample").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = sampled.getOrElse("en", 0L).toDouble / total("en")
+    assert(enRate > 0.1 && enRate < 0.3, s"en rate $enRate not ~0.2")
+    val otherSampled = (sampled - "en").values.sum.toDouble
+    val otherTotal = (total - "en").values.sum.toDouble
+    assert(otherSampled / otherTotal > 0.35 && otherSampled / otherTotal < 0.65,
+      s"non-en rate ${otherSampled / otherTotal} not ~0.5")
+  }
+
   test("flagship latest-state: one row per aggregate, max version wins") {
     val df = run("q32_latest_state")
     val users = df.select("user_id").collect().map(_.getLong(0))
