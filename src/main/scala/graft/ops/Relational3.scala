@@ -221,7 +221,45 @@ object Relational3 {
         col("gid"), col("n"), col("total"))
       .orderBy(col("gid"), col("status"), col("priority"))
 
+  /** Calendar gap-fill: a dense (day × event_type) grid over the observed
+    * range, zero-filling days with no events — the missing-row completion
+    * every time-series rollup needs. The day spine is generated from the
+    * data's own min/max (sequence + explode), the type dimension is tiny
+    * and cross-joined (broadcast NLJ), and observed counts left-join on.
+    */
+  def q66Gapfill(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val bounds = e.agg(
+      date_trunc("day", min(col("ts"))).as("d0"),
+      date_trunc("day", max(col("ts"))).as("d1"))
+    val cal = bounds.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val types = e.select(col("event_type")).distinct()
+    // count only high-value events (sparse) — the spine still spans ALL
+    // events, so the grid genuinely has holes for the join to zero-fill
+    val counts = e.filter(col("value") > 300)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    cal.crossJoin(types)
+      .join(counts, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q66_gapfill" -> """
+      WITH cal AS (
+        SELECT unnest(generate_series(
+                 date_trunc('day', (SELECT min(ts) FROM events)),
+                 date_trunc('day', (SELECT max(ts) FROM events)),
+                 INTERVAL 1 DAY)) AS day),
+      types AS (SELECT DISTINCT event_type FROM events),
+      counts AS (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+                 FROM events WHERE value > 300 GROUP BY 1, 2)
+      SELECT cal.day, types.event_type, CAST(coalesce(counts.n, 0) AS BIGINT) AS n
+      FROM cal CROSS JOIN types
+      LEFT JOIN counts ON counts.day = cal.day AND counts.event_type = types.event_type
+      ORDER BY cal.day, types.event_type""",
     "q64_nth_value" -> """
       SELECT o_orderkey, o_custkey,
              round(nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
@@ -341,6 +379,7 @@ object Relational3 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_try_funcs" -> (q63TryFuncs _),
     "q64_nth_value" -> (q64NthValue _),
+    "q66_gapfill" -> (q66Gapfill _),
     "q65_grouping_id" -> (q65GroupingId _),
     "q59_map_funcs" -> (q59MapFuncs _),
     "q60_array_funcs" -> (q60ArrayFuncs _),
