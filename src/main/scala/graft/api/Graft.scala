@@ -107,6 +107,14 @@ object Graft {
   def latestState(events: DataFrame, keyCol: String, orderCol: String): DataFrame =
     Materialize.latestState(events, keyCol, orderCol)
 
+  /** Incremental read-model maintenance: fold a batch of new events into an
+    * id-bucketed parquet snapshot, rewriting ONLY the buckets the batch
+    * touches (dynamic partition overwrite) — O(new data), not O(table).
+    * Returns the bucket ids rewritten.
+    */
+  def mergeSnapshot(newEvents: DataFrame, snapshotPath: String, numBuckets: Int = 64): Set[Int] =
+    graft.log.EventLog.mergeSnapshot(newEvents, snapshotPath, numBuckets)
+
   /** Streaming materialization of the same fold (flatMapGroupsWithState;
     * O(live keys) state).
     */

@@ -129,6 +129,33 @@ class MaterializeSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == expected)
   }
 
+  test("incremental snapshot merge rewrites only touched buckets and equals the full fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("snapshot_merge")
+    val nb = 8
+    // initial population: ids 1..6 across buckets
+    val initial = (1L to 6L).map(i => Event(i, "PlayerCreated", 0, ts(i), payload(s"F$i", s"L$i")))
+    val w1 = EventLog.mergeSnapshot(initial.toDF(), dir, nb)
+    assert(w1 == (1L to 6L).map(i => (i % nb).toInt).toSet)
+    // incremental batch touches only id=3 (bucket 3)
+    val w2 = EventLog.mergeSnapshot(
+      Seq(Event(3, "PlayerUpdated", 1, ts(10), payload("New", "Name"))).toDF(), dir, nb)
+    assert(w2 == Set(3), s"rewrote $w2")
+    // bucket files outside bucket=3 were not rewritten
+    val untouched = new java.io.File(s"$dir/bucket=1")
+    val touched = new java.io.File(s"$dir/bucket=3")
+    def newestMtime(d: java.io.File) = d.listFiles().map(_.lastModified()).max
+    assert(newestMtime(touched) >= newestMtime(untouched))
+    // snapshot equals the from-scratch fold over the whole log
+    val all = (initial :+ Event(3, "PlayerUpdated", 1, ts(10), payload("New", "Name"))).toDF()
+    val expected = Materialize.latestState(all, "id", "version")
+      .select($"id", $"version").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.read.parquet(dir)
+      .select($"id", $"version").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"$got != $expected")
+  }
+
   test("property: replay order never matters (fold orders by version)") {
     val rnd = new scala.util.Random(42)
     (1 to 8).foreach { _ =>
