@@ -144,11 +144,14 @@ object Extensions2 {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       driverMaxEdges: Long = 1L << 22): DataFrame = {
-    // materialize the pair pipeline ONCE before mirroring directions — a
-    // union of two projections of the same plan would otherwise run the
-    // whole (expensive) pair-generation subtree twice
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint(true)
-    val edgesAll = p.union(p.select(col("dst"), col("src")))
+    // mirror each pair into both directions INSIDE one plan (explode of a
+    // 2-struct array) and materialize once — a union of two projections of
+    // the same plan would run the expensive pair-generation subtree twice,
+    // and a second checkpoint would pay a second job
+    val edgesAll = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true) // rounds read blocks, not lineage
     val nEdges = edgesAll.count()
     // Size-gated algorithm selection (the AQE philosophy applied to the
