@@ -246,7 +246,96 @@ object Relational3 {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Date/interval arithmetic family: day offsets, month arithmetic,
+    * month-end snapping — all on the DATE plane (both engines return DATE).
+    */
+  def q67IntervalArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate"), 30).as("due_30d"),
+        add_months(col("o_orderdate"), 2).as("plus_2mo"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(last_day(col("o_orderdate")), to_date(col("o_orderdate"))).cast("long")
+          .as("days_to_month_end"))
+      .orderBy(col("o_orderkey"))
+
+  /** least/greatest n-ary comparisons with NULL-propagation via nullif. */
+  def q68LeastGreatest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 500)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(least(col("l_extendedprice"), col("l_quantity") * 1000), 2).as("lo"),
+        round(greatest(col("l_discount"), col("l_tax")), 2).as("hi_rate"),
+        round(least(nullif(col("l_discount"), lit(0.0)), col("l_tax")), 2).as("lo_nonzero_disc"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** String shaping: pad/repeat/reverse/translate — the formatting slice of
+    * the string family q25/q45 don't cover.
+    */
+  def q69StringPad(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"),
+        rpad(col("p_brand"), 12, ".").as("brand_cell"),
+        reverse(col("p_name")).as("rev_name"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("lowered_vowels"),
+        repeat(lit("*"), (col("p_size") % 5) + 1).as("stars"))
+      .orderBy(col("p_partkey"))
+
+  /** Lateral column aliases: an alias defined in a SELECT is referenced by
+    * later expressions in the SAME select list (no subquery nesting).
+    */
+  def q70LateralAlias(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .selectExpr(
+        "o_orderkey",
+        "o_orderkey * 3 + o_custkey AS composite",
+        "composite * 2 AS doubled",
+        "doubled - o_orderkey AS derived")
+      .orderBy(col("o_orderkey"))
+
   val oracles: Map[String, String] = Map(
+    "q67_interval_arith" -> """
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) + 30 AS due_30d,
+             CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(last_day(CAST(o_orderdate AS DATE)) - CAST(o_orderdate AS DATE) AS BIGINT)
+               AS days_to_month_end
+      FROM orders
+      WHERE o_orderkey <= 1000
+      ORDER BY o_orderkey""",
+    "q68_least_greatest" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(least(l_extendedprice, l_quantity * 1000), 2) AS lo,
+             round(greatest(l_discount, l_tax), 2) AS hi_rate,
+             round(least(nullif(l_discount, 0.0), l_tax), 2) AS lo_nonzero_disc
+      FROM lineitem
+      WHERE l_orderkey <= 500
+      ORDER BY l_orderkey, l_linenumber""",
+    "q69_string_pad" -> """
+      SELECT p_partkey,
+             lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+             rpad(p_brand, 12, '.') AS brand_cell,
+             reverse(p_name) AS rev_name,
+             translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+             repeat('*', p_size % 5 + 1) AS stars
+      FROM part
+      ORDER BY p_partkey""",
+    "q70_lateral_alias" -> """
+      SELECT o_orderkey,
+             o_orderkey * 3 + o_custkey AS composite,
+             composite * 2 AS doubled,
+             doubled - o_orderkey AS derived
+      FROM orders
+      WHERE o_orderkey <= 2000
+      ORDER BY o_orderkey""",
     "q66_gapfill" -> """
       WITH cal AS (
         SELECT unnest(generate_series(
@@ -380,6 +469,10 @@ object Relational3 {
     "q63_try_funcs" -> (q63TryFuncs _),
     "q64_nth_value" -> (q64NthValue _),
     "q66_gapfill" -> (q66Gapfill _),
+    "q67_interval_arith" -> (q67IntervalArith _),
+    "q68_least_greatest" -> (q68LeastGreatest _),
+    "q69_string_pad" -> (q69StringPad _),
+    "q70_lateral_alias" -> (q70LateralAlias _),
     "q65_grouping_id" -> (q65GroupingId _),
     "q59_map_funcs" -> (q59MapFuncs _),
     "q60_array_funcs" -> (q60ArrayFuncs _),
