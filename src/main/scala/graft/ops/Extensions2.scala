@@ -218,9 +218,37 @@ object Extensions2 {
         "doc_a", "doc_b")
       .orderBy(col("doc_id"))
 
+  // ---- X19: approximate quantiles (KLL-style sketch vs exact) --------------
+
+  /** Approximate median per cohort via Spark's percentile_approx sketch.
+    * Like x12, the sketch value is engine-specific, so the oracle checks a
+    * PROPERTY: the estimate must land within max(2%, 0.5) of the exact
+    * interpolated median, which itself is value-checked against DuckDB's
+    * quantile_cont.
+    */
+  def x19ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    graft.model.Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 2).as("exact_median"),
+        expr("approx_percentile(value, 0.5, 10000)").as("am"))
+      .select(
+        col("event_type"),
+        col("exact_median"),
+        (abs(col("am") - col("exact_median")) <=
+          greatest(col("exact_median") * 0.02, lit(0.5))).as("approx_ok"))
+      .orderBy(col("event_type"))
+
   // ---- oracles -------------------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "x19_approx_quantile" -> """
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 2) AS exact_median,
+             TRUE AS approx_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     "x16_ivf_ann" -> s"""
       WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cents AS (SELECT vec_id AS cell, v AS cvec FROM base WHERE vec_id < $IvfCells),
@@ -284,6 +312,7 @@ object Extensions2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x16_ivf_ann" -> (x16IvfAnn _),
+    "x19_approx_quantile" -> (x19ApproxQuantile _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_dup_clusters" -> (x18DupClusters _))
 }
