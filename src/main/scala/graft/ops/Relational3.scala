@@ -300,7 +300,34 @@ object Relational3 {
         "doubled - o_orderkey AS derived")
       .orderBy(col("o_orderkey"))
 
+  /** Recursive CTE (Spark 4.1 WITH RECURSIVE): walk each order key up its
+    * binary-ancestry chain (k -> k div 2 -> ... -> 1) and report the walk
+    * depth — pure integer recursion, identical on both engines. The
+    * recursion engine (iterative UNION ALL expansion with a stop
+    * predicate) is the capability under test; x18's oracle uses the same
+    * machinery for transitive closure.
+    */
+  def q71RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_rec_v")
+    s.sql("""
+      WITH RECURSIVE walk(k, node, steps) AS (
+        SELECT o_orderkey, o_orderkey, 0 FROM orders_rec_v WHERE o_orderkey <= 200
+        UNION ALL
+        SELECT k, node DIV 2, steps + 1 FROM walk WHERE node > 1
+      )
+      SELECT k AS o_orderkey, CAST(max(steps) AS BIGINT) AS depth
+      FROM walk GROUP BY k ORDER BY o_orderkey""")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q71_recursive_cte" -> """
+      WITH RECURSIVE walk(k, node, steps) AS (
+        SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey <= 200
+        UNION ALL
+        SELECT k, node // 2, steps + 1 FROM walk WHERE node > 1
+      )
+      SELECT k AS o_orderkey, CAST(max(steps) AS BIGINT) AS depth
+      FROM walk GROUP BY k ORDER BY o_orderkey""",
     "q67_interval_arith" -> """
       SELECT o_orderkey,
              CAST(o_orderdate AS DATE) + 30 AS due_30d,
@@ -470,6 +497,7 @@ object Relational3 {
     "q64_nth_value" -> (q64NthValue _),
     "q66_gapfill" -> (q66Gapfill _),
     "q67_interval_arith" -> (q67IntervalArith _),
+    "q71_recursive_cte" -> (q71RecursiveCte _),
     "q68_least_greatest" -> (q68LeastGreatest _),
     "q69_string_pad" -> (q69StringPad _),
     "q70_lateral_alias" -> (q70LateralAlias _),
