@@ -61,6 +61,16 @@ object Graft {
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
     Extensions2.connectedComponents(pairs, aCol, bCol)
 
+  /** Benchmark-contamination detection: per training doc, the best shingle
+    * overlap against any eval doc (inverted-index join, never train×eval);
+    * rows with overlap >= minOverlap. Output (train_id, matched_eval_id,
+    * overlap).
+    */
+  def contaminationPairs(
+      train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      minOverlap: Double = 0.3): DataFrame =
+    Extensions2.contaminationPairs(train, eval_, idCol, textCol, minOverlap)
+
   // ---- similarity search ---------------------------------------------------
 
   /** Codegen'd cosine similarity over two array<float|double> columns. */

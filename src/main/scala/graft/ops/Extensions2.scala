@@ -218,6 +218,60 @@ object Extensions2 {
         "doc_a", "doc_b")
       .orderBy(col("doc_id"))
 
+  // ---- X20: train/eval contamination check ---------------------------------
+
+  /** Benchmark-contamination detection: for every training document, the
+    * highest shingle-overlap ratio against any eval-set document; flagged
+    * when >= 30% of the training doc's shingles appear in one eval doc.
+    * The join goes through the shingle inverted index (only docs sharing a
+    * shingle meet — never train × eval), the standard decontamination
+    * shape for a 100 TB corpus against a fixed eval suite. Eval set here:
+    * doc_id < 50 (the driver fixture has no second corpus; the operator is
+    * corpus-agnostic via [[contaminationPairs]]).
+    */
+  def contaminationPairs(
+      train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      minOverlap: Double): DataFrame = {
+    val ti = Extensions.shingleIndexKeyedOf(train, idCol, textCol)
+      .select(col("doc_id").as("train_id"), col("n_sh"), col("shk"))
+    val ei = Extensions.shingleIndexKeyedOf(eval_, idCol, textCol)
+      .select(col("doc_id").as("eval_id"), col("shk"))
+    val w = Window.partitionBy(col("train_id"))
+      .orderBy(col("overlap").desc, col("eval_id"))
+    ti.join(ei, Seq("shk"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"), max(col("n_sh")).as("n_sh"))
+      .withColumn("overlap", round(col("shared") / col("n_sh"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("overlap") >= minOverlap)
+      .select(col("train_id"), col("eval_id").as("matched_eval_id"), col("overlap"))
+  }
+
+  def x20Contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    contaminationPairs(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "text", minOverlap = 0.3)
+      .orderBy(col("train_id"))
+  }
+
+  // ---- X21: vocabulary masking ---------------------------------------------
+
+  /** Map-only token masking (the redaction/scrub stage shape: PII regexes
+    * swap in for the vocabulary pattern with identical plumbing). Word-
+    * boundary regex, replace-all; reports the mask count per document.
+    */
+  def x21TermMask(s: SparkSession, dir: String): DataFrame = {
+    val pattern = "\\b(customer|key)\\b"
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(pattern)).cast("long").as("n_masked"),
+        length(regexp_replace(col("text"), pattern, "<MASK>")).cast("long").as("masked_len"),
+        substring(regexp_replace(col("text"), pattern, "<MASK>"), 1, 40).as("masked_head"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- X19: approximate quantiles (KLL-style sketch vs exact) --------------
 
   /** Approximate median per cohort via Spark's percentile_approx sketch.
@@ -242,6 +296,32 @@ object Extensions2 {
   // ---- oracles -------------------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "x20_contamination" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+              FROM d, UNNEST(generate_series(1, CASE WHEN len(toks) >= 5 THEN len(toks)-4 ELSE 1 END)) AS g(i)),
+      sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      hits AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS shared
+               FROM sh t JOIN sh e ON t.sh = e.sh
+               WHERE t.doc_id >= 50 AND e.doc_id < 50
+               GROUP BY 1, 2),
+      scored AS (SELECT train_id, eval_id,
+                        round(shared * 1.0 / cnt.n_sh, 4) AS overlap
+                 FROM hits JOIN cnt ON cnt.doc_id = train_id),
+      best AS (SELECT *, row_number() OVER (PARTITION BY train_id
+                        ORDER BY overlap DESC, eval_id) AS rk
+               FROM scored)
+      SELECT train_id, eval_id AS matched_eval_id, overlap
+      FROM best WHERE rk = 1 AND overlap >= 0.3
+      ORDER BY train_id""",
+    "x21_term_mask" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\b(customer|key)\b')) AS BIGINT) AS n_masked,
+             CAST(length(regexp_replace(text, '\b(customer|key)\b', '<MASK>', 'g')) AS BIGINT) AS masked_len,
+             substring(regexp_replace(text, '\b(customer|key)\b', '<MASK>', 'g'), 1, 40) AS masked_head
+      FROM documents
+      ORDER BY doc_id""",
     "x19_approx_quantile" -> """
       SELECT event_type,
              round(quantile_cont(value, 0.5), 2) AS exact_median,
@@ -313,6 +393,8 @@ object Extensions2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x16_ivf_ann" -> (x16IvfAnn _),
     "x19_approx_quantile" -> (x19ApproxQuantile _),
+    "x20_contamination" -> (x20Contamination _),
+    "x21_term_mask" -> (x21TermMask _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_dup_clusters" -> (x18DupClusters _))
 }
