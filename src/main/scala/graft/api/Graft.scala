@@ -131,6 +131,13 @@ object Graft {
   def materializeStream(events: Dataset[Event]): DataFrame =
     Materializer.materialize(events).toDF()
 
+  /** The same fold on Spark 4's transformWithState engine (named state
+    * handles, TTL/timers, RocksDB store — for live-key sets too large for
+    * executor memory). Requires the RocksDB state store provider.
+    */
+  def materializeStreamTws(events: Dataset[Event]): DataFrame =
+    Materializer.materializeTws(events).toDF()
+
   /** Bounded-state streaming dedup of redelivered events (watermark-evicted
     * key state).
     */

@@ -2,7 +2,8 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.{Encoders => SqlEncoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger}
 import graft.model.{Event, Schemas}
 import graft.state.Materialize.{jsonField, FoldBuf}
 
@@ -129,6 +130,43 @@ object Materializer {
           col("r_date") <= col("l_date") + expr(s"interval $withinSeconds seconds"))
       .select(col("l_id").as("id"), col("l_version"), col("l_date"),
         col("r_version"), col("r_date"))
+  }
+
+  /** The same keyed fold on Spark 4's transformWithState API (the successor
+    * to flatMapGroupsWithState): explicit named state handles, TTL support,
+    * timers — and a RocksDB-backed store, which is what bounds memory when
+    * the live-key set itself is large. State per key is still one FoldBuf.
+    */
+  class PlayerFoldProcessor extends StatefulProcessor[Long, Event, PlayerUpdate] {
+    @transient private var buf: org.apache.spark.sql.streaming.ValueState[FoldBuf] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[FoldBuf]("buf", SqlEncoders.product[FoldBuf],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[PlayerUpdate] = {
+      var b = if (buf.exists()) buf.get() else FoldBuf(Long.MinValue, null, null)
+      rows.foreach { e => if (e.version > b.version) b = FoldBuf(e.version, e.name, e.data) }
+      buf.update(b)
+      val deleted = b.name == null || b.name.endsWith("Deleted")
+      Iterator.single(PlayerUpdate(
+        key, b.version,
+        if (deleted) null else jsonField(b.data, "firstName"),
+        if (deleted) null else jsonField(b.data, "lastName"),
+        deleted))
+    }
+  }
+
+  /** [[materialize]] on the transformWithState engine. Requires the RocksDB
+    * state store provider (ships with Spark; set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...RocksDBStateStoreProvider` on the session).
+    */
+  def materializeTws(events: Dataset[Event]): Dataset[PlayerUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.id)
+      .transformWithState(new PlayerFoldProcessor(), TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming exact-dedup with BOUNDED state: drop redelivered events by

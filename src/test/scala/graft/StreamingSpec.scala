@@ -120,6 +120,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == fixture.map(e => (e.id, e.name, e.version)).distinct.length)
   }
 
+  test("transformWithState materializer (RocksDB store) agrees with the flatMapGroupsWithState fold") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = Materializer.materializeTws(stream.toDS()).writeStream
+        .outputMode("update")
+        .format("memory").queryName("tws_state")
+        .option("checkpointLocation", tmpDir("ckpt_tws"))
+        .start()
+      stream.addData(fixture.take(2))
+      q.processAllAvailable()
+      stream.addData(fixture.drop(2))
+      q.processAllAvailable()
+      q.stop()
+      // latest row per key from the update stream = the read model
+      val rows = spark.table("tws_state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(4)))
+        .groupBy(_._1).map { case (_, v) => v.maxBy(_._2) }.toSet
+      // fold over the same fixture in batch for the expected read model
+      val expected = Materializer.materialize(fixture.toDS()).collect()
+        .map(r => (r.id, r.version, r.firstName, r.deleted)).toSet
+      assert(rows == expected, s"$rows != $expected")
+      // the live, non-deleted state matches the reference CRUD outcome
+      assert(rows.filter(!_._4).map(t => (t._1, t._3)) == Set((1L, "Robertupdated")))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming session windows merge within the gap and emit once the watermark passes") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
