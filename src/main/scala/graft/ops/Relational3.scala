@@ -319,7 +319,32 @@ object Relational3 {
       FROM walk GROUP BY k ORDER BY o_orderkey""")
   }
 
+  /** FILTER-clause aggregates (SQL:2003): per-group conditional aggregation
+    * without CASE scaffolding — each aggregate sees its own row subset.
+    */
+  def q72FilterAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_fa_v")
+    s.sql("""
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+             round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS bulk_value,
+             round(avg(l_tax) FILTER (WHERE l_linestatus = 'F'), 4) AS avg_tax_f,
+             count(*) AS n
+      FROM lineitem_fa_v
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q72_filter_agg" -> """
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+             round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS bulk_value,
+             round(avg(l_tax) FILTER (WHERE l_linestatus = 'F'), 4) AS avg_tax_f,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
     "q71_recursive_cte" -> """
       WITH RECURSIVE walk(k, node, steps) AS (
         SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey <= 200
@@ -498,6 +523,7 @@ object Relational3 {
     "q66_gapfill" -> (q66Gapfill _),
     "q67_interval_arith" -> (q67IntervalArith _),
     "q71_recursive_cte" -> (q71RecursiveCte _),
+    "q72_filter_agg" -> (q72FilterAgg _),
     "q68_least_greatest" -> (q68LeastGreatest _),
     "q69_string_pad" -> (q69StringPad _),
     "q70_lateral_alias" -> (q70LateralAlias _),
