@@ -335,7 +335,27 @@ object Relational3 {
       ORDER BY l_returnflag""")
   }
 
+  /** NOT IN subquery — ANSI three-valued logic forces Spark's null-aware
+    * anti join (a distinct physical operator from the NOT EXISTS anti join
+    * in q08: one NULL in the subquery legally empties the result, so the
+    * join must track null presence).
+    */
+  def q73NullAwareAnti(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_na_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_na_v")
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer_na_v
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_na_v WHERE o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q73_null_aware_anti" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      ORDER BY c_custkey""",
     "q72_filter_agg" -> """
       SELECT l_returnflag,
              count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
@@ -524,6 +544,7 @@ object Relational3 {
     "q67_interval_arith" -> (q67IntervalArith _),
     "q71_recursive_cte" -> (q71RecursiveCte _),
     "q72_filter_agg" -> (q72FilterAgg _),
+    "q73_null_aware_anti" -> (q73NullAwareAnti _),
     "q68_least_greatest" -> (q68LeastGreatest _),
     "q69_string_pad" -> (q69StringPad _),
     "q70_lateral_alias" -> (q70LateralAlias _),
