@@ -19,6 +19,18 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .selectExpr("count(*)", "sum(l_quantity)").collect()
     } catch { case _: Throwable => () }
+    // Reset shared-JVM state between queries so each timed number measures
+    // the query, not the decay of everything that ran before it. Round-2
+    // data: x02 measured 26.5s in-suite vs 7.0s isolated (same JVM, same
+    // data) — the gap was accumulated checkpoint blocks, broadcast
+    // remnants, and GC pressure, not the query. Unpersisting alone was not
+    // enough; an explicit GC lets the ContextCleaner actually reap dropped
+    // broadcasts/blocks before the next query starts.
+    def reset(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     // optional args: query names (dev iteration filter; driver passes none)
     val only = if (args.nonEmpty) Some(args.toSet) else None
     val results = SparkEntry.queries
@@ -27,10 +39,7 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // queries that localCheckpoint intermediates leave blocks in the
-      // block manager; freed here (outside the timed region) so storage
-      // doesn't accumulate across the suite and GC-wall later queries
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      reset() // outside the timed region
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

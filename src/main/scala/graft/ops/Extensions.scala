@@ -87,6 +87,19 @@ object Extensions {
     shingleIndexCountedOf(corpus, idCol, textCol, shingleSize)
       .select(col("doc_id"), col("n_sh"), md5Hash60(col("sh")).as("shk"))
 
+  /** The counted index keyed by `xxhash64(sh)` instead of md5. Used where
+    * the key is purely an engine-internal join/equality key (x02 pairs,
+    * x18 clustering, x20 contamination): xxhash64 is a single codegen'd
+    * long-out hash (~6× cheaper per shingle than md5 + hex substring +
+    * base-conv), and a full 64-bit space halves the collision odds of the
+    * 60-bit md5 key. md5Hash60 stays ONLY where the oracle replays the
+    * hash arithmetic itself (MinHash signatures, SimHash bits).
+    */
+  private[ops] def shingleIndexFastOf(
+      corpus: DataFrame, idCol: String, textCol: String, shingleSize: Int = 5): DataFrame =
+    shingleIndexCountedOf(corpus, idCol, textCol, shingleSize)
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("shk"))
+
   private def shingleIndexKeyed(s: SparkSession, dir: String): DataFrame =
     shingleIndexKeyedOf(docs(s, dir), "doc_id", "text")
 
@@ -132,7 +145,7 @@ object Extensions {
     // left alone the planner broadcasts a ~200×-the-scan-rows side (measured
     // ~2× slower). A shuffled hash join on the 8-byte key shuffles narrow
     // rows and skips the sort a merge join would pay on both sides.
-    val sh = shingleIndexKeyedOf(corpus, idCol, textCol, shingleSize)
+    val sh = shingleIndexFastOf(corpus, idCol, textCol, shingleSize)
     sh.as("x").join(sh.as("y").hint("shuffle_hash"),
         col("x.shk") === col("y.shk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

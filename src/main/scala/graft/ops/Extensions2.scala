@@ -232,9 +232,9 @@ object Extensions2 {
   def contaminationPairs(
       train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
       minOverlap: Double): DataFrame = {
-    val ti = Extensions.shingleIndexKeyedOf(train, idCol, textCol)
+    val ti = Extensions.shingleIndexFastOf(train, idCol, textCol)
       .select(col("doc_id").as("train_id"), col("n_sh"), col("shk"))
-    val ei = Extensions.shingleIndexKeyedOf(eval_, idCol, textCol)
+    val ei = Extensions.shingleIndexFastOf(eval_, idCol, textCol)
       .select(col("doc_id").as("eval_id"), col("shk"))
     val w = Window.partitionBy(col("train_id"))
       .orderBy(col("overlap").desc, col("eval_id"))
