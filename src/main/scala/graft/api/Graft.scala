@@ -147,4 +147,24 @@ object Graft {
   /** Stream-static broadcast enrichment. */
   def enrichStream(events: Dataset[Event], dim: DataFrame): DataFrame =
     Materializer.enrichStream(events, dim)
+
+  // ---- authorization (P5) --------------------------------------------------
+
+  /** Row/column-restricted view — the engine-side analog of the reference's
+    * token-gated access split (PlayerResourceIT.java:124-134: writes require
+    * the admin role, reads the user role; an unauthorized principal sees an
+    * error, never data). In an analytics engine the enforcement point is a
+    * restricted view handed to the consumer: rows not matching
+    * `rowPredicate` and columns outside `visibleCols` simply do not exist
+    * in the plan the consumer can reach, and Catalyst pushes the predicate
+    * into the scan like any other filter (no post-hoc redaction pass).
+    * Register the result as a temp view to gate a SQL session.
+    */
+  def authorizedView(
+      df: DataFrame, rowPredicate: Column,
+      visibleCols: Seq[String] = Nil): DataFrame = {
+    val filtered = df.filter(rowPredicate)
+    if (visibleCols.isEmpty) filtered
+    else filtered.select(visibleCols.map(org.apache.spark.sql.functions.col): _*)
+  }
 }

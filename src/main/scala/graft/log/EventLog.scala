@@ -69,25 +69,70 @@ object EventLog {
   def mergeSnapshot(
       newEvents: DataFrame,
       snapshotPath: String,
+      numBuckets: Int = 64): Set[Int] =
+    mergeSnapshotKeyed(newEvents, snapshotPath, "id", "version", numBuckets)
+
+  /** [[mergeSnapshot]] generalized to ANY latest-state table keyed by
+    * (`idCol`, `versionCol`): all other columns ride along and the
+    * highest-version row per id wins. Same bucketed dynamic-partition
+    * overwrite — only touched buckets are rewritten.
+    *
+    * Robustness contract: a missing snapshot path means "first merge"
+    * (checked explicitly via the filesystem); any OTHER read failure
+    * propagates — treating a transient/corrupt read as an empty snapshot
+    * would silently overwrite touched buckets with only the new batch.
+    * The bucket modulus is persisted in a `_graft_buckets` sidecar on
+    * first write and enforced on every subsequent merge: merging with a
+    * different modulus would leave stale rows in old-modulus directories,
+    * yielding duplicate ids on read.
+    */
+  def mergeSnapshotKeyed(
+      updates: DataFrame,
+      snapshotPath: String,
+      idCol: String,
+      versionCol: String,
       numBuckets: Int = 64): Set[Int] = {
     import org.apache.spark.sql.functions._
-    val spark = newEvents.sparkSession
-    val bucketed = newEvents.withColumn("bucket", (col("id") % numBuckets).cast("int"))
+    val spark = updates.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = path.getFileSystem(hadoopConf)
+    val sidecar = new org.apache.hadoop.fs.Path(snapshotPath, "_graft_buckets")
+    // "snapshot present" = bucket dirs (or the sidecar) actually exist —
+    // a merely-existing empty directory (fresh tempdir, mkdir -p race) is
+    // a first merge, not a corrupt snapshot
+    val exists = fs.exists(sidecar) ||
+      (fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.startsWith("bucket=")))
+    if (exists) {
+      val persisted =
+        if (!fs.exists(sidecar)) None
+        else {
+          val in = fs.open(sidecar)
+          try Some(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt)
+          finally in.close()
+        }
+      persisted.foreach { nb =>
+        require(nb == numBuckets,
+          s"snapshot at $snapshotPath was written with numBuckets=$nb, " +
+            s"merge called with $numBuckets — refusing (stale-bucket corruption)")
+      }
+    }
+    val dataCols = updates.columns.filter(_ != idCol).toSeq
+    val bucketed = updates.withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast("int"))
     val touched = bucketed.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    val existing =
-      try spark.read.parquet(snapshotPath).filter(col("bucket").isin(touched.toSeq: _*))
-      catch { case _: Exception => spark.emptyDataFrame }
     val combined =
-      if (existing.isEmpty) bucketed
-      else existing.select(bucketed.columns.map(col): _*).unionByName(bucketed)
+      if (!exists) bucketed
+      else spark.read.parquet(snapshotPath)
+        .filter(col("bucket").isin(touched.toSeq: _*))
+        .select(bucketed.columns.map(col): _*)
+        .unionByName(bucketed)
     val merged = combined
-      .groupBy(col("id"))
-      .agg(max_by(
-        struct(col("name"), col("version"), col("date"), col("data"), col("bucket")),
-        col("version")).as("s"))
-      .select(col("id"), col("s.name").as("name"), col("s.version").as("version"),
-        col("s.date").as("date"), col("s.data").as("data"), col("s.bucket").as("bucket"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(dataCols.map(col): _*), col(versionCol)).as("s"))
+      .select(col(idCol) +: dataCols.map(c => col(s"s.$c").as(c)): _*)
+      .withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast("int"))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(snapshotPath)
@@ -95,6 +140,8 @@ object EventLog {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    val out = fs.create(sidecar, true)
+    try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
     touched
   }
 
@@ -114,11 +161,17 @@ object EventLog {
       newRows: DataFrame, existing: Dataset[Event], orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val base: Long = existing.agg(max(col("id"))).head() match {
+    val base: Long = existing.agg(max(col("id")).cast("long")).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
+    // ties on orderCol break on a stable whole-row hash, so the assignment
+    // is deterministic across runs/retries (bit-identical rows remain
+    // interchangeable — they tie everywhere and either order is the same
+    // assignment); without this, row_number over a tied orderBy is
+    // partition-arrival order, which changes run to run
+    val tiebreak = xxhash64(struct(newRows.columns.map(col): _*))
     newRows.withColumn("id",
-      lit(base) + row_number().over(Window.orderBy(col(orderCol))).cast("long"))
+      lit(base) + row_number().over(Window.orderBy(col(orderCol), tiebreak)).cast("long"))
   }
 }

@@ -23,6 +23,22 @@ import graft.model.Tables
   */
 object Extensions {
 
+  /** Materialization point for shared/iterated subplans (a union of two
+    * projections of one plan otherwise runs the subtree twice; iterative
+    * loops otherwise replay all prior rounds). Default is
+    * `localCheckpoint`: executor-local blocks, fast, but lineage is
+    * truncated so an executor loss after this point fails the job — fine
+    * on local[n], a real risk on a 1000-executor cluster. Setting
+    * `spark.graft.reliableCheckpoint=true` on the session (with
+    * `sparkContext.setCheckpointDir` pointing at shared storage) switches
+    * every such site to a reliable `checkpoint`, which survives executor
+    * loss at the cost of a write to the checkpoint dir.
+    */
+  private[ops] def materialized(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoint").contains("true"))
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -221,7 +237,7 @@ object Extensions {
     // verification): materialize it once — it is narrow (3 fixed-width
     // cols), so this trades a cheap write for a second scan+shingle+md5
     // pass over the corpus
-    val idx = shingleIndexKeyedOf(corpus, idCol, textCol, shingleSize).localCheckpoint(true)
+    val idx = materialized(shingleIndexKeyedOf(corpus, idCol, textCol, shingleSize))
     val sig = minhashSignaturesFrom(idx)
     val bandCols = (0 until LshBands).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -229,7 +245,7 @@ object Extensions {
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = banded.as("x").join(banded.as("y"),
+    val cand = materialized(banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -237,7 +253,7 @@ object Extensions {
       // tiny result of the expensive signature pipeline, used twice below
       // (candidate-doc filter + final pair filter): materialize once so the
       // shingle scan + 32-way min-agg doesn't run once per consumer
-      .localCheckpoint(true)
+      )
     // verify candidates with exact Jaccard. The inverted index is first
     // semi-joined (broadcast — the candidate doc set is tiny relative to the
     // corpus) down to docs that appear in ANY candidate pair, so the

@@ -148,11 +148,11 @@ object Extensions2 {
     // 2-struct array) and materialize once — a union of two projections of
     // the same plan would run the expensive pair-generation subtree twice,
     // and a second checkpoint would pay a second job
-    val edgesAll = pairs.select(explode(array(
+    val edgesRaw = pairs.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(true) // rounds read blocks, not lineage
+    val edgesAll = Extensions.materialized(edgesRaw) // rounds read blocks, not lineage
     val nEdges = edgesAll.count()
     // Size-gated algorithm selection (the AQE philosophy applied to the
     // operator): the pair graph is the OUTPUT of near-dup verification —
@@ -170,20 +170,37 @@ object Extensions2 {
       .withColumn("comp", col("node"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    // min-label propagation + pointer doubling: after the neighbor step,
+    // each node also adopts its label's label (comp := comp(comp)), so
+    // label chains halve every round and convergence is O(log diameter)
+    // instead of O(diameter) — a 50-round cap silently returned WRONG
+    // components on any graph deeper than 50; 64 doubling rounds cover any
+    // representable diameter, and running out is now an error, not a result
+    while (changed > 0 && rounds < 64) {
       // candidate label per node: min over neighbors' labels and its own
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("comp"))
-      val next = labels.union(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = true) // cut the lineage each round
+      // materialized for three reasons: the doubling step below reads it
+      // twice (else the groupBy runs twice), a self-join of the in-plan
+      // union trips Catalyst's constraint rewrite, and lineage must not
+      // grow across rounds
+      val stepped = Extensions.materialized(labels.union(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp")))
+      val next = stepped.as("a")
+        .join(stepped.select(col("node").as("cnode"), col("comp").as("ccomp")).as("b"),
+          col("a.comp") === col("b.cnode"), "left")
+        .select(col("a.node").as("node"),
+          least(col("a.comp"), coalesce(col("b.ccomp"), col("a.comp"))).as("comp"))
       changed = next.withColumnRenamed("comp", "comp_next")
         .join(labels.withColumnRenamed("comp", "comp_prev"), Seq("node"))
         .filter(col("comp_next") =!= col("comp_prev")).count()
       labels = next
       rounds += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge after $rounds pointer-doubling rounds " +
+        s"($changed labels still moving) — refusing to return wrong components")
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
   }
 

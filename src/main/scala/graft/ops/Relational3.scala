@@ -135,7 +135,10 @@ object Relational3 {
   def q60ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
     val tk = split(lower(col("text")), " ")
     val head5 = slice(tk, 1, 5)
-    val tail5 = slice(tk, -5, 5)
+    // guarded tail: slice(tk, -5, 5) yields [] for arrays under 5 elements,
+    // but the SQL idiom toks[-5:] yields the whole array — clamp the start
+    // so both agree on short documents (latent only in larger fixtures)
+    val tail5 = slice(tk, greatest(size(tk) - lit(4), lit(1)), lit(5))
     Tables.load(s, dir, "documents")
       .select(
         col("doc_id"),

@@ -191,31 +191,38 @@ object Materializer {
 
   /** foreachBatch snapshot variant (the simpler ST3 shape): each
     * micro-batch merges updates into a parquet snapshot keyed by id —
-    * a durable read model a serving layer can scan.
+    * a durable read model a serving layer can scan via [[readSnapshot]].
+    *
+    * The merge is [[graft.log.EventLog.mergeSnapshotKeyed]]: the snapshot
+    * is bucketed by `id % numBuckets` and each micro-batch rewrites ONLY
+    * the buckets its keys touch (dynamic partition overwrite) — O(batch),
+    * not O(table), per trigger. Tombstones stay in the snapshot as rows
+    * with `deleted = true` (latest version wins, so a delete durably
+    * shadows earlier versions even if the checkpoint is lost and history
+    * replays); [[readSnapshot]] filters them out of the served model, the
+    * reference's drop-deleted-aggregates read behavior.
     */
   def startSnapshot(
       events: Dataset[Event],
       snapshotDir: String,
-      checkpointDir: String): StreamingQuery = {
-    val spark = events.sparkSession
+      checkpointDir: String,
+      numBuckets: Int = 64): StreamingQuery =
     materialize(events).writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[PlayerUpdate], _: Long) =>
-        import spark.implicits._
-        val updates = batch.dropDuplicates("id")
-        val existing =
-          try spark.read.parquet(snapshotDir).as[PlayerUpdate]
-          catch { case _: Exception => spark.emptyDataset[PlayerUpdate] }
-        existing
-          .join(updates.select(col("id")), Seq("id"), "left_anti")
-          .as[PlayerUpdate]
-          .union(updates.filter(!_.deleted))
-          .write.mode("overwrite").parquet(snapshotDir + ".tmp")
-        spark.read.parquet(snapshotDir + ".tmp")
-          .write.mode("overwrite").parquet(snapshotDir)
+        graft.log.EventLog.mergeSnapshotKeyed(
+          batch.dropDuplicates("id").toDF(), snapshotDir, "id", "version", numBuckets)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
-  }
+
+  /** The serving read model over a [[startSnapshot]] snapshot: live
+    * (non-tombstoned) players only, bucket column dropped.
+    */
+  def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
+    spark.read.parquet(snapshotDir)
+      .filter(!col("deleted"))
+      .drop("bucket")
 }

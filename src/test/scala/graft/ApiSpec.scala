@@ -108,4 +108,38 @@ class ApiSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(st == Map(7L -> "v2", 8L -> "w5"))
   }
+
+  test("authorizedView restricts rows and columns (P5 token-split analog)") {
+    import spark.implicits._
+    val accounts = Seq((1L, "alice", 100L), (2L, "bob", 250L), (3L, "carol", 75L))
+      .toDF("acct_id", "owner", "balance")
+    val v = Graft.authorizedView(accounts, col("owner") === "bob", Seq("acct_id", "balance"))
+    assert(v.columns.toSeq == Seq("acct_id", "balance"))
+    assert(v.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 250L)))
+    // no-column-restriction form keeps the full schema
+    val rowsOnly = Graft.authorizedView(accounts, col("balance") >= 100L)
+    assert(rowsOnly.columns.toSeq == accounts.columns.toSeq)
+    assert(rowsOnly.count() == 2L)
+  }
+
+  test("distributed CC converges on a chain deeper than the old round cap (pointer doubling)") {
+    import spark.implicits._
+    val n = 200
+    val pairs = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val comps = graft.ops.Extensions2.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxEdges = 0) // force the distributed path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == n && comps.values.forall(_ == 1L),
+      s"chain did not collapse to component 1: ${comps.values.toSet}")
+  }
+
+  test("reliable-checkpoint mode yields identical near-dup pairs (cluster-safe lineage)") {
+    spark.sparkContext.setCheckpointDir(tmpDir("reliable_ckpt"))
+    def run() = Graft.minhashNearDupPairs(corpus, "item_id", "body")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = run()
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try assert(run() == default)
+    finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
 }

@@ -173,4 +173,32 @@ class MaterializeSpec extends SparkSpec {
       assert(stateOf(events) == stateOf(events ++ events))
     }
   }
+
+  test("mergeSnapshot refuses a bucket-modulus mismatch (stale-bucket guard)") {
+    import spark.implicits._
+    val dir = tmpDir("snapshot_guard")
+    EventLog.mergeSnapshot(
+      Seq(Event(1, "PlayerCreated", 0, ts(0), payload("A", "B"))).toDF(), dir, numBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      EventLog.mergeSnapshot(
+        Seq(Event(2, "PlayerCreated", 0, ts(1), payload("C", "D"))).toDF(), dir, numBuckets = 16)
+    }
+    assert(e.getMessage.contains("numBuckets"))
+    // matching modulus still merges fine after the failed attempt
+    EventLog.mergeSnapshot(
+      Seq(Event(2, "PlayerCreated", 0, ts(1), payload("C", "D"))).toDF(), dir, numBuckets = 8)
+    assert(spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("allocateIds is deterministic when orderCol ties (stable whole-row tiebreak)") {
+    import spark.implicits._
+    val creates = Seq(("Same", "Alpha"), ("Same", "Beta"), ("Same", "Gamma"), ("Other", "Delta"))
+      .toDF("firstName", "lastName")
+    def assign() = EventLog.allocateIds(creates, spark.emptyDataset[Event], "firstName")
+      .collect().map(r => r.getAs[String]("lastName") -> r.getAs[Long]("id")).toMap
+    val first = assign()
+    (1 to 3).foreach(_ => assert(assign() == first))
+    assert(first.values.toSet == Set(1L, 2L, 3L, 4L))
+    assert(first("Delta") == 1L) // "Other" < "Same": orderCol still leads
+  }
 }

@@ -40,7 +40,7 @@ object StreamDemo {
     q.awaitTermination()
 
     println("SNAPSHOT_AFTER_REPLAY:")
-    spark.read.parquet(snap).orderBy("id").show(false)
+    Materializer.readSnapshot(spark, snap).orderBy("id").show(false)
 
     // a second command batch arrives; restart the stream (checkpoint resume)
     Seq(Event(3, "PlayerCreated", 0, ts(4), pay("New", "Joiner")))
@@ -50,7 +50,7 @@ object StreamDemo {
     q2.awaitTermination()
 
     println("SNAPSHOT_AFTER_SECOND_BATCH:")
-    spark.read.parquet(snap).orderBy("id").show(false)
+    Materializer.readSnapshot(spark, snap).orderBy("id").show(false)
     spark.stop()
   }
 }

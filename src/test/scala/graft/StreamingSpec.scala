@@ -265,4 +265,37 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
     assert(native == manual)
   }
+
+  test("startSnapshot merges micro-batches into touched buckets only; readSnapshot drops tombstones") {
+    import spark.implicits._
+    val root = tmpDir("snap_stream")
+    val spool = s"$root/spool"; val snap = s"$root/snapshot"; val ckpt = s"$root/ckpt"
+    val nb = 8
+    // batch 1: two creates, an update, a delete -> snapshot has a tombstone for id 2
+    fixture.toDS.write.mode("append").parquet(spool)
+    Materializer.startSnapshot(Materializer.readEventStream(spark, spool), snap, ckpt, nb)
+      .awaitTermination()
+    val served1 = Materializer.readSnapshot(spark, snap)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("firstName")).toMap
+    assert(served1 == Map(1L -> "Robertupdated"), s"got $served1")
+    // tombstone row IS durable in the raw snapshot (latest version wins)
+    val raw = spark.read.parquet(snap)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("deleted")).toMap
+    assert(raw == Map(1L -> false, 2L -> true))
+    // batch 2 touches only id 1 (bucket 1): the other bucket dir must not be rewritten
+    def newestMtime(b: Int) = {
+      val d = new java.io.File(s"$snap/bucket=$b")
+      if (!d.exists()) 0L else d.listFiles().map(_.lastModified()).max
+    }
+    val before2 = newestMtime(2)
+    Thread.sleep(1100) // mtime granularity
+    Seq(Event(1, "PlayerUpdated", 2, ts(9), payload("Again", "Renamed")))
+      .toDS.write.mode("append").parquet(spool)
+    Materializer.startSnapshot(Materializer.readEventStream(spark, spool), snap, ckpt, nb)
+      .awaitTermination()
+    assert(newestMtime(2) == before2, "bucket=2 was rewritten by a batch touching only id 1")
+    val served2 = Materializer.readSnapshot(spark, snap)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("firstName")).toMap
+    assert(served2 == Map(1L -> "Again"), s"got $served2")
+  }
 }
