@@ -80,11 +80,27 @@ object Graft {
   /** IVF approximate nearest neighbors: `centroids` (cell, cvec) is the
     * broadcast coarse quantizer; each query probes its best `probes` cells
     * and reranks members by exact cosine. Output (q_id, c_id, sim, rk).
+    * The preferred ANN shape at 100 TB — the centroid table comes from an
+    * offline k-means and the cell count scales with the corpus.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int = 5, probes: Int = 2): DataFrame =
     Extensions2.ivfTopK(corpus, queries, centroids, idCol, vecCol, k, probes)
+
+  /** Sign-bucket ANN with a parameterized quantizer width: 2^signBits
+    * cells. Size `signBits` with [[signBitsFor]] so cells stay
+    * executor-sized as the corpus grows — a fixed width turns every cell
+    * into a skew hotspot at scale.
+    */
+  def signBucketTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, signBits: Int = 6): DataFrame =
+    Extensions.signBucketTopK(corpus, queries, idCol, vecCol, k, signBits)
+
+  /** Quantizer width giving ~targetCellSize candidates per average cell. */
+  def signBitsFor(corpusCount: Long, targetCellSize: Long = 100000L): Int =
+    Extensions.signBitsFor(corpusCount, targetCellSize)
 
   // ---- sampling ------------------------------------------------------------
 

@@ -397,7 +397,47 @@ object Extensions {
     * k-means assignment table for [[x06AnnSignBucket]]'s bucket function
     * with no other plan change.
     */
+  /** Fixture-scale quantizer width: 64 cells, pinned so the oracle-checked
+    * x06/x13/x15 queries are stable. Production sizes the quantizer with
+    * [[signBitsFor]] (cells must grow with the corpus or every cell
+    * becomes a skew hotspot) or uses [[Extensions2.ivfTopK]] with real
+    * k-means centroids — the preferred shape at 100 TB.
+    */
   private val SignBits = 6
+
+  /** Quantizer width for a corpus of `corpusCount` vectors: enough sign
+    * bits that an average cell holds ~`targetCellSize` candidates (the
+    * unit of per-task ANN work). 2^bits cells, clamped to [4, 30] bits.
+    */
+  def signBitsFor(corpusCount: Long, targetCellSize: Long = 100000L): Int = {
+    val cells = math.max(1L, corpusCount / math.max(1L, targetCellSize))
+    math.min(30, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)))
+  }
+
+  /** Sign-bucket ANN over any (id, vector) corpus with a parameterized
+    * quantizer width — the library form behind the fixture-pinned x06.
+    * Each query meets only its own cell's candidates (equi-join on the
+    * bucket, query side broadcast); sims round before ranking. Output
+    * (q_id, c_id, sim, rk), rk <= k.
+    */
+  def signBucketTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, signBits: Int): DataFrame = {
+    def bucket(v: Column): Column =
+      (0 until signBits).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
+        .reduce(_ + _)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"),
+      bucket(col(vecCol)).as("bkt"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      bucket(col(vecCol)).as("bkt"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    c.join(broadcast(q), Seq("bkt"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
 
   def x06AnnSignBucket(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)

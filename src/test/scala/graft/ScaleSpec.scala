@@ -85,4 +85,61 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
     spark.sql("DROP TABLE IF EXISTS events_bucketed")
   }
+
+  test("hot boilerplate shingle: AQE splits the skewed join partition and runtime stays bounded") {
+    import spark.implicits._
+    // 20% of docs share a boilerplate prefix -> its shingles are hot join
+    // keys; the rest are unique. This is the skew shape x02's comment
+    // claims AQE covers — prove it: the final adaptive plan must carry a
+    // skew=true shuffle read on the pair join.
+    // a 10-word boilerplate -> six hot shingle keys each shared by 50%
+    // of docs; every other shingle is unique. With 64 shuffle partitions
+    // the median partition is a few hundred rows while the hot keys'
+    // partitions carry thousands — the classic boilerplate skew profile
+    // (measured: >2.3x the median partition bytes, vs factor 2.0).
+    val boiler = "all rights reserved by megacorp incorporated until further notice as specified"
+    val corpus = (1 to 5000).map { i =>
+      val tail = (1 to 10).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"$boiler $tail" else tail)
+    }.toDF("doc_id", "text")
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "64",
+      // the self-join reuses one exchange for both sides; disable reuse so
+      // AQE sees two independent shuffle stages it can skew-split
+      "spark.sql.exchange.reuse" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pairs = graft.ops.Extensions.jaccardPairs(corpus, "doc_id", "text", threshold = 0.9)
+      // collect() drives THIS Dataset's QueryExecution so the adaptive plan
+      // below is the final one (count() would plan a separate query)
+      val n = pairs.collect().length // completes: candidates are bucketed, never n^2
+      assert(n == 0, s"0.9-threshold pairs on unique tails, got $n")
+      val finalPlan = pairs.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split shuffle read in the adaptive plan:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("signBitsFor scales the quantizer with the corpus; parameterized signBucketTopK agrees with x06 at 6 bits") {
+    import graft.api.Graft
+    assert(Graft.signBitsFor(1000L) == 4)              // clamp floor
+    assert(Graft.signBitsFor(1L << 30, 1L << 20) == 10) // 1024 cells -> 10 bits
+    assert(Graft.signBitsFor(Long.MaxValue / 2) == 30)  // clamp ceiling
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val got = Graft.signBucketTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, signBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val x06 = graft.ops.Extensions.x06AnnSignBucket(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    assert(got == x06)
+  }
 }
