@@ -125,7 +125,9 @@ object Relational3 {
         array_join(array_sort(map_keys(m)), ",").as("keys"),
         element_at(m, "k").cast("long").as("k_val"),
         size(map_keys(m)).cast("long").as("n_keys"),
-        map_contains_key(m, "k").as("has_k"))
+        // non-null membership, not key presence: a JSON null value for "k"
+        // must read false here to match json_extract_string IS NOT NULL
+        element_at(m, "k").isNotNull.as("has_k"))
       .orderBy(col("event_id"))
   }
 

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Round-over-round bench trend (VERDICT r2 item 8): reads every
+  * `BENCH_r*.json` driver artifact in the repo root and prints a markdown
+  * table — per-round query count, summed seconds, common-query sum vs the
+  * previous round, and the worst-5 queries — so a regression like round 2's
+  * is self-caught instead of discovered at judging.
+  *
+  * Robust to the artifacts' actual shape: `parsed` is often null and the
+  * per-query times live as a (possibly front-truncated) JSON fragment in
+  * `tail`, so times are recovered with a regex over `"name":seconds` pairs.
+  *
+  * Run: `sbt "Test/runMain graft.BenchTrend"` (paste output into README).
+  */
+object BenchTrend {
+  // quotes may arrive JSON-escaped (\") when the fragment sits inside `tail`
+  private val pair = """\\?"((?:q|x)\d{2}[a-z0-9_]*)\\?":([0-9]+\.[0-9]+)""".r
+
+  def parse(text: String): Map[String, Double] =
+    pair.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  def main(args: Array[String]): Unit = {
+    val root = Paths.get(args.headOption.getOrElse("."))
+    val rounds = Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map(p => p.getFileName.toString.replaceAll("\\D", "").toInt ->
+        parse(new String(Files.readAllBytes(p), "UTF-8")))
+      .filter(_._2.nonEmpty)
+    if (rounds.isEmpty) { println("no BENCH_r*.json artifacts found"); return }
+
+    println("| round | queries | sum (s) | common-query sum vs prev | worst 5 |")
+    println("|---|---|---|---|---|")
+    rounds.zipWithIndex.foreach { case ((r, qs), i) =>
+      val sum = qs.values.sum
+      val vsPrev =
+        if (i == 0) "-"
+        else {
+          val prev = rounds(i - 1)._2
+          val common = qs.keySet & prev.keySet
+          val (now, was) = (common.toSeq.map(qs).sum, common.toSeq.map(prev).sum)
+          f"$now%.1fs vs $was%.1fs (${now / was}%.2fx, ${common.size} q)"
+        }
+      val worst = qs.toSeq.sortBy(-_._2).take(5)
+        .map { case (n, s) => f"$n $s%.1f" }.mkString(", ")
+      println(f"| r$r | ${qs.size} | $sum%.1f | $vsPrev | $worst |")
+    }
+  }
+}

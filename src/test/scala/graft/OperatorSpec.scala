@@ -52,6 +52,18 @@ class OperatorSpec extends SparkSpec {
     assert(nullUsers == allClickUsers, s"$nullUsers null-folded vs $allClickUsers all-click users")
   }
 
+  test("q59 has_k is non-null membership: a JSON null value reads false (oracle IS NOT NULL parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val m = from_json(col("props"), MapType(StringType, StringType))
+    val got = Seq("""{"k": 1}""", """{"k": null}""", """{"j": 2}""")
+      .toDF("props")
+      .select(element_at(m, "k").isNotNull.as("has_k"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false, false),
+      s"JSON-null k must read false like json_extract_string IS NOT NULL, got $got")
+  }
+
   test("q64 nth_value: single-order customers get NULL second-cheapest") {
     val df = run("q64_nth_value")
     val singles = df.groupBy(col("o_custkey")).count().filter(col("count") === 1).count()
