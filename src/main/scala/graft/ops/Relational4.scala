@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Fourth relational batch — inverse-distribution aggregates, linear
+  * regression aggregates, deterministic mode, gaps-and-islands, and
+  * correlated LATERAL joins. All [absent] in the reference (key-value
+  * read model only, SURVEY §2.3-§2.5); they round out the analytic SQL
+  * surface a user migrating real dashboards would hit next.
+  *
+  * Scale notes: q74/q75 are single hash-agg passes (both aggregate
+  * families carry partial state — Spark's percentile buffers per group
+  * and regr_* moment tuples combine map-side). q76/q77 are one shuffle
+  * on the group key plus a bounded window. q78's lateral top-2 plans as
+  * a window-ranked join, not a per-row subquery execution — the same
+  * shape a 1000-executor run wants.
+  */
+object Relational4 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Inverse-distribution aggregates: continuous (interpolated) and
+    * discrete percentiles per return-flag cohort, WITHIN GROUP ordering.
+    * percentile_cont interpolates linearly between adjacent order
+    * statistics; percentile_disc returns an actual data value.
+    */
+  def q74Percentiles(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_pct_v")
+    s.sql("""
+      SELECT l_returnflag,
+             round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25,
+             round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median,
+             round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p75,
+             round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median_disc
+      FROM lineitem_pct_v
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  }
+
+  /** Bivariate linear-regression aggregates: OLS slope/intercept/R² of
+    * extended price on quantity per return flag. The regr_* family keeps
+    * a six-number moment tuple per group, so partial aggregation combines
+    * map-side — one shuffle of O(groups) rows at any scale.
+    */
+  def q75RegrAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Deterministic mode: each user's most frequent event type, ties broken
+    * lexicographically. Built as count + window-rank rather than `mode()`
+    * because both engines' mode() picks an arbitrary value on ties —
+    * determinism is part of the operator contract here.
+    */
+  def q76DeterministicMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"), col("n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Gaps-and-islands: maximal runs of consecutive event_ids per user
+    * within the click stream. The classic row_number-difference grouping:
+    * consecutive ids share (event_id - row_number), one window + one agg.
+    */
+  def q77Islands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .withColumn("grp", col("event_id") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(
+        min(col("event_id")).as("start_id"),
+        max(col("event_id")).as("end_id"),
+        count(lit(1)).as("len"))
+      .select(col("user_id"), col("start_id"), col("end_id"), col("len"))
+      .orderBy(col("user_id"), col("start_id"))
+  }
+
+  /** Correlated LATERAL join: each high-balance customer's two most
+    * expensive orders. The lateral subquery is correlated on c_custkey
+    * and carries its own ORDER BY + LIMIT; Catalyst decorrelates it into
+    * a ranked join rather than executing per outer row.
+    */
+  def q78LateralTopN(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_lat_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_lat_v")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+      FROM customer_lat_v c,
+      LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders_lat_v o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+      ) t
+      WHERE c.c_acctbal > 9000
+      ORDER BY c.c_custkey, price DESC, t.o_orderkey""")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q74_percentiles" -> """
+      SELECT l_returnflag,
+             round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25,
+             round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median,
+             round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p75,
+             round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median_disc
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q75_regr_agg" -> """
+      SELECT l_returnflag,
+             round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+             regr_count(l_extendedprice, l_quantity) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q76_deterministic_mode" -> """
+      SELECT user_id, event_type AS modal_type, count(*) AS n
+      FROM events
+      GROUP BY user_id, event_type
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY count(*) DESC, event_type) = 1
+      ORDER BY user_id""",
+    "q77_islands" -> """
+      WITH clicks AS (
+        SELECT user_id, event_id,
+               event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+        FROM events WHERE event_type = 'click')
+      SELECT user_id, min(event_id) AS start_id, max(event_id) AS end_id,
+             count(*) AS len
+      FROM clicks
+      GROUP BY user_id, grp
+      ORDER BY user_id, start_id""",
+    "q78_lateral_topn" -> """
+      SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+      FROM customer c,
+      LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+      ) t
+      WHERE c.c_acctbal > 9000
+      ORDER BY c.c_custkey, price DESC, t.o_orderkey""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_percentiles" -> (q74Percentiles _),
+    "q75_regr_agg" -> (q75RegrAgg _),
+    "q76_deterministic_mode" -> (q76DeterministicMode _),
+    "q77_islands" -> (q77Islands _),
+    "q78_lateral_topn" -> (q78LateralTopN _))
+}
