@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Multimodal}
+import graft.ops.{Extensions, Extensions2, Extensions3, Multimodal}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -101,6 +101,37 @@ object Graft {
   /** Quantizer width giving ~targetCellSize candidates per average cell. */
   def signBitsFor(corpusCount: Long, targetCellSize: Long = 100000L): Int =
     Extensions.signBitsFor(corpusCount, targetCellSize)
+
+  /** OR-amplified LSH ANN: `nTables` independent sign-hash tables over
+    * disjoint coordinate blocks; candidates matching in ANY table are
+    * exact-reranked. More tables buy recall at linear candidate cost —
+    * still bucketed equi-joins, never all-pairs.
+    */
+  def multiTableSignTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, nTables: Int = 3, bitsPerTable: Int = 6): DataFrame =
+    Extensions3.multiTableSignTopK(corpus, queries, idCol, vecCol, k, nTables, bitsPerTable)
+
+  // ---- document hygiene ----------------------------------------------------
+
+  /** Gopher-style intra-document repetition metrics (duplicate-token,
+    * duplicate-n-gram, top-n-gram fractions) over any (id, text) corpus.
+    * Map-only: the most-frequent-gram count is a sort + linear-run HOF
+    * inside the row, so no shuffle at any corpus size.
+    */
+  def repetitionMetrics(
+      df: DataFrame, idCol: String, textCol: String,
+      dupN: Int = 5, topN: Int = 2): DataFrame =
+    Extensions3.repetitionMetrics(df, idCol, textCol, dupN, topN)
+
+  /** Deterministic concat-and-chunk sequence packing: documents in id
+    * order within each shard, split at `budget` tokens. One shuffle on the
+    * shard key; no global order required at scale.
+    */
+  def packSequences(
+      df: DataFrame, shardCol: String, idCol: String, textCol: String,
+      budget: Int = 2048): DataFrame =
+    Extensions3.packSequences(df, shardCol, idCol, textCol, budget)
 
   // ---- sampling ------------------------------------------------------------
 

@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Third extension batch — LLM-training-pipeline operators beyond the
+  * dedup/ANN/quality families of Extensions/Extensions2: intra-document
+  * repetition metrics (the Gopher-style repetition filters), deterministic
+  * sequence packing (concat-and-chunk into fixed token budgets), and
+  * OR-amplified multi-table LSH ANN (recall amplification by unioning
+  * independent hash tables).
+  *
+  * Scale notes: x22 is map-only — every metric, including the
+  * most-frequent-2-gram fraction, is computed inside the row via
+  * sort + linear-run-scan HOFs, so a 100 TB corpus needs zero shuffles.
+  * x23 shuffles once on the shard key and packs within sorted shards
+  * (the global order a single window would need does not exist at scale;
+  * per-shard packing is what a real pipeline does). x24 joins queries to
+  * candidates on (table, bucket) equi-keys — 3x the candidate volume of
+  * one table, never all-pairs.
+  */
+object Extensions3 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Word n-grams as space-joined strings; empty array when the document
+    * is shorter than `n` (sequence() would otherwise count backwards).
+    */
+  private def grams(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Longest run of equal adjacent values in a pre-sorted string array —
+    * i.e. the count of the most frequent element — as a single linear
+    * fold. Keeps the most-frequent-n-gram metric map-only: no per-doc
+    * explode+groupBy shuffle, no O(n^2) per-row counting.
+    */
+  private def maxRunSorted(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style intra-document repetition metrics over any (id, text)
+    * corpus — duplicate-token fraction, duplicate-`dupN`-gram fraction,
+    * and the fraction of `topN`-gram slots taken by the single most
+    * frequent one. High values flag the boilerplate/spam documents a
+    * training pipeline drops before dedup. Map-only at any scale.
+    */
+  def repetitionMetrics(
+      df: DataFrame, idCol: String, textCol: String,
+      dupN: Int = 5, topN: Int = 2): DataFrame = {
+    val tk = split(lower(col(textCol)), " ")
+    val gd = grams(tk, dupN)
+    val gt = grams(tk, topN)
+    df.select(
+      col(idCol),
+      size(tk).cast("long").as("n_tok"),
+      round(lit(1.0) - size(array_distinct(tk)) / size(tk).cast("double"), 4)
+        .as("dup_tok_frac"),
+      when(size(gd) > 0,
+        round(lit(1.0) - size(array_distinct(gd)) / size(gd).cast("double"), 4))
+        .otherwise(lit(0.0)).as(s"dup_${dupN}gram_frac"),
+      when(size(gt) > 0,
+        round(maxRunSorted(array_sort(gt)) / size(gt).cast("double"), 4))
+        .otherwise(lit(0.0)).as(s"top_${topN}gram_frac"))
+  }
+
+  /** x22: [[repetitionMetrics]] bound to the documents fixture. */
+  def x22Repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))
+
+  /** Deterministic sequence packing — concatenate documents in id order
+    * within each shard and split at a fixed token budget (a chunk is the
+    * context window a trainer fills; a document belongs to the chunk
+    * holding its first token). Per-shard windows keep the sort
+    * distributed; there is no global order at 100 TB.
+    */
+  def packSequences(
+      df: DataFrame, shardCol: String, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(shardCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .withColumn("chunk_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / budget))
+      .groupBy(col(shardCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("chunk_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
+  /** x23: [[packSequences]] bound to the documents fixture, 512-token
+    * chunks sharded by language.
+    */
+  def x23SequencePacking(s: SparkSession, dir: String): DataFrame =
+    packSequences(docs(s, dir), "lang", "doc_id", "text", budget = 512)
+      .orderBy(col("lang"), col("chunk_id"))
+
+  /** x24: OR-amplified LSH ANN — three independent sign-hash tables over
+    * disjoint coordinate blocks; a candidate matches if it shares a bucket
+    * with the query in ANY table (union → distinct → exact rerank). Each
+    * extra table multiplies recall against an unlucky single quantizer at
+    * linear candidate cost — the standard L-table LSH trade, still an
+    * equi-join per table and never all-pairs.
+    */
+  def multiTableSignTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nTables: Int = 3, bitsPerTable: Int = 6): DataFrame = {
+    def bucket(v: Column, t: Column): Column =
+      (0 until bitsPerTable).map(d =>
+        when(element_at(v, (t * bitsPerTable + lit(d + 1)).cast("int")) > 0f, lit(1 << d))
+          .otherwise(lit(0)))
+        .reduce(_ + _)
+    def tabled(df: DataFrame, id: String, vec: String) = df
+      .select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until nTables).map(lit(_)): _*)).as("t"))
+      .withColumn("bkt", bucket(col(vec), col("t")))
+    val cand = tabled(corpus, "c_id", "cv")
+      .join(broadcast(tabled(queries, "q_id", "qv")), Seq("t", "bkt"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("c_id"), col("cv"))
+      .dropDuplicates("q_id", "c_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    cand
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosine_similarity(col("qv"), col("cv")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  /** x24: [[multiTableSignTopK]] bound to the embeddings fixture — 3
+    * tables over disjoint 6-bit coordinate blocks, top-3.
+    */
+  def x24AnnMultiTable(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    multiTableSignTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x22_repetition" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      feat AS (
+        SELECT doc_id, tk,
+               CASE WHEN len(tk) >= 5
+                    THEN list_transform(generate_series(1, len(tk) - 4),
+                                        i -> array_to_string(tk[i:i+4], ' '))
+                    ELSE [] END AS g5,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(generate_series(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+1], ' '))
+                    ELSE [] END AS g2
+        FROM tok),
+      g2cnt AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM feat, UNNEST(g2) AS u(g)
+        GROUP BY doc_id, g),
+      top2 AS (
+        SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot
+        FROM g2cnt GROUP BY doc_id)
+      SELECT f.doc_id,
+             CAST(len(f.tk) AS BIGINT) AS n_tok,
+             round(1.0 - len(list_distinct(f.tk)) * 1.0 / len(f.tk), 4) AS dup_tok_frac,
+             CASE WHEN len(f.g5) > 0
+                  THEN round(1.0 - len(list_distinct(f.g5)) * 1.0 / len(f.g5), 4)
+                  ELSE 0.0 END AS dup_5gram_frac,
+             coalesce(round(t.mx * 1.0 / t.tot, 4), 0.0) AS top_2gram_frac
+      FROM feat f LEFT JOIN top2 t ON f.doc_id = t.doc_id
+      ORDER BY f.doc_id""",
+    "x23_sequence_packing" -> """
+      WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      packed AS (
+        SELECT doc_id, lang, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok) / 512) AS BIGINT) AS chunk_id
+        FROM tok)
+      SELECT lang, chunk_id, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM packed
+      GROUP BY lang, chunk_id
+      ORDER BY lang, chunk_id""",
+    "x24_ann_multitable" -> """
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, t,
+               (CASE WHEN embedding[t*6+1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[t*6+2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[t*6+3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[t*6+4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[t*6+5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[t*6+6] > 0 THEN 32 ELSE 0 END) AS bkt
+        FROM embeddings, UNNEST([0, 1, 2]) AS u(t)),
+      q AS (SELECT vec_id AS q_id, v AS qv, t, bkt FROM base WHERE vec_id < 10),
+      cand AS (
+        SELECT DISTINCT q.q_id, c.vec_id AS c_id
+        FROM base c JOIN q ON c.t = q.t AND c.bkt = q.bkt
+        WHERE c.vec_id <> q.q_id),
+      scored AS (
+        SELECT cand.q_id, cand.c_id,
+               round(list_cosine_similarity(
+                 (SELECT v FROM base b WHERE b.vec_id = cand.q_id AND b.t = 0),
+                 (SELECT v FROM base b WHERE b.vec_id = cand.c_id AND b.t = 0)), 4) AS sim
+        FROM cand),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        FROM scored)
+      SELECT q_id, c_id, sim, rk FROM ranked WHERE rk <= 3
+      ORDER BY q_id, rk""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x22_repetition" -> (x22Repetition _),
+    "x23_sequence_packing" -> (x23SequencePacking _),
+    "x24_ann_multitable" -> (x24AnnMultiTable _))
+}

@@ -27,15 +27,21 @@ object Relational4 {
     * discrete percentiles per return-flag cohort, WITHIN GROUP ordering.
     * percentile_cont interpolates linearly between adjacent order
     * statistics; percentile_disc returns an actual data value.
+    *
+    * Cross-engine determinism: the continuous percentiles run over
+    * integer-quantized prices so the quartile interpolation weights
+    * (0/.25/.5/.75) stay dyadic — the interpolated double is then
+    * bit-exact in any engine, where raw-price interpolation differs in
+    * the last ulp and flips round() at half boundaries.
     */
   def q74Percentiles(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem_pct_v")
     s.sql("""
       SELECT l_returnflag,
-             round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25,
-             round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median,
-             round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p75,
-             round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median_disc
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY round(l_extendedprice)) AS p25,
+             percentile_cont(0.5)  WITHIN GROUP (ORDER BY round(l_extendedprice)) AS median,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY round(l_extendedprice)) AS p75,
+             round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median_disc
       FROM lineitem_pct_v
       GROUP BY l_returnflag
       ORDER BY l_returnflag""")
@@ -118,10 +124,10 @@ object Relational4 {
   val oracles: Map[String, String] = Map(
     "q74_percentiles" -> """
       SELECT l_returnflag,
-             round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25,
-             round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median,
-             round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p75,
-             round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median_disc
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY round(l_extendedprice)) AS p25,
+             percentile_cont(0.5)  WITHIN GROUP (ORDER BY round(l_extendedprice)) AS median,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY round(l_extendedprice)) AS p75,
+             round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median_disc
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",

@@ -142,4 +142,52 @@ class ApiSpec extends SparkSpec {
     try assert(run() == default)
     finally spark.conf.unset("spark.graft.reliableCheckpoint")
   }
+
+  test("repetitionMetrics: hand-checkable fractions on a known-repetitive doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),             // 4 tokens, 1 distinct; 2-grams: "a a" x3
+      (2L, "u v w x y z"),         // all unique; 2 five-grams, both distinct
+      (3L, "solo")                 // too short for any gram
+    ).toDF("doc_id", "text")
+    val m = Graft.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((4L, 0.75, 0.0, 1.0)))   // dup_tok 3/4; <5 tok; top 2-gram 3/3
+    assert(m(2L) == ((6L, 0.0, 0.0, 0.2)))    // unique; 2 distinct 5-grams; top 2-gram 1/5
+    assert(m(3L) == ((1L, 0.0, 0.0, 0.0)))    // guards, not sequence(0,-n) garbage
+  }
+
+  test("packSequences: chunk assignment follows the first token's offset") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", 300), (2L, "en", 300), (3L, "en", 300), (4L, "de", 10)
+    ).map { case (id, lang, n) => (id, lang, (1 to n).map(_ => "w").mkString(" ")) }
+      .toDF("doc_id", "lang", "text")
+    val chunks = Graft.packSequences(docs, "lang", "doc_id", "text", budget = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // en: doc1 starts at 0 -> chunk 0, doc2 at 300 -> chunk 0, doc3 at 600 -> chunk 1
+    assert(chunks(("en", 0L)) == ((2L, 600L, 1L, 2L)))
+    assert(chunks(("en", 1L)) == ((1L, 300L, 3L, 3L)))
+    assert(chunks(("de", 0L)) == ((1L, 10L, 4L, 4L)))
+  }
+
+  test("multi-table LSH recall >= single-table recall vs brute-force truth") {
+    val e = graft.model.Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(graft.ops.Extensions.x05CosineTopk(spark, sf0001)
+      .filter(col("rk") <= 3).select("q_id", "c_id"))
+    val single = hits(Graft.signBucketTopK(e, q, "vec_id", "embedding", k = 3)
+      .select("q_id", "c_id"))
+    val multi = hits(Graft.multiTableSignTopK(e, q, "vec_id", "embedding", k = 3)
+      .select("q_id", "c_id"))
+    val (rSingle, rMulti) =
+      ((brute & single).size.toDouble / brute.size, (brute & multi).size.toDouble / brute.size)
+    assert(rMulti >= rSingle,
+      s"OR-amplification must not lose recall: multi $rMulti vs single $rSingle")
+    assert(rMulti > 0.0, "multi-table found none of the true top-3")
+  }
 }
