@@ -121,6 +121,24 @@ object Relational4 {
       ORDER BY c.c_custkey, price DESC, t.o_orderkey""")
   }
 
+  /** Spark 4 VariantType payload access: parse the JSON props envelope
+    * once into a variant (binary semi-structured encoding — no schema
+    * declared up front, unlike from_json) and extract typed fields.
+    * variant_get casts strictly; try_variant_get yields NULL on a type
+    * miss. The VERDICT-noted alternative to q28/q59's fixed-schema paths.
+    */
+  def q79Variant(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events_var_v")
+    s.sql("""
+      SELECT event_id,
+             variant_get(parse_json(props), '$.k', 'bigint') AS k_val,
+             variant_get(parse_json(props), '$.k', 'string') AS k_str,
+             CAST(try_variant_get(parse_json(props), '$.k', 'date') AS STRING) AS k_as_date,
+             try_variant_get(parse_json(props), '$.missing', 'bigint') IS NULL AS missing_absent
+      FROM events_var_v
+      ORDER BY event_id""")
+  }
+
   val oracles: Map[String, String] = Map(
     "q74_percentiles" -> """
       SELECT l_returnflag,
@@ -157,6 +175,14 @@ object Relational4 {
       FROM clicks
       GROUP BY user_id, grp
       ORDER BY user_id, start_id""",
+    "q79_variant" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             json_extract_string(props, '$.k') AS k_str,
+             CAST(TRY_CAST(json_extract_string(props, '$.k') AS DATE) AS VARCHAR) AS k_as_date,
+             json_extract_string(props, '$.missing') IS NULL AS missing_absent
+      FROM events
+      ORDER BY event_id""",
     "q78_lateral_topn" -> """
       SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
       FROM customer c,
@@ -175,5 +201,6 @@ object Relational4 {
     "q75_regr_agg" -> (q75RegrAgg _),
     "q76_deterministic_mode" -> (q76DeterministicMode _),
     "q77_islands" -> (q77Islands _),
-    "q78_lateral_topn" -> (q78LateralTopN _))
+    "q78_lateral_topn" -> (q78LateralTopN _),
+    "q79_variant" -> (q79Variant _))
 }

@@ -129,6 +129,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("x02 self-join computes the shingle index ONCE (AQE stage reuse on the shk exchange)") {
+    val df = graft.ops.Extensions.x02JaccardPairs(spark, sf0001)
+    df.collect() // drives THIS QueryExecution so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"the y side must reuse the x side's index exchange:\n$plan")
+  }
+
+  test("repetitionMetrics is map-only: zero exchanges in the physical plan") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val plan = graft.api.Graft.repetitionMetrics(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"every metric (incl. top-n-gram) must stay inside the row:\n$plan")
+  }
+
+  test("q78 lateral LIMIT decorrelates to WindowGroupLimit + broadcast join, no per-row subquery") {
+    val df = graft.ops.Relational4.q78LateralTopN(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side partial top-k pushdown:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"lateral must not go cartesian:\n$plan")
+  }
+
   test("signBitsFor scales the quantizer with the corpus; parameterized signBucketTopK agrees with x06 at 6 bits") {
     import graft.api.Graft
     assert(Graft.signBitsFor(1000L) == 4)              // clamp floor
