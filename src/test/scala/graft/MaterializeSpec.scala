@@ -127,6 +127,18 @@ class MaterializeSpec extends SparkSpec {
       .option("header", "true").csv(csvDir)
     assert(Materialize.latestState(fromCsv, "id", "version")
       .collect().map(_.getLong(0)).sorted.toSeq == expected)
+
+    // ORC: the other columnar format Spark ships natively; verify the
+    // round-trip AND that predicate pushdown reaches the ORC scan
+    val orcDir = tmpDir("log_orc")
+    events.write.mode("overwrite").orc(orcDir)
+    val fromOrc = spark.read.orc(orcDir)
+    assert(Materialize.latestState(fromOrc, "id", "version")
+      .collect().map(_.getLong(0)).sorted.toSeq == expected)
+    val filtered = fromOrc.filter(org.apache.spark.sql.functions.col("id") === 1L)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,1)]"),
+      s"ORC scan must receive the id predicate:\n$scan")
   }
 
   test("incremental snapshot merge rewrites only touched buckets and equals the full fold") {
