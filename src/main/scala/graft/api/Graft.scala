@@ -133,6 +133,40 @@ object Graft {
       budget: Int = 2048): DataFrame =
     Extensions3.packSequences(df, shardCol, idCol, textCol, budget)
 
+  /** Keep at most `cap` rows per domain, preferring the highest `orderCol`
+    * (C4/RefinedWeb-style anti-monopoly guard). Map-side WindowGroupLimit
+    * trims before the shuffle.
+    */
+  def domainCap(
+      df: DataFrame, domainCol: String, orderCol: String, idCol: String,
+      cap: Int): DataFrame =
+    Extensions3.domainCap(df, domainCol, orderCol, idCol, cap)
+
+  /** Temperature-based mixture sampling: per-group rates ∝ count^alpha,
+    * scaled to ~targetRows expected output, applied via a deterministic
+    * md5 threshold (integer-quantized — engine- and retry-stable).
+    */
+  def temperatureMix(
+      df: DataFrame, groupCol: String, keyCol: String,
+      alpha: Double, targetRows: Long): DataFrame =
+    Extensions3.temperatureMix(df, groupCol, keyCol, alpha, targetRows)
+
+  /** Per-document fraction of distinct n-grams shared with any other
+    * document (cross-doc duplication signal, Lee et al. substring-dedup
+    * at n-gram granularity). Hash-keyed end to end.
+    */
+  def dupGramCoverage(df: DataFrame, idCol: String, textCol: String, n: Int = 10): DataFrame =
+    Extensions3.dupGramCoverage(df, idCol, textCol, n)
+
+  /** Distributed deterministic Lloyd's k-means over an embedding column —
+    * builds the (cell, cvec) table [[ivfTopK]] consumes, completing the
+    * production ANN path (train once offline, broadcast at query time).
+    */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame =
+    Extensions3.trainCentroids(corpus, idCol, vecCol, k, iters)
+
   // ---- sampling ------------------------------------------------------------
 
   /** Deterministic stratified sample: per-stratum rates via an md5-bucket

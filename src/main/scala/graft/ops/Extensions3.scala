@@ -154,7 +154,169 @@ object Extensions3 {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Domain capping: keep at most `cap` rows per domain, preferring the
+    * highest `orderCol` (ties broken by id) — the C4/RefinedWeb-style
+    * guard against any single site dominating the corpus. One window
+    * shuffle on the domain key; `WindowGroupLimit` trims each partition
+    * map-side before the exchange.
+    */
+  def domainCap(
+      df: DataFrame, domainCol: String, orderCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+
+  /** x25: [[domainCap]] on the documents fixture — 5 longest docs per
+    * source.
+    */
+  def x25DomainCap(s: SparkSession, dir: String): DataFrame =
+    domainCap(docs(s, dir), "source", "n_chars", "doc_id", cap = 5)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+      .orderBy(col("doc_id"))
+
+  /** Temperature-based mixture sampling: per-group sampling rates
+    * proportional to n_g^alpha (alpha < 1 upweights small groups — the
+    * standard multilingual rebalancing), scaled to an expected
+    * `targetRows` total and applied via a deterministic md5 threshold
+    * (no RNG state: retries, re-partitioning, and engine choice all
+    * reproduce the same sample). The group-weight table is O(groups) and
+    * broadcasts; the corpus is filtered map-side.
+    *
+    * The threshold compares integers (rate quantized to 2^20 buckets) so
+    * engines cannot disagree at a float boundary.
+    */
+  def temperatureMix(
+      df: DataFrame, groupCol: String, keyCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    val weights = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"))
+      .withColumn("w_g", pow(col("n_g"), alpha))
+    val z = weights.agg(sum(col("w_g")).as("z"))
+    val rates = weights.crossJoin(broadcast(z))
+      .withColumn("thr",
+        floor(least(lit(1.0), col("w_g") / col("z") * targetRows / col("n_g"))
+          * (1L << 20)).cast("long"))
+      .select(col(groupCol), col("thr"))
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") % (1L << 20)
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(bucket < col("thr"))
+      .select(df.columns.map(col): _*) // keep the caller's column order
+  }
+
+  /** x26: [[temperatureMix]] on the documents fixture — alpha 0.5 over
+    * the skewed language distribution, expected 200 rows.
+    */
+  def x26TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMix(docs(s, dir), "lang", "doc_id", alpha = 0.5, targetRows = 200L)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Cross-document duplicated-n-gram coverage: per document, the
+    * fraction of its distinct n-grams that also appear in at least one
+    * OTHER document — the Lee-et-al substring-dedup signal at n-gram
+    * granularity. Grams live as 8-byte xxhash64 keys end to end: the
+    * doc-frequency agg and the back-join shuffle hashes, never text.
+    */
+  def dupGramCoverage(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val idx = Extensions.shingleIndexFastOf(df, idCol, textCol, n)
+    val docFreq = idx.groupBy(col("shk"))
+      .agg(count_distinct(col("doc_id")).as("df_docs"))
+    idx.join(docFreq, Seq("shk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df_docs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac", round(col("n_dup_grams") / col("n_grams"), 4))
+  }
+
+  /** x27: [[dupGramCoverage]] at 10-gram granularity on the documents
+    * fixture.
+    */
+  def x27DupGramCoverage(s: SparkSession, dir: String): DataFrame =
+    dupGramCoverage(docs(s, dir), "doc_id", "text", n = 10)
+      .orderBy(col("doc_id"))
+
+  /** Distributed Lloyd's k-means over an embedding column — builds the
+    * (cell, cvec) centroid table [[Extensions2.ivfTopK]] consumes, making
+    * the IVF path self-contained. Deterministic: seeds are the k
+    * lowest-id vectors; each iteration is one broadcast-assign (k
+    * distances per row, map-side) + one dimension-exploded mean
+    * (groupBy (cell, dim) partial-agg — never a per-cell collect). At
+    * 100 TB: k and dim are small; every stage is a narrow hash-agg.
+    */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var centroids = vecs.orderBy(col("id")).limit(k)
+      .orderBy(col("id"))
+      .select((row_number().over(Window.orderBy(col("id"))) - 1).cast("int").as("cell"),
+        col("v").as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned = vecs.crossJoin(broadcast(centroids))
+        .withColumn("d2", aggregate(
+          zip_with(col("v"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("cell"), col("v"))
+      centroids = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).cast("float").as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ps"))
+        .select(col("cell"), transform(col("ps"), p => p.getField("m")).as("cvec"))
+      centroids = Extensions.materialized(centroids) // bound lineage across iters
+    }
+    centroids
+  }
+
   val oracles: Map[String, String] = Map(
+    "x25_domain_cap" -> """
+      SELECT doc_id, source, n_chars, rk FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 5
+      ORDER BY doc_id""",
+    "x26_temperature_mix" -> """
+      WITH cnt AS (
+        SELECT lang, count(*) AS n_g, pow(count(*), 0.5) AS w_g
+        FROM documents GROUP BY lang),
+      rates AS (
+        SELECT lang,
+               CAST(floor(least(1.0, w_g / (SELECT sum(w_g) FROM cnt) * 200 / n_g)
+                          * 1048576) AS BIGINT) AS thr
+        FROM cnt)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 < r.thr
+      ORDER BY d.doc_id""",
+    "x27_dupgram_coverage" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      sh0 AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 10 THEN array_to_string(toks[i:i+9], ' ')
+                          ELSE array_to_string(toks, ' ') END AS sh
+              FROM d, UNNEST(generate_series(1, CASE WHEN len(toks) >= 10 THEN len(toks)-9 ELSE 1 END)) AS g(i)),
+      sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+      freq AS (SELECT sh, count(DISTINCT doc_id) AS df_docs FROM sh GROUP BY sh)
+      SELECT s.doc_id,
+             count(*) AS n_grams,
+             CAST(sum(CASE WHEN f.df_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+             round(sum(CASE WHEN f.df_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+      FROM sh s JOIN freq f ON s.sh = f.sh
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id""",
     "x22_repetition" -> """
       WITH tok AS (
         SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
@@ -232,5 +394,8 @@ object Extensions3 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_repetition" -> (x22Repetition _),
     "x23_sequence_packing" -> (x23SequencePacking _),
-    "x24_ann_multitable" -> (x24AnnMultiTable _))
+    "x24_ann_multitable" -> (x24AnnMultiTable _),
+    "x25_domain_cap" -> (x25DomainCap _),
+    "x26_temperature_mix" -> (x26TemperatureMix _),
+    "x27_dupgram_coverage" -> (x27DupGramCoverage _))
 }

@@ -173,6 +173,39 @@ class ApiSpec extends SparkSpec {
     assert(chunks(("de", 0L)) == ((1L, 10L, 4L, 4L)))
   }
 
+  test("trainCentroids: k cells, right dimensionality, and IVF over them finds true neighbors") {
+    val e = graft.model.Tables.load(spark, sf0001, "embeddings")
+    val cents = Graft.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
+    val rows = cents.collect()
+    assert(rows.map(_.getInt(0)).toSet == (0 until 8).toSet, "cells must be 0..k-1")
+    assert(rows.forall(_.getSeq[Float](1).size == 64), "centroid dim must match input")
+    val q = e.filter(col("vec_id") < 10)
+    val ivf = Graft.ivfTopK(e, q, cents, "vec_id", "embedding", k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.ops.Extensions.x05CosineTopk(spark, sf0001)
+      .filter(col("rk") <= 3).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.2, s"trained-centroid IVF recall vs brute too low: $recall")
+  }
+
+  test("temperatureMix upweights minority groups (alpha<1) and is deterministic") {
+    val docs = graft.model.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val total = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = Graft.temperatureMix(docs, "lang", "doc_id", alpha = 0.5, targetRows = 200L)
+    val kept = mixed.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = total.keys.map(l => l -> kept.getOrElse(l, 0L).toDouble / total(l)).toMap
+    val (maj, min_) = (total.maxBy(_._2)._1, total.minBy(_._2)._1)
+    assert(rate(min_) > rate(maj),
+      s"alpha=0.5 must keep a larger fraction of $min_ (${rate(min_)}) than $maj (${rate(maj)})")
+    val n = mixed.count()
+    assert(n > 100 && n < 300, s"expected ~200 sampled rows, got $n")
+    assert(mixed.collect().map(_.getLong(0)).toSet ==
+      Graft.temperatureMix(docs, "lang", "doc_id", 0.5, 200L).collect().map(_.getLong(0)).toSet)
+  }
+
   test("multi-table LSH recall >= single-table recall vs brute-force truth") {
     val e = graft.model.Tables.load(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 10)
