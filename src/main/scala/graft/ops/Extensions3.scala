@@ -225,8 +225,11 @@ object Extensions3 {
   def dupGramCoverage(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val idx = Extensions.shingleIndexFastOf(df, idCol, textCol, n)
+    // the index is distinct per (doc, gram) — shingles() dedups inside the
+    // doc — so doc-frequency is a plain count, not count_distinct (which
+    // would pay the two-phase distinct-agg expand for nothing)
     val docFreq = idx.groupBy(col("shk"))
-      .agg(count_distinct(col("doc_id")).as("df_docs"))
+      .agg(count(lit(1)).as("df_docs"))
     idx.join(docFreq, Seq("shk"))
       .groupBy(col("doc_id"))
       .agg(
