@@ -74,8 +74,14 @@ object Extensions {
     */
   private def rebalanced(corpus: DataFrame, idCol: String): DataFrame = {
     val target = corpus.sparkSession.sparkContext.defaultParallelism
-    if (corpus.rdd.getNumPartitions * 2 < target)
-      corpus.repartition(target, col(idCol))
+    // estimate scan width from the (already-listed) file index — avoids the
+    // physical-plan -> RDD conversion `.rdd.getNumPartitions` would pay per
+    // use site; file-backed corpora at scale have files >> slots, so this
+    // stays a no-op exactly where the shuffle would be gratuitous. Local
+    // relations (tests) have no files and keep the RDD-based answer.
+    val files = corpus.inputFiles.length
+    val scanParts = if (files > 0) files else corpus.rdd.getNumPartitions
+    if (scanParts * 2 < target) corpus.repartition(target, col(idCol))
     else corpus
   }
 
