@@ -112,6 +112,18 @@ object Graft {
       k: Int = 5, nTables: Int = 3, bitsPerTable: Int = 6): DataFrame =
     Extensions3.multiTableSignTopK(corpus, queries, idCol, vecCol, k, nTables, bitsPerTable)
 
+  /** Native backward-inclusive left-outer as-of join (custom logical node +
+    * Strategy + physical exec): each left row picks the latest right row of
+    * the same key with right time <= left time. One exchange per side, then
+    * a single streaming merge pass with O(1) state per partition —
+    * memory-independent of key group size, unlike the union+window idiom.
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      rightSuffix: String = "_r"): DataFrame =
+    graft.plans.AsOfJoinOp(left, right, keys, leftTimeCol, rightTimeCol, rightSuffix)
+
   // ---- document hygiene ----------------------------------------------------
 
   /** Gopher-style intra-document repetition metrics (duplicate-token,

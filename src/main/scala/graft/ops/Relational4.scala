@@ -139,7 +139,35 @@ object Relational4 {
       ORDER BY event_id""")
   }
 
+  /** The NATIVE as-of join (custom Catalyst operator, `plans/AsOfJoin`):
+    * click→purchase attribution as q11, but as a two-table as-of with the
+    * engine's own exec — oracle-checked against DuckDB's built-in
+    * ASOF LEFT JOIN. Clicks pre-aggregated to unique (user, ts) so tie
+    * resolution cannot differ between engines.
+    */
+  def q80AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.api.Graft.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("click_id"))
+      .orderBy(col("event_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q80_asof_native" -> """
+      WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, c.click_id
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p.event_id""",
     "q74_percentiles" -> """
       SELECT l_returnflag,
              percentile_cont(0.25) WITHIN GROUP (ORDER BY round(l_extendedprice)) AS p25,
@@ -202,5 +230,6 @@ object Relational4 {
     "q76_deterministic_mode" -> (q76DeterministicMode _),
     "q77_islands" -> (q77Islands _),
     "q78_lateral_topn" -> (q78LateralTopN _),
-    "q79_variant" -> (q79Variant _))
+    "q79_variant" -> (q79Variant _),
+    "q80_asof_native" -> (q80AsofNative _))
 }

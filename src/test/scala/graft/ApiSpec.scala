@@ -206,6 +206,32 @@ class ApiSpec extends SparkSpec {
       Graft.temperatureMix(docs, "lang", "doc_id", 0.5, 200L).collect().map(_.getLong(0)).toSet)
   }
 
+  test("native asOfJoin equals the brute-force argmax truth, including no-match lefts") {
+    import spark.implicits._
+    val e = graft.model.Tables.load(spark, sf0001, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id"))
+    val got = Graft.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("click_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute truth: latest click with ts <= purchase ts, per purchase;
+    // purchases with no eligible click keep a null (-1) slot
+    val truth = purchases.join(
+        clicks.select(col("user_id"), col("ts").as("c_ts"), col("click_id")),
+        Seq("user_id"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(when(col("c_ts") <= col("ts"),
+        struct(col("c_ts"), col("click_id")))).as("best"))
+      .select(col("event_id"), col("best.click_id").as("click_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got.size == purchases.count(), "left outer: every purchase must emit")
+    assert(got == truth)
+    assert(got.values.exists(_ == -1L) || truth.values.forall(_ != -1L),
+      "no-match lefts (if any) must surface as nulls, not vanish")
+  }
+
   test("multi-table LSH recall >= single-table recall vs brute-force truth") {
     val e = graft.model.Tables.load(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 10)

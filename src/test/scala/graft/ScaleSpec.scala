@@ -154,6 +154,23 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"lateral must not go cartesian:\n$plan")
   }
 
+  test("native as-of join plans as AsOfJoinExec: one exchange per side, single-pass merge") {
+    val e = Tables.load(spark, sf0001, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val df = graft.api.Graft.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+    df.collect()
+    // look only at the final adaptive plan (the string repeats the initial)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfJoin "), s"custom exec missing:\n$plan")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 2, s"expected exactly 2 hash exchanges (one per side), got $shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "the as-of must run on the custom operator, not a rewritten join")
+  }
+
   test("signBitsFor scales the quantizer with the corpus; parameterized signBucketTopK agrees with x06 at 6 bits") {
     import graft.api.Graft
     assert(Graft.signBitsFor(1000L) == 4)              // clamp floor
