@@ -118,6 +118,9 @@ object EventLog {
             s"merge called with $numBuckets — refusing (stale-bucket corruption)")
       }
     }
+    require(!updates.columns.contains("bucket"),
+      "mergeSnapshotKeyed reserves the column name 'bucket' for the snapshot " +
+        "partition layout — rename the input column")
     val dataCols = updates.columns.filter(_ != idCol).toSeq
     val bucketed = updates.withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast("int"))
     val touched = bucketed.select("bucket").distinct()

@@ -74,13 +74,18 @@ object Extensions {
     */
   private def rebalanced(corpus: DataFrame, idCol: String): DataFrame = {
     val target = corpus.sparkSession.sparkContext.defaultParallelism
-    // estimate scan width from the (already-listed) file index — avoids the
-    // physical-plan -> RDD conversion `.rdd.getNumPartitions` would pay per
-    // use site; file-backed corpora at scale have files >> slots, so this
-    // stays a no-op exactly where the shuffle would be gratuitous. Local
-    // relations (tests) have no files and keep the RDD-based answer.
-    val files = corpus.inputFiles.length
-    val scanParts = if (files > 0) files else corpus.rdd.getNumPartitions
+    // estimate scan width from the planner's own size statistics — avoids
+    // the physical-plan -> RDD conversion `.rdd.getNumPartitions` would pay
+    // per use site, and unlike a raw file count it is right in BOTH
+    // directions: many small files pack into few partitions (bytes/split
+    // stays small), one big file splits into many. Local relations (tests)
+    // have no files and keep the RDD-based answer.
+    val scanParts =
+      if (corpus.inputFiles.nonEmpty) {
+        val maxSplit = corpus.sparkSession.sessionState.conf.filesMaxPartitionBytes
+        val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+        (bytes / math.max(1L, maxSplit)).toLong + 1L
+      } else corpus.rdd.getNumPartitions.toLong
     if (scanParts * 2 < target) corpus.repartition(target, col(idCol))
     else corpus
   }

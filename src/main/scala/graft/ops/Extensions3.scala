@@ -186,24 +186,29 @@ object Extensions3 {
     * reproduce the same sample). The group-weight table is O(groups) and
     * broadcasts; the corpus is filtered map-side.
     *
-    * The threshold compares integers (rate quantized to 2^20 buckets) so
-    * engines cannot disagree at a float boundary.
+    * Fully deterministic arithmetic: per-group weights are quantized to
+    * integers BEFORE the normalizer sums them (an exact long sum has no
+    * aggregation-order sensitivity, unlike a sum of doubles), the rate
+    * derives from those integers in one fixed expression shape, and the
+    * keep test compares integers — no step can disagree across plans,
+    * retries, or engines. A null group is a stratum like any other
+    * (null-safe join), not silently dropped.
     */
   def temperatureMix(
       df: DataFrame, groupCol: String, keyCol: String,
       alpha: Double, targetRows: Long): DataFrame = {
     val weights = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_g"))
-      .withColumn("w_g", pow(col("n_g"), alpha))
+      .withColumn("w_g", floor(pow(col("n_g"), alpha) * (1L << 20)).cast("long"))
     val z = weights.agg(sum(col("w_g")).as("z"))
     val rates = weights.crossJoin(broadcast(z))
       .withColumn("thr",
         floor(least(lit(1.0), col("w_g") / col("z") * targetRows / col("n_g"))
           * (1L << 20)).cast("long"))
-      .select(col(groupCol), col("thr"))
+      .select(col(groupCol).as("__grp"), col("thr"))
     val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
       .cast("long") % (1L << 20)
-    df.join(broadcast(rates), Seq(groupCol))
+    df.join(broadcast(rates), col(groupCol) <=> col("__grp"))
       .filter(bucket < col("thr"))
       .select(df.columns.map(col): _*) // keep the caller's column order
   }
@@ -271,14 +276,18 @@ object Extensions3 {
           Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))))
         .filter(col("rk") === 1)
         .select(col("id"), col("cell"), col("v"))
-      centroids = assigned
+      val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(avg(col("x")).cast("float").as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ps"))
         .select(col("cell"), transform(col("ps"), p => p.getField("m")).as("cvec"))
-      centroids = Extensions.materialized(centroids) // bound lineage across iters
+      // a cell that lost every member would vanish from the groupBy; keep
+      // its previous centroid so the table always has exactly k cells
+      centroids = Extensions.materialized( // also bounds lineage across iters
+        means.unionByName(
+          centroids.join(means.select(col("cell")), Seq("cell"), "left_anti")))
     }
     centroids
   }
@@ -294,7 +303,8 @@ object Extensions3 {
       ORDER BY doc_id""",
     "x26_temperature_mix" -> """
       WITH cnt AS (
-        SELECT lang, count(*) AS n_g, pow(count(*), 0.5) AS w_g
+        SELECT lang, count(*) AS n_g,
+               CAST(floor(pow(count(*), 0.5) * 1048576) AS BIGINT) AS w_g
         FROM documents GROUP BY lang),
       rates AS (
         SELECT lang,

@@ -174,14 +174,28 @@ object AsOfJoinOp {
         throw new IllegalArgumentException(
           s"column $name not found among ${out.map(_.name).mkString(", ")}"))
 
-    val node = AsOfJoin(
-      lPlan, rPlan,
-      keys.map(resolve(lPlan.output, _)), keys.map(resolve(rOut, _)),
-      resolve(lPlan.output, leftTimeCol), resolve(rOut, rightTimeCol))
+    val lKeys = keys.map(resolve(lPlan.output, _))
+    val rKeys = keys.map(resolve(rOut, _))
+    val lTime = resolve(lPlan.output, leftTimeCol)
+    val rTime = resolve(rOut, rightTimeCol)
+    // the exec compares with orderings built from the LEFT types — silent
+    // misreads (or executor ClassCastExceptions) on mismatched sides
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of key type mismatch: ${l.name} ${l.dataType} vs ${r.name} ${r.dataType}")
+    }
+    require(lTime.dataType == rTime.dataType,
+      s"as-of time type mismatch: ${lTime.dataType} vs ${rTime.dataType}")
 
+    val node = AsOfJoin(lPlan, rPlan, lKeys, rKeys, lTime, rTime)
+    // project from the NODE's output, not rOut: the right side is nullable
+    // after a left-outer as-of, and a projection carrying the original
+    // non-nullable attributes would let NullPropagation fold IsNull(c) to
+    // false over columns that do contain nulls
+    val rightOut = node.output.drop(lPlan.output.size)
     val keySet = keys.map(_.toLowerCase).toSet
     val leftNames = lPlan.output.map(_.name.toLowerCase).toSet
-    val rightCols = rOut.filterNot(a => keySet.contains(a.name.toLowerCase)).map { a =>
+    val rightCols = rightOut.filterNot(a => keySet.contains(a.name.toLowerCase)).map { a =>
       if (leftNames.contains(a.name.toLowerCase)) Alias(a, a.name + rightSuffix)()
       else a
     }

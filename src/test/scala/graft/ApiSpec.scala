@@ -228,8 +228,34 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(got.size == purchases.count(), "left outer: every purchase must emit")
     assert(got == truth)
-    assert(got.values.exists(_ == -1L) || truth.values.forall(_ != -1L),
-      "no-match lefts (if any) must surface as nulls, not vanish")
+  }
+
+  test("asOfJoin null path: unmatched lefts emit nulls and right columns are truly nullable") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 100L), (2L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 20L, 7L)).toDF("k", "t", "v") // eligible only for (1, 100)
+    val out = Graft.asOfJoin(left, right, Seq("k"), "t", "t")
+    assert(out.schema("v").nullable && out.schema("t_r").nullable,
+      "left-outer as-of must report right columns nullable — a non-nullable " +
+        "schema lets NullPropagation fold isNull() to false")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(rows == Set((1L, 10L, -1L), (1L, 100L, 7L), (2L, 50L, -1L)))
+    // and the nullability is real at plan time: isNull finds the unmatched lefts
+    assert(out.filter(col("v").isNull).count() == 2)
+  }
+
+  test("asOfJoin rejects mismatched key/time types instead of comparing them wrong") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val rightIntKey = Seq((1, 5L, 7L)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      Graft.asOfJoin(left, rightIntKey, Seq("k"), "t", "t")
+    }
+    val rightIntTime = Seq((1L, 5, 7L)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      Graft.asOfJoin(left, rightIntTime, Seq("k"), "t", "t")
+    }
   }
 
   test("multi-table LSH recall >= single-table recall vs brute-force truth") {

@@ -26,10 +26,11 @@ object BenchTrend {
     val root = Paths.get(args.headOption.getOrElse("."))
     val rounds = Files.list(root).iterator().asScala
       .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .toSeq
       .map(p => p.getFileName.toString.replaceAll("\\D", "").toInt ->
         parse(new String(Files.readAllBytes(p), "UTF-8")))
       .filter(_._2.nonEmpty)
+      .sortBy(_._1) // numeric: r10 sorts after r2, not between r1 and r2
     if (rounds.isEmpty) { println("no BENCH_r*.json artifacts found"); return }
 
     println("| round | queries | sum (s) | common-query sum vs prev | worst 5 |")
