@@ -121,8 +121,10 @@ object Graft {
   def asOfJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      rightSuffix: String = "_r"): DataFrame =
-    graft.plans.AsOfJoinOp(left, right, keys, leftTimeCol, rightTimeCol, rightSuffix)
+      rightSuffix: String = "_r",
+      tolerance: Option[Long] = None): DataFrame =
+    graft.plans.AsOfJoinOp(left, right, keys, leftTimeCol, rightTimeCol,
+      rightSuffix, tolerance)
 
   // ---- document hygiene ----------------------------------------------------
 

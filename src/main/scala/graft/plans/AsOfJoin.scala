@@ -33,7 +33,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    tolerance: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -47,8 +48,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -58,6 +59,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -91,6 +93,14 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeOrd =
       TypeUtils.getInterpretedOrdering(leftTime.dataType).asInstanceOf[Ordering[Any]]
+    // tolerance is in the time type's native unit (micros for timestamps,
+    // days for dates); the builder restricts the type to integral reprs
+    val timeDiff: (Any, Any) => Long = leftTime.dataType match {
+      case _ if tolerance.isEmpty => (_, _) => 0L
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType =>
+        (a, b) => a.asInstanceOf[Int].toLong - b.asInstanceOf[Int].toLong
+      case _ => (a, b) => a.asInstanceOf[Long] - b.asInstanceOf[Long]
+    }
     val nRight = rOut.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -112,6 +122,7 @@ case class AsOfJoinExec(
         private var rDone = false
         private var cand: InternalRow = _
         private var candKey: InternalRow = _
+        private var candTime: Any = _
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
@@ -135,11 +146,12 @@ case class AsOfJoinExec(
             if (c < 0) advanceRight() // right group already passed by the left cursor
             else if (c == 0 && !rHeadKey.anyNull &&
                 (rHeadTime == null || timeOrd.lteq(rHeadTime, lTime))) {
-              if (rHeadTime != null) { cand = rHead; candKey = rHeadKey }
+              if (rHeadTime != null) { cand = rHead; candKey = rHeadKey; candTime = rHeadTime }
               advanceRight()
             } else break = true // right is ahead — stop, keep for later lefts
           }
-          if (cand != null && keyOrd.compare(candKey, lKey) == 0) joined(l, cand)
+          if (cand != null && keyOrd.compare(candKey, lKey) == 0 &&
+              tolerance.forall(timeDiff(lTime, candTime) <= _)) joined(l, cand)
           else joined(l, nullRow)
         }
       }
@@ -157,7 +169,8 @@ object AsOfJoinOp {
   def apply(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      rightSuffix: String = "_r"): DataFrame = {
+      rightSuffix: String = "_r",
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -186,8 +199,15 @@ object AsOfJoinOp {
     }
     require(lTime.dataType == rTime.dataType,
       s"as-of time type mismatch: ${lTime.dataType} vs ${rTime.dataType}")
+    tolerance.foreach { t =>
+      import org.apache.spark.sql.types._
+      require(t >= 0, s"as-of tolerance must be non-negative, got $t")
+      require(Seq(TimestampType, TimestampNTZType, DateType, LongType, IntegerType)
+          .contains(lTime.dataType),
+        s"as-of tolerance needs an integral-repr time type, got ${lTime.dataType}")
+    }
 
-    val node = AsOfJoin(lPlan, rPlan, lKeys, rKeys, lTime, rTime)
+    val node = AsOfJoin(lPlan, rPlan, lKeys, rKeys, lTime, rTime, tolerance)
     // project from the NODE's output, not rOut: the right side is nullable
     // after a left-outer as-of, and a projection carrying the original
     // non-nullable attributes would let NullPropagation fold IsNull(c) to

@@ -243,6 +243,12 @@ class ApiSpec extends SparkSpec {
     assert(rows == Set((1L, 10L, -1L), (1L, 100L, 7L), (2L, 50L, -1L)))
     // and the nullability is real at plan time: isNull finds the unmatched lefts
     assert(out.filter(col("v").isNull).count() == 2)
+    // tolerance bounds the lookback (inclusive): the (1,100)->(1,20) match
+    // has gap 80 in the time column's native unit
+    def matched(tol: Long) =
+      Graft.asOfJoin(left, right, Seq("k"), "t", "t", tolerance = Some(tol))
+        .filter(col("v").isNotNull).count()
+    assert(matched(80L) == 1 && matched(79L) == 0)
   }
 
   test("asOfJoin rejects mismatched key/time types instead of comparing them wrong") {
