@@ -450,24 +450,14 @@ object Extensions {
       .select(col("q_id"), col("c_id"), col("sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** The fixture binding of [[signBucketTopK]] at the pinned SignBits
+    * width — one body, so the ANN shape (rounding, tie-break, broadcast
+    * side) can never drift between the library form and the oracle query.
+    */
   def x06AnnSignBucket(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    def bucket(v: Column): Column =
-      (0 until SignBits).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
-        .reduce(_ + _)
-    val base = e.select(col("vec_id"), col("embedding").as("v"),
-      bucket(col("embedding")).as("bkt"))
-    val q = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bkt"))
-    val c = base.select(col("vec_id").as("c_id"), col("v").as("cv"), col("bkt"))
-    val scored = c.join(broadcast(q), Seq("bkt"))
-      .filter(col("c_id") =!= col("q_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("q_id"), col("c_id"), col("sim"), col("rk"))
+    signBucketTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, signBits = SignBits)
       .orderBy(col("q_id"), col("rk"))
   }
 

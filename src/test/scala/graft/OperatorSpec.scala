@@ -142,7 +142,7 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = run("x06_ann_sign_bucket")
     // rank bound respected
-    assert(ann.agg(max("rk")).collect().head.getInt(0) <= 3)
+    assert(ann.agg(max("rk")).collect().head.getLong(0) <= 3)
     // every ANN hit with sim equal to a brute top-5 sim is consistent;
     // weaker but deterministic: ANN candidates share the query's bucket,
     // so sims must be <= the brute-force best

@@ -181,7 +181,7 @@ class ScaleSpec extends SparkSpec {
         "vec_id", "embedding", k = 3, signBits = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     val x06 = graft.ops.Extensions.x06AnnSignBucket(spark, sf0001)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(got == x06)
   }
 }
