@@ -88,11 +88,11 @@ class ScaleSpec extends SparkSpec {
 
   test("hot boilerplate shingle: AQE splits the skewed join partition and runtime stays bounded") {
     import spark.implicits._
-    // 20% of docs share a boilerplate prefix -> its shingles are hot join
-    // keys; the rest are unique. This is the skew shape x02's comment
+    // Half the docs share a boilerplate prefix -> its shingles are hot
+    // join keys; the rest are unique. This is the skew shape x02's comment
     // claims AQE covers — prove it: the final adaptive plan must carry a
     // skew=true shuffle read on the pair join.
-    // a 10-word boilerplate -> six hot shingle keys each shared by 50%
+    // A 10-word boilerplate -> six hot shingle keys each shared by 50%
     // of docs; every other shingle is unique. With 64 shuffle partitions
     // the median partition is a few hundred rows while the hot keys'
     // partitions carry thousands — the classic boilerplate skew profile
