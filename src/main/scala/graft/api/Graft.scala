@@ -117,6 +117,11 @@ object Graft {
     * the same key with right time <= left time. One exchange per side, then
     * a single streaming merge pass with O(1) state per partition —
     * memory-independent of key group size, unlike the union+window idiom.
+    *
+    * `tolerance` (optional) bounds the lookback INCLUSIVELY, expressed in
+    * the time column's NATIVE unit: microseconds for timestamps, days for
+    * dates, raw values for integral columns — `Some(5000000L)` is 5
+    * seconds on a timestamp column, not 5000 seconds.
     */
   def asOfJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],

@@ -431,12 +431,20 @@ object Extensions {
     * bucket, query side broadcast); sims round before ranking. Output
     * (q_id, c_id, sim, rk), rk <= k.
     */
+  /** The sign quantizer every bucketed ANN path shares (x06/x13/x15 and
+    * the parameterized forms): bit d is set iff coordinate d+1 is
+    * positive. One definition — the oracles replay this exact arithmetic,
+    * so drift between call sites would be an oracle failure, not a silent
+    * recall change.
+    */
+  private[ops] def signBucket(v: Column, signBits: Int): Column =
+    (0 until signBits).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
+      .reduce(_ + _)
+
   def signBucketTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, signBits: Int): DataFrame = {
-    def bucket(v: Column): Column =
-      (0 until signBits).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
-        .reduce(_ + _)
+    def bucket(v: Column): Column = signBucket(v, signBits)
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"),
       bucket(col(vecCol)).as("bkt"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
@@ -470,9 +478,7 @@ object Extensions {
     */
   def x13AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    def bucket(v: Column): Column =
-      (0 until SignBits).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
-        .reduce(_ + _)
+    def bucket(v: Column): Column = signBucket(v, SignBits)
     val base = e.select(col("vec_id"), col("embedding").as("v"),
       bucket(col("embedding")).as("bkt"))
     val deltas = lit(0) +: (0 until SignBits).map(d => lit(1 << d))
@@ -528,9 +534,7 @@ object Extensions {
     */
   def x15EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    def bucket(v: Column): Column =
-      (0 until SignBits).map(d => when(element_at(v, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
-        .reduce(_ + _)
+    def bucket(v: Column): Column = signBucket(v, SignBits)
     val base = e.select(col("vec_id"), col("embedding").as("v"),
       bucket(col("embedding")).as("bkt"))
     base.as("a").join(base.as("b"),

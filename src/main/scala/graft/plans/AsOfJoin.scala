@@ -150,8 +150,13 @@ case class AsOfJoinExec(
               advanceRight()
             } else break = true // right is ahead — stop, keep for later lefts
           }
+          // candTime <= lTime is guaranteed by the merge, so a NEGATIVE
+          // diff can only mean Long wrap-around (gap > Long.MaxValue) —
+          // reject it rather than let the wrapped value pass the bound
           if (cand != null && keyOrd.compare(candKey, lKey) == 0 &&
-              tolerance.forall(timeDiff(lTime, candTime) <= _)) joined(l, cand)
+              tolerance.forall { t =>
+                val d = timeDiff(lTime, candTime); d >= 0 && d <= t
+              }) joined(l, cand)
           else joined(l, nullRow)
         }
       }
