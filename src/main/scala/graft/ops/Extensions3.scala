@@ -250,6 +250,29 @@ object Extensions3 {
     dupGramCoverage(docs(s, dir), "doc_id", "text", n = 10)
       .orderBy(col("doc_id"))
 
+  /** Text canonicalization — the normalize-before-exact-dedup step: lower,
+    * strip non-alphanumerics to spaces, squish runs of spaces, trim. Two
+    * byte-identical documents that differ only in case/punct/whitespace
+    * then share an md5 and collapse in [[Extensions.exactDedup]]. Map-only.
+    */
+  def normalizeText(df: DataFrame, textCol: String): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** x28: [[normalizeText]] over the documents fixture with the dedup-key
+    * digest and before/after lengths.
+    */
+  def x28Normalize(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val norm = normalizeText(d, "text")
+    d.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(norm).cast("long").as("len_norm"),
+        md5(norm).as("norm_key"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distributed Lloyd's k-means over an embedding column — builds the
     * (cell, cvec) centroid table [[Extensions2.ivfTopK]] consumes, making
     * the IVF path self-contained. Deterministic: seeds are the k
@@ -293,6 +316,15 @@ object Extensions3 {
   }
 
   val oracles: Map[String, String] = Map(
+    "x28_normalize" -> """
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS len_raw,
+             CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS len_norm,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_key
+      FROM documents
+      ORDER BY doc_id""",
     "x25_domain_cap" -> """
       SELECT doc_id, source, n_chars, rk FROM (
         SELECT doc_id, source, n_chars,
@@ -410,5 +442,6 @@ object Extensions3 {
     "x24_ann_multitable" -> (x24AnnMultiTable _),
     "x25_domain_cap" -> (x25DomainCap _),
     "x26_temperature_mix" -> (x26TemperatureMix _),
-    "x27_dupgram_coverage" -> (x27DupGramCoverage _))
+    "x27_dupgram_coverage" -> (x27DupGramCoverage _),
+    "x28_normalize" -> (x28Normalize _))
 }
