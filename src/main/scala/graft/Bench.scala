@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,19 +34,41 @@ object Bench {
     }
     // optional args: query names (dev iteration filter; driver passes none)
     val only = if (args.nonEmpty) Some(args.toSet) else None
+    // Per query: REPEATS timed runs (reset between each), report the MIN.
+    // Round-3 data: the driver's recording showed 21.0s for a query that
+    // costs 2.8s in any clean run — one co-tenant load spike on a single
+    // recording faked a 5× regression. The min over independent runs is
+    // robust to one-sided noise (a run can only be slowed, never sped up
+    // past the query's true cost). The max/min spread per query is emitted
+    // alongside so a noisy recording environment is visible in the artifact
+    // itself rather than indistinguishable from a real regression.
+    // Forcing is a noop-format write, not count(): count() lets Spark prune
+    // every unreferenced projection, so map-only queries (normalize digests,
+    // ratio columns) were costed at ~scan price. The noop sink evaluates
+    // every output column and discards the rows — honest map-stage numbers,
+    // zero I/O attributed.
     val results = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      reset() // outside the timed region
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        val times = (1 to math.max(1, repeats)).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          reset() // outside the timed region
+          dt
+        }
+        name -> times
+      }
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v.min) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v.max / math.max(1e-9, v.min)) }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_.min).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_max_over_min":$spread,"runs_per_query":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

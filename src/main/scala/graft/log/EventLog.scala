@@ -98,12 +98,27 @@ object EventLog {
     val path = new org.apache.hadoop.fs.Path(snapshotPath)
     val fs = path.getFileSystem(hadoopConf)
     val sidecar = new org.apache.hadoop.fs.Path(snapshotPath, "_graft_buckets")
-    // "snapshot present" = bucket dirs (or the sidecar) actually exist —
-    // a merely-existing empty directory (fresh tempdir, mkdir -p race) is
-    // a first merge, not a corrupt snapshot
-    val exists = fs.exists(sidecar) ||
-      (fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.startsWith("bucket=")))
+    // "snapshot present" = bucket DIRS actually exist. The sidecar alone is
+    // not evidence of data: it is written before the first data write (see
+    // below), so a crash in that window leaves a sidecar with no buckets —
+    // the retry must see a first merge, not a corrupt snapshot. A
+    // merely-existing empty directory (fresh tempdir, mkdir -p race) is a
+    // first merge too.
+    val bucketDirs =
+      if (!fs.exists(path)) Array.empty[String]
+      else fs.listStatus(path).map(_.getPath.getName).filter(_.startsWith("bucket="))
+    val exists = bucketDirs.nonEmpty
     if (exists) {
+      // a bucket dir with a negative number is a legacy layout from a `%`
+      // (not pmod) bucket assignment over negative ids — this merge's
+      // touched set is pmod-based and would neither read nor overwrite
+      // those dirs, yielding duplicate/stale ids on read
+      val dirNums = bucketDirs.map(_.stripPrefix("bucket=").toInt)
+      require(dirNums.forall(_ >= 0),
+        s"snapshot at $snapshotPath has negative bucket dirs " +
+          s"(${dirNums.filter(_ < 0).sorted.mkString(", ")}) — a legacy " +
+          "%-based layout this merge cannot update safely; rewrite the " +
+          "snapshot (read all buckets, re-merge into a fresh path) first")
       val persisted =
         if (!fs.exists(sidecar)) None
         else {
@@ -112,10 +127,20 @@ object EventLog {
             org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt)
           finally in.close()
         }
-      persisted.foreach { nb =>
-        require(nb == numBuckets,
-          s"snapshot at $snapshotPath was written with numBuckets=$nb, " +
-            s"merge called with $numBuckets — refusing (stale-bucket corruption)")
+      persisted match {
+        case Some(nb) =>
+          require(nb == numBuckets,
+            s"snapshot at $snapshotPath was written with numBuckets=$nb, " +
+              s"merge called with $numBuckets — refusing (stale-bucket corruption)")
+        case None =>
+          // legacy snapshot with no sidecar: the modulus cannot be proven,
+          // but the dir names bound it — any dir >= numBuckets proves a
+          // larger modulus and guarantees stale-bucket corruption
+          require(dirNums.forall(_ < numBuckets),
+            s"snapshot at $snapshotPath has no _graft_buckets sidecar and " +
+              s"bucket dirs up to ${dirNums.max} — incompatible with " +
+              s"numBuckets=$numBuckets (stale-bucket corruption); re-merge " +
+              "with the original modulus or rewrite the snapshot")
       }
     }
     require(!updates.columns.contains("bucket"),
@@ -123,8 +148,19 @@ object EventLog {
         "partition layout — rename the input column")
     val dataCols = updates.columns.filter(_ != idCol).toSeq
     val bucketed = updates.withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast("int"))
-    val touched = bucketed.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    // one action yields BOTH the touched-bucket set and the per-bucket min
+    // id — the id-sign guard costs no extra pass. Negative ids are refused:
+    // pmod folds them into positive buckets (fine going forward) but any
+    // pre-pmod snapshot reader/writer disagrees on their placement, so the
+    // contract is ids >= 0.
+    val touchStats = bucketed.groupBy("bucket")
+      .agg(min(col(idCol).cast("long")).as("min_id")).collect()
+    touchStats.foreach { r =>
+      require(r.isNullAt(1) || r.getLong(1) >= 0L,
+        s"mergeSnapshotKeyed requires non-negative ids (bucket layout is " +
+          s"pmod-based); batch contains id ${r.getLong(1)}")
+    }
+    val touched = touchStats.map(_.getInt(0)).toSet
     val combined =
       if (!exists) bucketed
       else spark.read.parquet(snapshotPath)
@@ -136,6 +172,12 @@ object EventLog {
       .agg(max_by(struct(dataCols.map(col): _*), col(versionCol)).as("s"))
       .select(col(idCol) +: dataCols.map(c => col(s"s.$c").as(c)): _*)
       .withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast("int"))
+    // sidecar BEFORE the data write: a crash between the two then leaves a
+    // sidecar + no buckets (retry sees a first merge — see `exists` above),
+    // never data with an unguarded modulus, which was the exact window the
+    // guard exists to close
+    val out = fs.create(sidecar, true)
+    try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(snapshotPath)
@@ -143,8 +185,6 @@ object EventLog {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val out = fs.create(sidecar, true)
-    try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
     touched
   }
 

@@ -57,19 +57,32 @@ object Extensions2 {
     * exact cosine. Output: (q_id, c_id, sim, rk), rk <= k, sims rounded
     * BEFORE ranking so ulp noise cannot reorder the top-k.
     */
+  /** Nearest-centroid cell assignment: argmax_cell cos(v, centroid), ties
+    * broken by cell id. min_by on the (−csim, cell) struct ≡ the
+    * "csim desc, cell asc" row_number rank-1 — but it partial-aggregates
+    * map-side: only one row per vector per partition crosses the wire,
+    * where the window form shuffled and sorted the full n×k expansion
+    * (at 100 TB that window was the dominant cost of the whole IVF path).
+    * The tiebreak column makes the ordering struct unique per candidate,
+    * so the argmax is deterministic. `base` is (vec_id, embedding);
+    * `cents` is the broadcast (cell, cvec) table.
+    */
+  private[graft] def assignCells(base: DataFrame, cents: DataFrame): DataFrame =
+    base.join(cents)
+      .withColumn("csim", round(cosine(col("embedding"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("cell"), col("embedding")),
+        struct(negate(col("csim")), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cell").as("cell"))
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, probes: Int): DataFrame = {
     val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val cents = broadcast(centroids.select(col("cell"), col("cvec")))
-    // cell assignment: argmax_cell cos(v, centroid); ties broken by cell id
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cell"))
-    val assigned = base.join(cents)
-      .withColumn("csim", round(cosine(col("embedding"), col("cvec")), 6))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val assigned = assignCells(base, cents)
     // queries probe their `probes` best cells
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col("cell"))

@@ -122,6 +122,17 @@ object Extensions3 {
   def multiTableSignTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nTables: Int = 3, bitsPerTable: Int = 6): DataFrame = {
+    // guard the coordinate budget up front: past the vector length,
+    // element_at returns null, `> 0f` is null, and the high tables would
+    // silently degenerate to bucket 0 — collapsing all vectors into one
+    // bucket per table (candidate blow-up, recall distortion) with no
+    // error. One sampled row pins the dim (fixed-dim embedding columns
+    // are the contract here, as in ivfTopK).
+    corpus.select(size(col(vecCol)).as("d")).head(1).foreach { r =>
+      require(r.getInt(0) >= nTables * bitsPerTable,
+        s"multiTableSignTopK needs vector dim >= nTables*bitsPerTable = " +
+          s"${nTables * bitsPerTable}, corpus has dim ${r.getInt(0)}")
+    }
     def bucket(v: Column, t: Column): Column =
       (0 until bitsPerTable).map(d =>
         when(element_at(v, (t * bitsPerTable + lit(d + 1)).cast("int")) > 0f, lit(1 << d))
@@ -206,7 +217,12 @@ object Extensions3 {
         floor(least(lit(1.0), col("w_g") / col("z") * targetRows / col("n_g"))
           * (1L << 20)).cast("long"))
       .select(col(groupCol).as("__grp"), col("thr"))
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+    // coalesce the sample key to a sentinel BEFORE hashing: md5(null) is
+    // null, so `bucket < thr` would be null and a null-keyed row silently
+    // filtered — contradicting the null-group contract above. The sentinel
+    // (NUL prefix) cannot collide with a real key's own string form.
+    val bucket = conv(substring(
+        md5(coalesce(col(keyCol).cast("string"), lit("\u0000null"))), 1, 15), 16, 10)
       .cast("long") % (1L << 20)
     df.join(broadcast(rates), col(groupCol) <=> col("__grp"))
       .filter(bucket < col("thr"))
@@ -229,7 +245,13 @@ object Extensions3 {
     */
   def dupGramCoverage(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val idx = Extensions.shingleIndexFastOf(df, idCol, textCol, n)
+    // materialize: the index feeds BOTH the doc-frequency agg and the
+    // back-join below — without this point the tokenize+n-gram+hash work
+    // (the dominant, CPU-bound cost) runs twice, once per consumer
+    // (executed plan showed 2 parquet scans, 0 reused exchanges). Same
+    // pattern as minhashLshPairs.
+    val idx = Extensions.materialized(
+      Extensions.shingleIndexFastOf(df, idCol, textCol, n))
     // the index is distinct per (doc, gram) — shingles() dedups inside the
     // doc — so doc-frequency is a plain count, not count_distinct (which
     // would pay the two-phase distinct-agg expand for nothing)
@@ -291,14 +313,18 @@ object Extensions3 {
       .select((row_number().over(Window.orderBy(col("id"))) - 1).cast("int").as("cell"),
         col("v").as("cvec"))
     for (_ <- 0 until iters) {
+      // nearest centroid by min_by on the (d2, cell) struct — same "d2 asc,
+      // cell asc" rank-1 semantics as a window, but partial-aggregated
+      // map-side: one row per vector per partition, no shuffle+sort of the
+      // full n×k expansion.
       val assigned = vecs.crossJoin(broadcast(centroids))
         .withColumn("d2", aggregate(
           zip_with(col("v"), col("cvec"), (a, b) => (a - b) * (a - b)),
           lit(0.0d), (acc, x) => acc + x))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))))
-        .filter(col("rk") === 1)
-        .select(col("id"), col("cell"), col("v"))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("cell"), col("v")),
+          struct(col("d2"), col("cell"))).as("best"))
+        .select(col("id"), col("best.cell").as("cell"), col("best.v").as("v"))
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))

@@ -157,7 +157,39 @@ object Relational4 {
       .orderBy(col("event_id"))
   }
 
+  /** The native as-of join's TOLERANCE path: q80's attribution bounded to
+    * a 6-hour lookback (21_600_000_000 micros — tolerance is in the time
+    * column's native unit). The engine selects the latest click <= the
+    * purchase time and null-pads when that candidate is older than the
+    * bound; because any earlier candidate is farther still, this equals
+    * "latest click within [ts - 6h, ts]" — which DuckDB expresses as its
+    * ASOF match postfiltered by the bound (the oracle's CASE).
+    */
+  def q81AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.api.Graft.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        tolerance = Some(6L * 3600 * 1000000))
+      .select(col("event_id"), col("user_id"), col("click_id"))
+      .orderBy(col("event_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q81_asof_tolerance" -> """
+      WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id,
+             CASE WHEN c.ts >= p.ts - INTERVAL 6 HOUR THEN c.click_id END AS click_id
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p.event_id""",
     "q80_asof_native" -> """
       WITH purchases AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
@@ -231,5 +263,6 @@ object Relational4 {
     "q77_islands" -> (q77Islands _),
     "q78_lateral_topn" -> (q78LateralTopN _),
     "q79_variant" -> (q79Variant _),
-    "q80_asof_native" -> (q80AsofNative _))
+    "q80_asof_native" -> (q80AsofNative _),
+    "q81_asof_tolerance" -> (q81AsofTolerance _))
 }

@@ -187,10 +187,20 @@ object AsOfJoinOp {
     val rPlan = Project(aliases, rPlanRaw)
     val rOut = aliases.map(_.toAttribute)
 
+    // all case-insensitive matches, not find(): after a join an input can
+    // carry duplicate column names, and silently binding to an arbitrary
+    // one would produce wrong join results with no diagnostic (mirrors
+    // Spark's own ambiguous-reference error)
     def resolve(out: Seq[Attribute], name: String): Attribute =
-      out.find(_.name.equalsIgnoreCase(name)).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not found among ${out.map(_.name).mkString(", ")}"))
+      out.filter(_.name.equalsIgnoreCase(name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not found among ${out.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous: ${many.size} attributes match " +
+            s"(${many.map(a => s"${a.name}#${a.exprId.id}").mkString(", ")}) — " +
+            "disambiguate with select/alias before the as-of join")
+      }
 
     val lKeys = keys.map(resolve(lPlan.output, _))
     val rKeys = keys.map(resolve(rOut, _))

@@ -171,6 +171,43 @@ class ScaleSpec extends SparkSpec {
       "the as-of must run on the custom operator, not a rewritten join")
   }
 
+  test("IVF cell assignment is a partial min_by aggregate, not a window (map-side, no n×k shuffle+sort)") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val base = e.select(col("vec_id"), col("embedding"))
+    val cents = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
+    val df = graft.ops.Extensions2.assignCells(base, cents)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"),
+      s"assignment must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"assignment must not shuffle+sort the n×k expansion through a window:\n$plan")
+    // and the aggregate picks the same cells the window form would
+    val viaWindow = base.join(cents)
+      .withColumn("csim", round(
+        graft.functions.VectorFunctions.cosine_similarity(col("embedding"), col("cvec")), 6))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = df.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaWindow)
+  }
+
+  test("x27 dup-gram coverage scans the corpus once (index materialized before its two consumers)") {
+    val df = graft.ops.Extensions3.x27DupGramCoverage(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val parquetScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(parquetScans == 0,
+      s"the shingle index must be materialized (checkpointed) once — the final plan " +
+        s"should read the checkpoint, not re-scan parquet $parquetScans times:\n$plan")
+  }
+
   test("signBitsFor scales the quantizer with the corpus; parameterized signBucketTopK agrees with x06 at 6 bits") {
     import graft.api.Graft
     assert(Graft.signBitsFor(1000L) == 4)              // clamp floor
