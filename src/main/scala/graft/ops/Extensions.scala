@@ -167,16 +167,31 @@ object Extensions {
       threshold: Double = 0.5, shingleSize: Int = 5): DataFrame = {
     // per-doc shingle count rides along on every index row (array size taken
     // before the explode) so the pair join carries everything Jaccard needs —
-    // no post-join count lookups. hint("shuffle_hash"): the exploded index
-    // inherits the parent scan's size estimate, which undercounts it badly —
-    // left alone the planner broadcasts a ~200×-the-scan-rows side (measured
-    // ~2× slower). A shuffled hash join on the 8-byte key shuffles narrow
-    // rows and skips the sort a merge join would pay on both sides.
-    val sh = shingleIndexFastOf(corpus, idCol, textCol, shingleSize)
-    sh.as("x").join(sh.as("y").hint("shuffle_hash"),
+    // no post-join count lookups; join strategy notes on the shared tail
+    exactJaccardFromIndex(shingleIndexFastOf(corpus, idCol, textCol, shingleSize), threshold)
+  }
+
+  /** Exact shingle-Jaccard verification over an inverted index
+    * (doc_id, n_sh, shk) — the one shared tail of both dedup paths
+    * ([[jaccardPairs]] runs it on the full index, [[minhashLshPairs]] on
+    * the candidate-narrowed index): self-join on the 8-byte key, count
+    * shared keys per ordered pair, keep pairs with jaccard >= threshold.
+    * One body so the two contracts cannot drift. hint("shuffle_hash"): the
+    * exploded index inherits the parent scan's size estimate, which
+    * undercounts it badly — left alone the planner broadcasts a ~200×-the-
+    * scan-rows side (measured ~2× slower). A shuffled hash join on the
+    * 8-byte key shuffles narrow rows and skips the sort a merge join would
+    * pay on both sides. `pairFilter`, when present, left-semi-joins the
+    * raw pairs down to a precomputed candidate set BEFORE the count agg.
+    */
+  private def exactJaccardFromIndex(
+      sh: DataFrame, threshold: Double,
+      pairFilter: Option[DataFrame] = None): DataFrame = {
+    val paired = sh.as("x").join(sh.as("y").hint("shuffle_hash"),
         col("x.shk") === col("y.shk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+    pairFilter.fold(paired)(c => paired.join(c, Seq("doc_a", "doc_b"), "left_semi"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
@@ -274,17 +289,7 @@ object Extensions {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val sh = idx.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    sh.as("x").join(sh.as("y").hint("shuffle_hash"),
-        col("x.shk") === col("y.shk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
-      .withColumn("jaccard",
-        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    exactJaccardFromIndex(sh, threshold, pairFilter = Some(cand))
   }
 
   def x03MinhashLsh(s: SparkSession, dir: String): DataFrame =
