@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Multimodal}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Multimodal}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -130,6 +130,26 @@ object Graft {
       tolerance: Option[Long] = None): DataFrame =
     graft.plans.AsOfJoinOp(left, right, keys, leftTimeCol, rightTimeCol,
       rightSuffix, tolerance)
+
+  /** Query-by-document text retrieval: top-k most similar corpus docs per
+    * query doc by exact n-gram Jaccard through the inverted index (only
+    * docs sharing a shingle are scored; the query index broadcasts, so the
+    * corpus index never shuffles).
+    */
+  def jaccardTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, shingleSize: Int = 5): DataFrame =
+    Extensions4.jaccardTopK(corpus, queries, idCol, textCol, k, shingleSize)
+
+  /** Incremental batch-vs-corpus dedup: one row per batch doc with
+    * `keep` plus the best-matching corpus survivor when a duplicate
+    * (Jaccard >= threshold). Linear in the batch through the inverted
+    * index — the corpus is never self-joined.
+    */
+  def incrementalDedup(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleSize: Int = 5): DataFrame =
+    Extensions4.incrementalDedup(corpus, batch, idCol, textCol, threshold, shingleSize)
 
   // ---- document hygiene ----------------------------------------------------
 

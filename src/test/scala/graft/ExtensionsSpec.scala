@@ -77,4 +77,68 @@ class ExtensionsSpec extends SparkSpec {
       Multimodal.syntheticAssets(spark, sf0001), targetBytes = 64).collect()
     assert(resized.length == 500 && resized.forall(_.bytes.length <= 64))
   }
+
+  test("native RepetitionMetrics expression is bit-identical to the HOF formulation") {
+    val d = graft.model.Tables.load(spark, sf0001, "documents")
+    val hof = graft.ops.Extensions3.repetitionMetrics(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val native = graft.ops.Extensions3.repetitionMetricsNative(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(native.keySet == hof.keySet)
+    val diffs = native.collect { case (k, v) if hof(k) != v => k -> (hof(k), v) }
+    assert(diffs.isEmpty, s"native vs HOF mismatches: ${diffs.take(5)}")
+    // degenerate shapes: short doc (no 5-grams), single token, empty tokens
+    import spark.implicits._
+    val edge = Seq((1L, "one two three"), (2L, "solo"), (3L, "a  a  a"), (4L, "x x x x x x"))
+      .toDF("doc_id", "text")
+    val eh = graft.ops.Extensions3.repetitionMetrics(edge, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val en = graft.ops.Extensions3.repetitionMetricsNative(edge, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(en == eh, s"edge-case mismatch: $en vs $eh")
+  }
+
+  test("native RepetitionMetrics stays inside whole-stage codegen") {
+    val d = graft.model.Tables.load(spark, sf0001, "documents")
+    val plan = graft.ops.Extensions3.repetitionMetricsNative(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Project") && l.trim.startsWith("*")),
+      s"Project with repetition_metrics not codegen-fused:\n$plan")
+  }
+
+  test("jaccardTopK retrieves an exact duplicate at rank 1 with jaccard 1.0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (3L, "the quick brown fox jumps over a sleeping cat today"), // near 1
+      (4L, "completely unrelated text about spark query planning engines")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Extensions4.jaccardTopK(
+        corpus, corpus.filter(col("doc_id") === 1), "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == 2)
+    assert(got.contains((2L, 1.0, 1L)), s"exact dup must rank first: ${got.toSeq}")
+    assert(got.exists { case (id, j, rk) => id == 3L && rk == 2L && j > 0 && j < 1 },
+      s"near-dup must rank second with partial jaccard: ${got.toSeq}")
+  }
+
+  test("incrementalDedup keeps novel batch docs and maps dups to their corpus survivor") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),  // dup of 1
+      (11L, "totally novel content that matches nothing else here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Extensions4.incrementalDedup(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(10L) == (false, 1L), s"batch dup must map to corpus survivor: $got")
+    assert(got(11L) == (true, -1L), s"novel doc must be kept: $got")
+  }
 }
