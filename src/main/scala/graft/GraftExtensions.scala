@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimilarity, RepetitionMetrics}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions into the SQL function registry so `spark.sql` users get them
@@ -16,6 +16,7 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityFn)
+    e.injectFunction(GraftExtensions.repetitionMetricsFn)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -29,10 +30,27 @@ object GraftExtensions {
       CosineSimilarity(exprs.head, exprs(1))
     })
 
+  private val repetitionMetricsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("repetition_metrics"),
+    new ExpressionInfo(classOf[RepetitionMetrics].getName, "repetition_metrics"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1 || exprs.length == 3,
+        "repetition_metrics takes (text) or (text, dupN, topN)")
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"repetition_metrics $what must be an integer literal, got $other")
+      }
+      if (exprs.length == 1) RepetitionMetrics(exprs.head, 5, 2)
+      else RepetitionMetrics(exprs.head,
+        intLit(exprs(1), "dupN"), intLit(exprs(2), "topN"))
+    })
+
   /** Register the functions on an already-running session (getOrCreate
     * ignores withExtensions for existing sessions).
     */
   def register(spark: SparkSession): Unit =
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(
-      spark, cosineSimilarityFn._1, cosineSimilarityFn._2, cosineSimilarityFn._3)
+    Seq(cosineSimilarityFn, repetitionMetricsFn).foreach { fn =>
+      org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, fn._1, fn._2, fn._3)
+    }
 }

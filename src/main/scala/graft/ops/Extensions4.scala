@@ -21,6 +21,8 @@ object Extensions4 {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
 
   /** Query-by-document similarity search: for each query document, the
     * `k` most similar corpus documents by exact n-gram Jaccard. Candidate
@@ -113,6 +115,57 @@ object Extensions4 {
       .orderBy(col("b_id"))
   }
 
+  /** Recall of an ANN result against a ground-truth top-k: per query, the
+    * fraction of true neighbors the ANN run retrieved. Queries whose ANN
+    * result is empty (the bucketed path found nothing) still appear with
+    * recall 0 — silently dropping them would overstate quality. Both
+    * inputs are (q_id, c_id [, ...]) result tables; the denominator is the
+    * per-query truth count (robust when fewer than k true neighbors exist).
+    *
+    * This is the evaluation harness every ANN deployment needs next to the
+    * index itself: brute-force truth on a SAMPLED query set (small — every
+    * join here is broadcast-sized), recall measured per query, aggregated
+    * by the caller. Rounded to 4 so the number is engine-portable.
+    */
+  def recallAtK(ann: DataFrame, truth: DataFrame): DataFrame = {
+    val hits = truth.select(col("q_id"), col("c_id"))
+      .join(ann.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_truth"), 4).as("recall"))
+  }
+
+  /** x31: recall@3 of the sign-bucket ANN family against brute-force truth
+    * on the embeddings fixture — single-probe (x06) vs multiprobe (x13)
+    * side by side. This is the recall-vs-candidate-volume dial those
+    * operators trade on, measured: multiprobe probes the 7 Hamming-<=1
+    * cells and must dominate single-probe per query.
+    */
+  def x31AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val probe1 = Extensions.signBucketTopK(e, q, "vec_id", "embedding",
+      k = 3, signBits = 6)
+    val multi = Extensions.x13AnnMultiprobe(s, dir)
+    val qb = q.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val truth = c.crossJoin(broadcast(qb))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        graft.functions.VectorFunctions.cosine_similarity(col("qv"), col("cv")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("c_id"))
+    recallAtK(probe1, truth).withColumn("method", lit("probe1"))
+      .unionByName(recallAtK(multi, truth).withColumn("method", lit("multiprobe")))
+      .select(col("method"), col("q_id"), col("n_truth"), col("n_hit"), col("recall"))
+      .orderBy(col("method"), col("q_id"))
+  }
+
   /** Shared DuckDB shingle CTE prefix (n-gram, distinct-per-doc, with
     * per-doc counts) — the same arithmetic x20's oracle replays.
     */
@@ -126,6 +179,64 @@ object Extensions4 {
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "x31_ann_recall" -> """
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv, bkt FROM base WHERE vec_id < 10),
+      qm AS (SELECT vec_id AS q_id, v AS qv, xor(bkt, delta) AS bkt
+             FROM base, UNNEST([0, 1, 2, 4, 8, 16, 32]) AS u(delta)
+             WHERE vec_id < 10),
+      a1_scored AS (
+        SELECT q_id, c.vec_id AS c_id,
+               round(list_cosine_similarity(qv, c.v), 4) AS sim
+        FROM base c JOIN q USING (bkt)
+        WHERE c.vec_id <> q_id),
+      a1 AS (
+        SELECT q_id, c_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+          FROM a1_scored) WHERE rk <= 3),
+      am_scored AS (
+        SELECT DISTINCT q_id, c.vec_id AS c_id,
+               round(list_cosine_similarity(qv, c.v), 4) AS sim
+        FROM base c JOIN qm USING (bkt)
+        WHERE c.vec_id <> q_id),
+      am AS (
+        SELECT q_id, c_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+          FROM am_scored) WHERE rk <= 3),
+      brute_scored AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               round(list_cosine_similarity(q.qv, c.v), 4) AS sim
+        FROM base c, q
+        WHERE c.vec_id <> q.q_id),
+      truth AS (
+        SELECT q_id, c_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+          FROM brute_scored) WHERE rk <= 3),
+      den AS (SELECT q_id, count(*) AS n_truth FROM truth GROUP BY q_id),
+      h1 AS (SELECT t.q_id, count(*) AS n_hit
+             FROM truth t JOIN a1 a ON a.q_id = t.q_id AND a.c_id = t.c_id
+             GROUP BY t.q_id),
+      hm AS (SELECT t.q_id, count(*) AS n_hit
+             FROM truth t JOIN am a ON a.q_id = t.q_id AND a.c_id = t.c_id
+             GROUP BY t.q_id)
+      SELECT 'probe1' AS method, den.q_id, CAST(n_truth AS BIGINT) AS n_truth,
+             CAST(coalesce(h1.n_hit, 0) AS BIGINT) AS n_hit,
+             round(coalesce(h1.n_hit, 0) * 1.0 / n_truth, 4) AS recall
+      FROM den LEFT JOIN h1 ON h1.q_id = den.q_id
+      UNION ALL
+      SELECT 'multiprobe' AS method, den.q_id, CAST(n_truth AS BIGINT) AS n_truth,
+             CAST(coalesce(hm.n_hit, 0) AS BIGINT) AS n_hit,
+             round(coalesce(hm.n_hit, 0) * 1.0 / n_truth, 4) AS recall
+      FROM den LEFT JOIN hm ON hm.q_id = den.q_id
+      ORDER BY method, q_id""",
     "x29_jaccard_topk" -> (shingleCtes(3) + """,
       q AS (SELECT doc_id, sh FROM sh WHERE doc_id < 10),
       hits AS (SELECT q.doc_id AS q_id, c.doc_id AS c_id, count(*) AS shared
@@ -165,5 +276,6 @@ object Extensions4 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x29_jaccard_topk" -> (x29JaccardTopK _),
-    "x30_incremental_dedup" -> (x30IncrementalDedup _))
+    "x30_incremental_dedup" -> (x30IncrementalDedup _),
+    "x31_ann_recall" -> (x31AnnRecall _))
 }

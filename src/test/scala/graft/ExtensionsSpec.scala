@@ -58,6 +58,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == spark.table("emb_sql").count())
   }
 
+  test("repetition_metrics is callable from SQL and agrees with the DataFrame form") {
+    GraftExtensions.register(spark)
+    graft.model.Tables.load(spark, sf0001, "documents").createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, repetition_metrics(text).n_tok AS n_tok,
+                repetition_metrics(text, 5, 2).dup_gram_frac AS d5
+         FROM docs_sql""")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaDf = graft.ops.Extensions3.repetitionMetricsNative(
+        spark.table("docs_sql"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(viaSql == viaDf)
+  }
+
   test("multimodal: stride sampling reduces frames for video vs image of equal size") {
     import Multimodal.StubCodec
     val bytes = Array.fill[Byte](1024)(42)
