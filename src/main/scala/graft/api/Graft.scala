@@ -151,6 +151,19 @@ object Graft {
       threshold: Double = 0.5, shingleSize: Int = 5): DataFrame =
     Extensions4.incrementalDedup(corpus, batch, idCol, textCol, threshold, shingleSize)
 
+  /** Corpus vocabulary: top-k tokens with corpus counts and document
+    * frequencies in one scan (two-level aggregate, no join, top-k via
+    * per-partition heaps).
+    */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 1000): DataFrame =
+    Extensions4.vocabTopK(df, idCol, textCol, k)
+
+  /** Per-query recall of an ANN result table against a ground-truth result
+    * table (both `(q_id, c_id, ...)`); zero-hit queries kept at recall 0.
+    */
+  def recallAtK(ann: DataFrame, truth: DataFrame): DataFrame =
+    Extensions4.recallAtK(ann, truth)
+
   // ---- document hygiene ----------------------------------------------------
 
   /** Gopher-style intra-document repetition metrics (duplicate-token,

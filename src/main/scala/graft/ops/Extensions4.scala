@@ -166,6 +166,33 @@ object Extensions4 {
       .orderBy(col("method"), col("q_id"))
   }
 
+  /** Corpus-level vocabulary extraction: the `k` most frequent tokens with
+    * corpus counts and document frequencies — the input to tokenizer/vocab
+    * training, stopword derivation, and OOV analysis. One scan, two-level
+    * aggregate: the (doc, token) pre-agg collapses within-document repeats
+    * map-side (no join, no second pass for the df count — n_docs is just
+    * the row count of the pre-agg per token), and the final top-k is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort). Ties
+    * break lexicographically so the cut is deterministic.
+    */
+  def vocabTopK(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(split(lower(col(textCol)), " ")).as("token"))
+      .groupBy(col("__doc"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_total").desc, col("token"))
+      .limit(k)
+
+  /** x32: top-20 vocabulary of the documents fixture with corpus counts
+    * and document frequencies.
+    */
+  def x32VocabTopK(s: SparkSession, dir: String): DataFrame =
+    vocabTopK(docs(s, dir), "doc_id", "text", k = 20)
+      .orderBy(col("n_total").desc, col("token"))
+
   /** Shared DuckDB shingle CTE prefix (n-gram, distinct-per-doc, with
     * per-doc counts) — the same arithmetic x20's oracle replays.
     */
@@ -179,6 +206,21 @@ object Extensions4 {
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "x32_vocab_topk" -> """
+      WITH tok AS (
+        SELECT doc_id, u.token
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+             UNNEST(tk) AS u(token)),
+      per_doc AS (
+        SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+      vocab AS (
+        SELECT token, CAST(sum(c) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM per_doc GROUP BY token)
+      SELECT token, n_total, n_docs
+      FROM vocab
+      ORDER BY n_total DESC, token
+      LIMIT 20""",
     "x31_ann_recall" -> """
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -277,5 +319,6 @@ object Extensions4 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x29_jaccard_topk" -> (x29JaccardTopK _),
     "x30_incremental_dedup" -> (x30IncrementalDedup _),
-    "x31_ann_recall" -> (x31AnnRecall _))
+    "x31_ann_recall" -> (x31AnnRecall _),
+    "x32_vocab_topk" -> (x32VocabTopK _))
 }

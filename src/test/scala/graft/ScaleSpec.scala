@@ -208,6 +208,17 @@ class ScaleSpec extends SparkSpec {
         s"should read the checkpoint, not re-scan parquet $parquetScans times:\n$plan")
   }
 
+  test("vocabTopK plans the cut as TakeOrderedAndProject (per-partition heaps, no global sort)") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val df = graft.api.Graft.vocabTopK(d, "doc_id", "text", k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not range-partition a full sort:\n$plan")
+    // and the doc-frequency comes from the pre-agg, not a second scan
+    val parquetScans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(parquetScans == 1, s"expected one documents scan, got $parquetScans:\n$plan")
+  }
+
   test("signBitsFor scales the quantizer with the corpus; parameterized signBucketTopK agrees with x06 at 6 bits") {
     import graft.api.Graft
     assert(Graft.signBitsFor(1000L) == 4)              // clamp floor
