@@ -36,14 +36,21 @@ object Relational4 {
     */
   def q74Percentiles(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem_pct_v")
+    // one percentile(..., array(...)) buffer per group instead of three
+    // independent percentile_cont aggregates (each of which buffers the
+    // full column per group); Spark's exact percentile interpolates with
+    // the same index = p*(n-1) linear rule as percentile_cont, so the
+    // values are identical — the oracle still runs the percentile_cont
+    // spelling on the DuckDB side
     s.sql("""
-      SELECT l_returnflag,
-             percentile_cont(0.25) WITHIN GROUP (ORDER BY round(l_extendedprice)) AS p25,
-             percentile_cont(0.5)  WITHIN GROUP (ORDER BY round(l_extendedprice)) AS median,
-             percentile_cont(0.75) WITHIN GROUP (ORDER BY round(l_extendedprice)) AS p75,
-             round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median_disc
-      FROM lineitem_pct_v
-      GROUP BY l_returnflag
+      SELECT l_returnflag, pcts[0] AS p25, pcts[1] AS median, pcts[2] AS p75,
+             round(pd, 2) AS median_disc
+      FROM (
+        SELECT l_returnflag,
+               percentile(round(l_extendedprice), array(0.25D, 0.5D, 0.75D)) AS pcts,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS pd
+        FROM lineitem_pct_v
+        GROUP BY l_returnflag)
       ORDER BY l_returnflag""")
   }
 

@@ -97,4 +97,51 @@ class PipelineSpec extends SparkSpec {
     info(s"prep funnel: raw=$n0 -> clean=$n1 -> capped=$n2 -> mixed=$n3 " +
       s"-> ${packed.count()} chunks / $packedTokens tokens")
   }
+
+  test("incremental ingest -> dedup decision -> corpus growth -> vocab refresh -> retrieval") {
+    val raw = Tables.load(spark, sf0001, "documents")
+    val corpus = raw.filter(col("doc_id") < 400).cache()
+    val nCorpus = corpus.count()
+
+    // new crawl batch: the tail docs plus a PLANTED byte-identical copy of
+    // corpus doc 7 so the dedup decision provably bites
+    val planted = corpus.filter(col("doc_id") === 7)
+      .withColumn("doc_id", lit(100007L))
+    val batch = raw.filter(col("doc_id") >= 400).unionByName(planted).cache()
+    val nBatch = batch.count()
+
+    // 1. one decision row per batch doc; the planted dup maps to its survivor
+    val decisions = Graft.incrementalDedup(corpus, batch, "doc_id", "text").cache()
+    assert(decisions.count() == nBatch)
+    val dup = decisions.filter(col("b_id") === 100007L).collect()(0)
+    assert(!dup.getBoolean(1) && dup.getLong(2) == 7L && dup.getDouble(3) == 1.0,
+      s"planted copy must be dropped in favor of corpus doc 7: $dup")
+
+    // 2. grow the corpus with the kept docs only
+    val kept = batch.join(
+      decisions.filter(col("keep")).select(col("b_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val grown = corpus.unionByName(kept).cache()
+    val nGrown = grown.count()
+    assert(nGrown < nCorpus + nBatch && nGrown >= nCorpus,
+      s"growth must exclude at least the planted dup: $nCorpus + $nBatch -> $nGrown")
+
+    // 3. vocabulary refresh over the grown corpus: counts are internally
+    //    consistent (df <= corpus size, total >= df, deterministic cut)
+    val vocab = Graft.vocabTopK(grown, "doc_id", "text", k = 50).collect()
+    // the synthetic fixture has a ~31-token vocabulary; k caps, not pads
+    assert(vocab.nonEmpty && vocab.length <= 50)
+    assert(vocab.forall(r => r.getLong(2) <= nGrown && r.getLong(1) >= r.getLong(2)))
+
+    // 4. retrieval over the grown corpus: top-2 per query, never a self-match
+    val hits = Graft.jaccardTopK(grown, grown.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 2, shingleSize = 3)
+      .collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(r => r.getLong(0) != r.getLong(1) && r.getLong(3) <= 2L))
+
+    info(s"incremental flow: corpus=$nCorpus + batch=$nBatch -> grown=$nGrown " +
+      s"(dropped ${nCorpus + nBatch - nGrown} dups), vocab head=" +
+      vocab.take(3).map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(","))
+  }
 }
