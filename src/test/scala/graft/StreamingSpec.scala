@@ -298,4 +298,47 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("firstName")).toMap
     assert(served2 == Map(1L -> "Again"), s"got $served2")
   }
+
+  test("streaming corpus ingestion: foreachBatch dedups each micro-batch against the growing corpus") {
+    import spark.implicits._
+    // The steady-state crawl shape: documents arrive as a stream, each
+    // micro-batch is judged against the CURRENT corpus via
+    // incrementalDedup, and only kept docs append — so a doc admitted in
+    // batch N dedups arrivals in batch N+1. Never corpus×corpus.
+    val root = tmpDir("ingest")
+    val spool = s"$root/spool"; val corpusDir = s"$root/corpus"; val ckpt = s"$root/ckpt"
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    // batch 1: a byte-identical copy of corpus doc 1 + a novel doc
+    Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11L, "totally new content that matches nothing currently stored"))
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(spool)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val corpus = spark.read.parquet(corpusDir)
+          val kept = batch.join(
+            graft.api.Graft.incrementalDedup(corpus, batch, "doc_id", "text")
+              .filter(col("keep")).select(col("b_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          kept.write.mode("append").parquet(corpusDir)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    // batch 2: a copy of the doc ADMITTED IN BATCH 1 (not in the seed
+    // corpus) + another novel doc — proves batch-N admissions gate batch
+    // N+1 arrivals
+    Seq((20L, "totally new content that matches nothing currently stored"),
+        (21L, "yet another brand new document unlike all previous ones"))
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L, 21L),
+      s"expected dups 10 (vs seed) and 20 (vs batch-1 admission) dropped, got $ids")
+  }
 }
