@@ -151,6 +151,15 @@ object Graft {
       threshold: Double = 0.5, shingleSize: Int = 5): DataFrame =
     Extensions4.incrementalDedup(corpus, batch, idCol, textCol, threshold, shingleSize)
 
+  /** BM25 lexical retrieval: top-k corpus docs per query doc under the
+    * Okapi BM25 weight (broadcast stats + inverted-index term join;
+    * scores rounded before ranking, ties by candidate id).
+    */
+  def bm25TopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    Extensions4.bm25TopK(corpus, queries, idCol, textCol, k, k1, b)
+
   /** Corpus vocabulary: top-k tokens with corpus counts and document
     * frequencies in one scan (two-level aggregate, no join, top-k via
     * per-partition heaps).

@@ -166,6 +166,65 @@ object Extensions4 {
       .orderBy(col("method"), col("q_id"))
   }
 
+  /** BM25 top-k retrieval: score corpus documents against query documents
+    * with the standard Okapi BM25 weight over shared terms —
+    * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * w(t, d) = idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)) —
+    * and keep each query's `k` best. The realistic lexical-retrieval
+    * scorer on top of the same inverted index jaccardTopK uses.
+    *
+    * Plan shape at scale: term frequencies and doc lengths are one scan +
+    * one (doc, term) agg; the corpus-level stats (N, avgdl, per-term df)
+    * are tiny and broadcast; the query term list broadcasts; scoring is an
+    * equi-join on the term followed by a (q, d) partial-agg sum. Nothing
+    * global except the k-row-per-query cut.
+    *
+    * Determinism: avgdl derives from exact integer sums (no double
+    * aggregation order sensitivity), scores are rounded to 4 BEFORE
+    * ranking, ties break by candidate id — the whole formula replays in
+    * the SQL oracle.
+    */
+  def bm25TopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val tf = corpus
+      .select(col(idCol).as("c_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("c_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = corpus
+      .select(col(idCol), size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = queries
+      .select(col(idCol).as("q_id"), explode(array_distinct(toks)).as("term"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    qt.join(tf, Seq("term"))
+      .filter(col("c_id") =!= col("q_id"))
+      .join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("wt",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") * col("n_docs") / col("sum_dl"))))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(round(sum(col("wt")), 4).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("score"), col("rk").cast("long").as("rk"))
+  }
+
+  /** x33: [[bm25TopK]] on the documents fixture — docs 0-4 as queries,
+    * top-3 each.
+    */
+  def x33Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(docs(s, dir), docs(s, dir).filter(col("doc_id") < 5),
+        "doc_id", "text", k = 3)
+      .orderBy(col("q_id"), col("rk"))
+
   /** Corpus-level vocabulary extraction: the `k` most frequent tokens with
     * corpus counts and document frequencies — the input to tokenizer/vocab
     * training, stopword derivation, and OOV analysis. One scan, two-level
@@ -206,6 +265,32 @@ object Extensions4 {
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "x33_bm25_topk" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      tf AS (SELECT doc_id AS c_id, len(tk) AS dl, u.term, count(*) AS tf
+             FROM d, UNNEST(tk) AS u(term)
+             GROUP BY 1, 2, 3),
+      stats AS (SELECT count(*) AS n_docs, sum(len(tk)) AS sum_dl FROM d),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      qt AS (SELECT doc_id AS q_id, u.term
+             FROM d, UNNEST(list_distinct(tk)) AS u(term)
+             WHERE doc_id < 5),
+      scored AS (
+        SELECT qt.q_id, tf.c_id,
+               round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl * s.n_docs / s.sum_dl))), 4)
+                 AS score
+        FROM qt
+        JOIN tf ON tf.term = qt.term AND tf.c_id <> qt.q_id
+        JOIN df ON df.term = qt.term
+        CROSS JOIN stats s
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk
+        FROM scored)
+      SELECT q_id, c_id, score, rk FROM ranked WHERE rk <= 3
+      ORDER BY q_id, rk""",
     "x32_vocab_topk" -> """
       WITH tok AS (
         SELECT doc_id, u.token
@@ -320,5 +405,6 @@ object Extensions4 {
     "x29_jaccard_topk" -> (x29JaccardTopK _),
     "x30_incremental_dedup" -> (x30IncrementalDedup _),
     "x31_ann_recall" -> (x31AnnRecall _),
-    "x32_vocab_topk" -> (x32VocabTopK _))
+    "x32_vocab_topk" -> (x32VocabTopK _),
+    "x33_bm25_topk" -> (x33Bm25TopK _))
 }

@@ -139,6 +139,25 @@ class ExtensionsSpec extends SparkSpec {
       s"near-dup must rank second with partial jaccard: ${got.toSeq}")
   }
 
+  test("bm25TopK ranks rare-term matches above common-term matches") {
+    import spark.implicits._
+    // "zebra" appears in exactly one corpus doc (rare, high idf); "the"
+    // appears everywhere (low idf). The query shares "zebra the" with doc 2
+    // and only "the" with the rest — doc 2 must win decisively.
+    val corpus = Seq(
+      (1L, "the cat sat on the mat near the door"),
+      (2L, "the zebra grazed quietly beside the river bank"),
+      (3L, "the dog barked at the mailman again today"),
+      (4L, "the bird flew over the tall green tree")
+    ).toDF("doc_id", "text")
+    val query = Seq((99L, "zebra the")).toDF("doc_id", "text")
+    val got = graft.api.Graft.bm25TopK(corpus, query, "doc_id", "text", k = 4)
+      .orderBy(col("rk")).collect()
+    assert(got.head.getLong(1) == 2L, s"rare-term doc must rank first: ${got.toSeq}")
+    assert(got.head.getDouble(2) > got(1).getDouble(2) * 2,
+      s"rare term must dominate common-term scores: ${got.toSeq}")
+  }
+
   test("incrementalDedup keeps novel batch docs and maps dups to their corpus survivor") {
     import spark.implicits._
     val corpus = Seq(
