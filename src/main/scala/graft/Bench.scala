@@ -47,19 +47,28 @@ object Bench {
     // ratio columns) were costed at ~scan price. The noop sink evaluates
     // every output column and discards the rows — honest map-stage numbers,
     // zero I/O attributed.
+    // Failures must be LOUD in the artifact: a query that throws fails at
+    // plan time in milliseconds, so silently swallowing it would record a
+    // tiny number that reads as a speedup. Failed queries are listed in an
+    // "errors" array and excluded from the total.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
         val times = (1 to math.max(1, repeats)).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case _: Throwable => () }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
           val dt = (System.nanoTime() - t0) / 1e9
           reset() // outside the timed region
           dt
         }
         name -> times
       }
+      .filter { case (name, _) => !failed.contains(name) }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v.min) }
@@ -68,7 +77,8 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v.max / math.max(1e-9, v.min)) }
       .mkString("{", ",", "}")
     val total = results.values.map(_.min).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_max_over_min":$spread,"runs_per_query":$repeats,"sf":"$sfDir"}""")
+    val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_max_over_min":$spread,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -81,6 +81,11 @@ object Extensions4 {
     * batch-index × corpus-index through the inverted index — linear in
     * the batch, never quadratic in the corpus, and the corpus text is
     * scanned exactly once per increment.
+    *
+    * Scope: decisions are batch-vs-CORPUS only — two duplicates arriving
+    * in the SAME batch are both kept (neither is in the corpus yet).
+    * Compose with [[Extensions.exactDedup]] / [[Extensions.jaccardPairs]]
+    * over the batch first when within-batch duplication matters.
     */
   def incrementalDedup(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
