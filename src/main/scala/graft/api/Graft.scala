@@ -151,6 +151,21 @@ object Graft {
       threshold: Double = 0.5, shingleSize: Int = 5): DataFrame =
     Extensions4.incrementalDedup(corpus, batch, idCol, textCol, threshold, shingleSize)
 
+  /** Build the corpus's shingle inverted index ONCE as a materialized
+    * handle — (doc_id, n_sh, shk), one row per distinct n-gram per doc.
+    * Feed it to the `...FromIndex` variants when composing several
+    * index-shaped stages over the same corpus; each standalone operator
+    * otherwise re-tokenizes per call.
+    */
+  def shingleIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5): DataFrame =
+    Extensions.shingleIndexOf(corpus, idCol, textCol, shingleSize)
+
+  /** [[jaccardNearDupPairs]] over a prebuilt [[shingleIndex]] handle. */
+  def jaccardPairsFromIndex(index: DataFrame, threshold: Double = 0.5): DataFrame =
+    Extensions.exactJaccardFromIndex(index, threshold)
+
   /** BM25 lexical retrieval: top-k corpus docs per query doc under the
     * Okapi BM25 weight (broadcast stats + inverted-index term join;
     * scores rounded before ranking, ties by candidate id).

@@ -130,6 +130,19 @@ object Extensions {
   private def shingleIndexKeyed(s: SparkSession, dir: String): DataFrame =
     shingleIndexKeyedOf(docs(s, dir), "doc_id", "text")
 
+  /** The materialized shingle inverted index as a reusable handle —
+    * (doc_id, n_sh, shk), one row per DISTINCT shingle per doc, shk =
+    * xxhash64 of the n-gram. A corpus-prep pipeline that runs several
+    * index-shaped stages over the SAME corpus (pair dedup, contamination,
+    * retrieval) tokenizes+shingles+hashes once through this instead of
+    * once per stage — the per-op entry points stay self-contained for
+    * one-shot use.
+    */
+  private[graft] def shingleIndexOf(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5): DataFrame =
+    materialized(shingleIndexFastOf(corpus, idCol, textCol, shingleSize))
+
   // ---- X1: exact dedup -----------------------------------------------------
 
   /** Exact dedup over any corpus: keep the lowest-id row per distinct
@@ -184,7 +197,7 @@ object Extensions {
     * pay on both sides. `pairFilter`, when present, left-semi-joins the
     * raw pairs down to a precomputed candidate set BEFORE the count agg.
     */
-  private def exactJaccardFromIndex(
+  private[graft] def exactJaccardFromIndex(
       sh: DataFrame, threshold: Double,
       pairFilter: Option[DataFrame] = None): DataFrame = {
     val paired = sh.as("x").join(sh.as("y").hint("shuffle_hash"),

@@ -144,4 +144,19 @@ class PipelineSpec extends SparkSpec {
       s"(dropped ${nCorpus + nBatch - nGrown} dups), vocab head=" +
       vocab.take(3).map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(","))
   }
+
+  test("a shared shingleIndex handle reproduces the standalone pair results") {
+    val raw = Tables.load(spark, sf0001, "documents")
+    val idx = Graft.shingleIndex(raw, "doc_id", "text")
+    val viaIndex = Graft.jaccardPairsFromIndex(idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val standalone = Graft.jaccardNearDupPairs(raw, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == standalone)
+    // the handle is materialized: consuming it twice must not re-scan parquet
+    val plan = Graft.jaccardPairsFromIndex(idx)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet") && !plan.contains("FileScan parquet"),
+      s"index consumers must read the checkpoint, not re-shingle the corpus:\n$plan")
+  }
 }
