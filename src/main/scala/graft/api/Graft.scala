@@ -102,6 +102,15 @@ object Graft {
   def signBitsFor(corpusCount: Long, targetCellSize: Long = 100000L): Int =
     Extensions.signBitsFor(corpusCount, targetCellSize)
 
+  /** Embedding-cosine near-duplicate pairs (SemDeDup-shaped candidates:
+    * shared sign-bucket cells only, never n²): (vec_a, vec_b, sim) with
+    * sim >= threshold. Feed into [[dupClusters]] for semantic dedup.
+    */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, signBits: Int = 6): DataFrame =
+    Extensions.embeddingNearDupPairs(corpus, idCol, vecCol, threshold, signBits)
+
   /** OR-amplified LSH ANN: `nTables` independent sign-hash tables over
     * disjoint coordinate blocks; candidates matching in ANY table are
     * exact-reranked. More tables buy recall at linear candidate cost —

@@ -550,18 +550,27 @@ object Extensions {
     * the same-bucket corpus maximum at every sf (0.47-0.6 — no planted
     * near-dups in this data) so the query exercises real row flow.
     */
-  def x15EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    def bucket(v: Column): Column = signBucket(v, SignBits)
-    val base = e.select(col("vec_id"), col("embedding").as("v"),
-      bucket(col("embedding")).as("bkt"))
+  /** Parameterized embedding near-dup pairs over any (id, vector) corpus:
+    * output (vec_a, vec_b, sim), vec_a < vec_b, sim >= threshold, with
+    * candidates restricted to shared sign-bucket cells. Size `signBits`
+    * with [[signBitsFor]] at scale.
+    */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, signBits: Int = SignBits): DataFrame = {
+    val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), signBits).as("bkt"))
     base.as("a").join(base.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
-      .filter(col("sim") >= 0.45)
-      .orderBy(col("vec_a"), col("vec_b"))
+      .filter(col("sim") >= threshold)
   }
+
+  def x15EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, signBits = SignBits)
+      .orderBy(col("vec_a"), col("vec_b"))
 
   // ---- X7-X10: text analysis ----------------------------------------------
 

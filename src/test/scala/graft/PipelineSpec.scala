@@ -145,6 +145,29 @@ class PipelineSpec extends SparkSpec {
       vocab.take(3).map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(","))
   }
 
+  test("semantic dedup: embedding near-dup pairs -> clusters -> representatives") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val n0 = e.count()
+    // pairs at a threshold that bites on this fixture (cell max ~0.6)
+    val pairs = Graft.embeddingNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.45)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val nPairs = pairs.count()
+    assert(nPairs > 0, "threshold must bite for the test to mean anything")
+    val clusters = Graft.dupClusters(pairs)
+    val drop = clusters.filter(col("doc_id") =!= col("component")).select("doc_id")
+    val reps = e.join(drop.withColumnRenamed("doc_id", "vec_id"),
+      Seq("vec_id"), "left_anti")
+    val n1 = reps.count()
+    assert(n1 < n0 && n1 > 0)
+    // no surviving pair is still a near-dup at the same threshold/cells
+    val residual = Graft.embeddingNearDupPairs(reps, "vec_id", "embedding",
+      threshold = 0.45).count()
+    assert(residual == 0,
+      s"representatives must not contain same-cell near-dups, found $residual")
+    info(s"semantic dedup: $n0 vectors, $nPairs near-dup pairs -> $n1 representatives")
+  }
+
   test("a shared shingleIndex handle reproduces the standalone pair results") {
     val raw = Tables.load(spark, sf0001, "documents")
     val idx = Graft.shingleIndex(raw, "doc_id", "text")
