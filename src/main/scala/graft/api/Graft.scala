@@ -197,6 +197,33 @@ object Graft {
   def recallAtK(ann: DataFrame, truth: DataFrame): DataFrame =
     Extensions4.recallAtK(ann, truth)
 
+  /** End-to-end semantic dedup over an embedding corpus: sign-bucket
+    * near-dup pairs → connected components → per-row (id, component, keep)
+    * decision table; keep = cluster representative (min id). Anti-join
+    * `keep = false` to drop semantic duplicates.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, signBits: Int = 6): DataFrame =
+    Extensions4.semanticDedup(corpus, idCol, vecCol, threshold, signBits)
+
+  /** Each document's `k` most distinctive terms by tf·ln(N/df) —
+    * round-before-rank, lexicographic ties.
+    */
+  def tfidfTopTerms(
+      corpus: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame =
+    Extensions4.tfidfTopTerms(corpus, idCol, textCol, k)
+
+  /** Strided token-window chunking (window/stride, overlap = window -
+    * stride): every token covered, tail chunks shorter, map-only. Run
+    * before [[packSequences]] — chunk splits long docs, packing
+    * concatenates short ones.
+    */
+  def chunkDocuments(
+      corpus: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame =
+    Extensions4.chunkDocuments(corpus, idCol, textCol, window, stride)
+
   // ---- document hygiene ----------------------------------------------------
 
   /** Gopher-style intra-document repetition metrics (duplicate-token,

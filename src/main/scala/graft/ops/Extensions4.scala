@@ -257,6 +257,117 @@ object Extensions4 {
     vocabTopK(docs(s, dir), "doc_id", "text", k = 20)
       .orderBy(col("n_total").desc, col("token"))
 
+  // ---- X19-X21 (SURVEY §2.11): semantic dedup, TF-IDF, chunking -----------
+
+  /** End-to-end semantic dedup (SemDeDup-shaped): embedding near-dup pairs
+    * (sign-bucket candidates only — never n²) → connected components →
+    * a per-row decision table (id, component, keep) over the FULL corpus,
+    * keep = "this row is its cluster's representative" (min id). Rows in
+    * no cluster keep themselves. One anti-join against `keep = false`
+    * removes the semantic duplicates.
+    *
+    * At 100 TB: candidate generation is per-cell products (size the cells
+    * with [[Extensions.signBitsFor]]), the pair graph is orders of
+    * magnitude smaller than the corpus, and components run on the graph,
+    * not the corpus — the corpus is touched once for pairs and once for
+    * the final decision join (AQE broadcasts the cluster map when small).
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, signBits: Int = 6): DataFrame = {
+    val pairs = Extensions.embeddingNearDupPairs(
+      corpus, idCol, vecCol, threshold, signBits)
+    val comp = Extensions2.connectedComponents(pairs, "vec_a", "vec_b")
+      .withColumnRenamed("doc_id", "vec_id")
+    corpus.select(col(idCol).as("vec_id"))
+      .join(comp, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"),
+        (coalesce(col("component"), col("vec_id")) === col("vec_id")).as("keep"))
+  }
+
+  /** x34: [[semanticDedup]] on the embeddings fixture at the x15 threshold
+    * (0.45 — the fixture's same-cell cosine tops out near 0.6, so the
+    * threshold bites and real clusters form).
+    */
+  def x34SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, signBits = 6)
+      .orderBy(col("vec_id"))
+
+  /** Per-document TF-IDF keyword extraction: each document's `k` highest
+    * tf·ln(N/df) terms — the corpus-statistics dual of [[bm25TopK]]
+    * (that one scores foreign queries; this one characterizes each doc by
+    * its own most distinctive terms, the standard input to topic labeling
+    * and quality heuristics).
+    *
+    * Plan shape: one scan → (doc, term) counts; per-term doc frequency is
+    * a second agg over that pre-agg (AQE reuses the exchange — no second
+    * scan); df and N broadcast; the per-doc cut is a WindowGroupLimit.
+    * Scores are rounded BEFORE ranking (libm-ln ulp noise cannot reorder
+    * the cut); ties break lexicographically.
+    */
+  def tfidfTopTerms(
+      corpus: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val tf = corpus
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** x35: top-3 TF-IDF terms per document on the documents fixture. */
+  def x35TfidfTerms(s: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rk"))
+
+  /** Strided token-window chunking — the training-data prep step that
+    * turns variable-length documents into (near-)fixed-length training
+    * sequences with overlap: chunk `c` covers tokens
+    * [c·stride, c·stride + window); every token is covered; tail chunks
+    * are shorter. Map-only (explode of per-doc window starts — no
+    * shuffle, no state), so it scales with the scan.
+    *
+    * Complements [[Extensions3]]'s sequence packing (x23): chunking SPLITS
+    * long documents, packing CONCATENATES short ones — real pipelines run
+    * chunk → pack.
+    */
+  def chunkDocuments(
+      corpus: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = split(col(textCol), " ")
+    corpus
+      .select(col(idCol).as("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("tk"), col("start") + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** x36: [[chunkDocuments]] at window 50 / stride 40 (10-token overlap)
+    * on the documents fixture.
+    */
+  def x36ChunkDocs(s: SparkSession, dir: String): DataFrame =
+    chunkDocuments(docs(s, dir), "doc_id", "text", window = 50, stride = 40)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Shared DuckDB shingle CTE prefix (n-gram, distinct-per-doc, with
     * per-doc counts) — the same arithmetic x20's oracle replays.
     */
@@ -270,6 +381,57 @@ object Extensions4 {
       cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "x34_semantic_dedup" -> """
+      WITH RECURSIVE base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
+        FROM embeddings),
+      p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM base a JOIN base b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45),
+      edges AS (SELECT va AS src, vb AS dst FROM p
+                UNION ALL SELECT vb, va FROM p),
+      reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+      cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+      SELECT e.vec_id,
+             coalesce(cc.comp, e.vec_id) AS component,
+             coalesce(cc.comp, e.vec_id) = e.vec_id AS keep
+      FROM embeddings e LEFT JOIN cc ON cc.node = e.vec_id
+      ORDER BY e.vec_id""",
+    "x35_tfidf_terms" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      tf AS (SELECT doc_id, u.term, count(*) AS tf
+             FROM d, UNNEST(tk) AS u(term)
+             GROUP BY 1, 2),
+      n AS (SELECT count(*) AS n_docs FROM d),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, rk""",
+    "x36_chunk_docs" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      starts AS (SELECT doc_id, tk, g.i AS start
+                 FROM d, UNNEST(generate_series(0, len(tk) - 1, 40)) AS g(i))
+      SELECT doc_id, start // 40 AS chunk_id,
+             len(tk[start + 1 : start + 50]) AS n_tokens,
+             array_to_string(tk[start + 1 : start + 50], ' ') AS chunk_text
+      FROM starts
+      ORDER BY doc_id, chunk_id""",
     "x33_bm25_topk" -> """
       WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
       tf AS (SELECT doc_id AS c_id, len(tk) AS dl, u.term, count(*) AS tf
@@ -411,5 +573,8 @@ object Extensions4 {
     "x30_incremental_dedup" -> (x30IncrementalDedup _),
     "x31_ann_recall" -> (x31AnnRecall _),
     "x32_vocab_topk" -> (x32VocabTopK _),
-    "x33_bm25_topk" -> (x33Bm25TopK _))
+    "x33_bm25_topk" -> (x33Bm25TopK _),
+    "x34_semantic_dedup" -> (x34SemanticDedup _),
+    "x35_tfidf_terms" -> (x35TfidfTerms _),
+    "x36_chunk_docs" -> (x36ChunkDocs _))
 }

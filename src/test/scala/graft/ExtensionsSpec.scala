@@ -158,6 +158,62 @@ class ExtensionsSpec extends SparkSpec {
       s"rare term must dominate common-term scores: ${got.toSeq}")
   }
 
+  test("semanticDedup marks every corpus row and keeps exactly the cluster representatives") {
+    import spark.implicits._
+    // vectors 1 and 2 are identical (cosine 1.0); 3 is their opposite
+    // (same |coords| flipped sign -> different sign bucket, never a
+    // candidate); 4 is unrelated but bucket-mates with nobody at >= 0.9
+    val corpus = Seq(
+      (1L, Array(0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f)),
+      (2L, Array(0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f)),
+      (3L, Array(-0.5f, -0.5f, -0.5f, -0.5f, -0.5f, -0.5f)),
+      (4L, Array(0.9f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.api.Graft.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"every row needs a decision: $got")
+    assert(got(1L) == (1L, true) && got(2L) == (1L, false),
+      s"identical pair must collapse to min id: $got")
+    assert(got(3L) == (3L, true) && got(4L) == (4L, true),
+      s"singletons keep themselves: $got")
+  }
+
+  test("tfidfTopTerms ranks a doc's rare term above its ubiquitous term") {
+    import spark.implicits._
+    // "the" is in all 4 docs (idf = ln(1) = 0); "zebra" only in doc 1
+    val corpus = Seq(
+      (1L, "the zebra the the"),
+      (2L, "the cat sat"),
+      (3L, "the dog ran"),
+      (4L, "the bird flew")
+    ).toDF("doc_id", "text")
+    val got = graft.api.Graft.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1).orderBy(col("rk")).collect()
+    assert(got.head.getString(1) == "zebra",
+      s"rare term must top doc 1: ${got.toSeq}")
+    assert(got.head.getDouble(4) > 0 && got(1).getDouble(4) == 0.0,
+      s"tf=3 'the' must score ln(4/4)=0 despite its count: ${got.toSeq}")
+  }
+
+  test("chunkDocuments covers every token with the declared overlap and tail") {
+    import spark.implicits._
+    val corpus = Seq((1L, (1 to 12).map(i => s"t$i").mkString(" ")),
+      (2L, "short doc")).toDF("doc_id", "text")
+    val got = graft.api.Graft.chunkDocuments(corpus, "doc_id", "text",
+        window = 5, stride = 4)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(d1.toSeq == Seq(
+      (0L, 5L, "t1 t2 t3 t4 t5"),
+      (1L, 5L, "t5 t6 t7 t8 t9"),
+      (2L, 4L, "t9 t10 t11 t12")), s"strided windows wrong: ${d1.toSeq}")
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getLong(2) == 2L &&
+      d2.head.getString(3) == "short doc", s"sub-window doc: ${d2.toSeq}")
+  }
+
   test("incrementalDedup keeps novel batch docs and maps dups to their corpus survivor") {
     import spark.implicits._
     val corpus = Seq(
