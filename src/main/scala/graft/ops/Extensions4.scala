@@ -301,19 +301,22 @@ object Extensions4 {
     * its own most distinctive terms, the standard input to topic labeling
     * and quality heuristics).
     *
-    * Plan shape: one scan → (doc, term) counts; per-term doc frequency is
-    * a second agg over that pre-agg (AQE reuses the exchange — no second
-    * scan); df and N broadcast; the per-doc cut is a WindowGroupLimit.
-    * Scores are rounded BEFORE ranking (libm-ln ulp noise cannot reorder
-    * the cut); ties break lexicographically.
+    * Plan shape: the (doc, term) count table is materialized ONCE and
+    * feeds both the per-term doc frequency and the back-join — tokenize +
+    * explode (the dominant cost) runs a single time, same discipline as
+    * x27's shingle index; df and N broadcast (vocabulary ≪ corpus; at a
+    * 100 TB corpus the distinct-term table is still orders of magnitude
+    * smaller — and AQE demotes the hint if not); the per-doc cut is a
+    * WindowGroupLimit. Scores are rounded BEFORE ranking (libm-ln ulp
+    * noise cannot reorder the cut); ties break lexicographically.
     */
   def tfidfTopTerms(
       corpus: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
-    val tf = corpus
+    val tf = Extensions.materialized(corpus
       .select(col(idCol).as("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
