@@ -214,6 +214,13 @@ object Graft {
       corpus: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame =
     Extensions4.tfidfTopTerms(corpus, idCol, textCol, k)
 
+  /** Per-doc cross-entropy against the corpus unigram distribution
+    * (CCNet-style LM quality signal): low = typical, high = rare-token
+    * noise. Rank and cut a tail percentile to filter.
+    */
+  def unigramScore(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    Extensions4.unigramScore(corpus, idCol, textCol)
+
   /** Strided token-window chunking (window/stride, overlap = window -
     * stride): every token covered, tail chunks shorter, map-only. Run
     * before [[packSequences]] — chunk splits long docs, packing

@@ -371,6 +371,46 @@ object Extensions4 {
     chunkDocuments(docs(s, dir), "doc_id", "text", window = 50, stride = 40)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Unigram language-model scoring (the CCNet-style quality signal):
+    * train the corpus unigram distribution, then score every document by
+    * its per-token cross-entropy against it,
+    * `H(doc) = ln(N) - (1/|doc|) Σ_tokens tf·ln(cnt(term))` — low = the
+    * doc looks like the corpus, high = rare-token noise (mojibake, id
+    * dumps, boilerplate-free gibberish). The standard next filter after
+    * [[Extensions2]]'s rule-based quality gate: rank by `cross_entropy`
+    * and cut a tail percentile.
+    *
+    * Plan shape: the (doc, term, tf) table is materialized once (same
+    * discipline as [[tfidfTopTerms]]) and feeds the term-count model, the
+    * normalizer N (sum over the model — never a second corpus pass), and
+    * the scoring join; the trained model broadcasts (vocabulary ≪
+    * corpus). Scores round to 4dp only at the end (sub-ulp agg-order
+    * noise cannot move 1e-4 buckets).
+    */
+  def unigramScore(
+      corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val tf = Extensions.materialized(corpus
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val nTok = model.agg(sum(col("cnt")).as("n_tok"))
+    tf.join(broadcast(model), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * log(col("cnt").cast("double"))).as("s"))
+      .crossJoin(broadcast(nTok))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_tok").cast("double")) - col("s") / col("n_tokens"), 4)
+          .as("cross_entropy"))
+  }
+
+  /** x37: [[unigramScore]] over the documents fixture. */
+  def x37UnigramScore(s: SparkSession, dir: String): DataFrame =
+    unigramScore(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Shared DuckDB shingle CTE prefix (n-gram, distinct-per-doc, with
     * per-doc counts) — the same arithmetic x20's oracle replays.
     */
@@ -435,6 +475,20 @@ object Extensions4 {
              array_to_string(tk[start + 1 : start + 50], ' ') AS chunk_text
       FROM starts
       ORDER BY doc_id, chunk_id""",
+    "x37_unigram_score" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      tf AS (SELECT doc_id, u.term, count(*) AS tf
+             FROM d, UNNEST(tk) AS u(term)
+             GROUP BY 1, 2),
+      model AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+      n AS (SELECT sum(cnt) AS n_tok FROM model)
+      SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             round(ln(n.n_tok * 1.0)
+                   - sum(tf.tf * ln(model.cnt * 1.0)) / sum(tf.tf), 4)
+               AS cross_entropy
+      FROM tf JOIN model USING (term) CROSS JOIN n
+      GROUP BY tf.doc_id, n.n_tok
+      ORDER BY tf.doc_id""",
     "x33_bm25_topk" -> """
       WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
       tf AS (SELECT doc_id AS c_id, len(tk) AS dl, u.term, count(*) AS tf
@@ -579,5 +633,6 @@ object Extensions4 {
     "x33_bm25_topk" -> (x33Bm25TopK _),
     "x34_semantic_dedup" -> (x34SemanticDedup _),
     "x35_tfidf_terms" -> (x35TfidfTerms _),
-    "x36_chunk_docs" -> (x36ChunkDocs _))
+    "x36_chunk_docs" -> (x36ChunkDocs _),
+    "x37_unigram_score" -> (x37UnigramScore _))
 }

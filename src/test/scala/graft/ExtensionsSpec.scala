@@ -214,6 +214,26 @@ class ExtensionsSpec extends SparkSpec {
       d2.head.getString(3) == "short doc", s"sub-window doc: ${d2.toSeq}")
   }
 
+  test("unigramScore gives the rare-token doc higher cross-entropy than the typical doc") {
+    import spark.implicits._
+    // docs 1-3 are all common tokens; doc 4 is one-off gibberish
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "the cat ran on the mat"),
+      (4L, "zxqv wkjh qpzm xbvn")
+    ).toDF("doc_id", "text")
+    val got = graft.api.Graft.unigramScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L)._1 == 6 && got(4L)._1 == 4, s"token counts: $got")
+    assert(got(4L)._2 > got(1L)._2 && got(4L)._2 > got(2L)._2 && got(4L)._2 > got(3L)._2,
+      s"gibberish doc must score highest cross-entropy: $got")
+    // every token of doc 4 is unique in the corpus: H = ln(N) - ln(1) = ln(22)
+    assert(math.abs(got(4L)._2 - math.round(math.log(22.0) * 1e4) / 1e4) < 1e-9,
+      s"all-singleton doc must score exactly ln(N): $got")
+  }
+
   test("incrementalDedup keeps novel batch docs and maps dups to their corpus survivor") {
     import spark.implicits._
     val corpus = Seq(
