@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Fifth extension batch — model-shaped corpus preparation: hashed linear
+  * quality classification (the fasttext-style bag-of-words filter every
+  * large pretraining pipeline runs), Johnson–Lindenstrauss random
+  * projection (embedding dimensionality reduction ahead of ANN), and
+  * symmetric int8 embedding quantization (4× storage cut for a 100 TB
+  * vector store).
+  *
+  * All three operators are MAP-ONLY over their input — zero shuffles,
+  * zero joins, fully inside whole-stage codegen. At 100 TB that is the
+  * whole story: they scale with scan bandwidth and nothing else.
+  *
+  * Everything is deterministic and engine-portable: classifier weights
+  * and projection signs derive from md5 (bit-identical in any engine),
+  * and every per-document reduction is either an exact integer sum or a
+  * short fixed-order float sum rounded well above accumulation noise —
+  * so the DuckDB oracle replays the arithmetic literally.
+  */
+object Extensions5 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ---- hashed linear quality classifier ------------------------------------
+
+  /** Bag-of-words linear classifier with hashed weights — the shape of a
+    * fasttext-style quality filter (score a document, keep it iff the
+    * score clears a threshold). The "trained model" here is a hash-derived
+    * weight table w(token) ∈ [-1, 1] so the operator is self-contained and
+    * oracle-replayable; swapping in real learned weights is a one-line
+    * change (join a broadcast weight table instead of hashing).
+    *
+    * Determinism: the per-document reduction is an exact INTEGER sum of
+    * per-token milli-weights (md5-derived, so any engine reproduces it);
+    * the float division happens once per document on that exact sum. No
+    * aggregation-order sensitivity anywhere.
+    *
+    * Scale: map-only — tokenize, fold, divide, all inside one codegen
+    * stage. No shuffle, no weight-table join (the "model" is pure
+    * arithmetic); 100 TB costs exactly one scan.
+    */
+  def hashedLinearScore(
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.0): DataFrame = {
+    // milli-weight(token) = md5-uniform integer in [-1000, 1000]
+    def milliWeight(t: Column): Column =
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 2001L - 1000L
+    val toks = split(lower(col(textCol)), " ")
+    corpus.select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + milliWeight(t)).as("si"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        round(col("si") / (col("n_tokens") * 1000.0), 4).as("score"),
+        (col("si") > lit(threshold * 1000.0)).as("keep"))
+  }
+
+  /** x38: [[hashedLinearScore]] over the documents fixture at the
+    * zero-score keep threshold.
+    */
+  def x38QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    hashedLinearScore(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // ---- Johnson–Lindenstrauss random projection ------------------------------
+
+  /** Deterministic ±1 sign for projection cell (outDim j, inDim i):
+    * parity of the portable 60-bit md5 hash of "j:i". Computed once on
+    * the driver (k·d entries — 1024 for 64→16), never per row.
+    */
+  private[graft] def jlSign(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection: embed d-dim vectors into
+    * k < d dims as out[j] = Σ_i sign(j,i)·v[i] / √k with a deterministic
+    * ±1 sign matrix (md5 parity — any engine rebuilds the same matrix, no
+    * RNG state to ship). JL guarantees pairwise distances survive within
+    * (1±ε) for k = O(log n / ε²); the projected space then feeds the ANN
+    * operators (x05/x06/x13/x16) at k/d of the compute and storage.
+    *
+    * Scale: the sign matrix is a k·d literal baked into the plan (bytes,
+    * not a join); the transform is map-only HOF arithmetic inside
+    * whole-stage codegen. Returns one row per (vec_id, dim) so results
+    * are exactly comparable across engines.
+    */
+  def jlProject(vectors: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, inDims: Int): DataFrame = {
+    val signs: Seq[Seq[Double]] =
+      (0 until outDims).map(j => (0 until inDims).map(i => jlSign(j, i)))
+    val sm = typedLit(signs)
+    // 1/√k normalizer makes the projection norm-preserving in
+    // expectation: E[out_j²] = |v|²/k per output dim, k dims sum to |v|²
+    val scale = math.sqrt(outDims.toDouble)
+    // `+ 0.0` folds IEEE -0.0 to +0.0 (a sum rounding to zero keeps its
+    // sign otherwise, and the two engines disagree on which zero they hit)
+    val proj = transform(sequence(lit(0), lit(outDims - 1)), j =>
+      round(
+        aggregate(
+          zip_with(col(vecCol).cast("array<double>"), element_at(sm, j + 1),
+            (x, sg) => x * sg),
+          lit(0.0d), (acc, x) => acc + x) / scale,
+        4) + lit(0.0d))
+    vectors
+      .select(col(idCol), posexplode(proj).as(Seq("dim", "value")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("value"))
+  }
+
+  /** x39: [[jlProject]] of the 64-dim fixture embeddings into 16 dims. */
+  def x39JlProject(s: SparkSession, dir: String): DataFrame =
+    jlProject(emb(s, dir), "vec_id", "embedding", outDims = 16, inDims = 64)
+      .orderBy(col("vec_id"), col("dim"))
+
+  // ---- int8 symmetric quantization ------------------------------------------
+
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * = max |v_i|, q_i = round(v_i · 127 / scale) ∈ [-127, 127]. 4 bytes →
+    * 1 byte per coordinate; dequantized cosine stays within ~1% (asserted
+    * in the spec), which is inside the noise floor of every ANN stage —
+    * the standard storage layout for a 100 TB vector corpus.
+    *
+    * The all-zero vector (scale 0) quantizes to zeros rather than
+    * dividing by zero. Map-only; integer output compares exactly across
+    * engines.
+    */
+  def int8Quantize(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scaleC = aggregate(v, lit(0.0d), (m, x) => greatest(m, abs(x)))
+    val q = transform(col("v"), x =>
+      when(col("scale") === 0.0d, lit(0))
+        .otherwise(round(x * 127.0d / col("scale"), 0).cast("int")))
+    vectors
+      .select(col(idCol), v.as("v"), scaleC.as("scale"))
+      .select(col(idCol), col("scale"), posexplode(q).as(Seq("dim", "q")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("q"),
+        round(col("scale"), 4).as("scale"))
+  }
+
+  /** x40: [[int8Quantize]] of the fixture embeddings. */
+  def x40Int8Quantize(s: SparkSession, dir: String): DataFrame =
+    int8Quantize(emb(s, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"), col("dim"))
+
+  val oracles: Map[String, String] = Map(
+    "x38_quality_classifier" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      t AS (SELECT doc_id, len(tk) AS n_tokens, u.tok FROM d, UNNEST(tk) AS u(tok)),
+      s AS (SELECT doc_id, max(n_tokens) AS n_tokens,
+                   sum(('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000) AS si
+            FROM t GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(si / (n_tokens * 1000.0), 4) AS score,
+             si > 0 AS keep
+      FROM s ORDER BY doc_id""",
+    "x39_jl_project" -> """
+      WITH s AS (SELECT j.j, i.i,
+                        CASE WHEN ('0x' || substr(md5(j.j || ':' || i.i), 1, 15))::BIGINT % 2 = 0
+                             THEN 1.0 ELSE -1.0 END AS sg
+                 FROM generate_series(0, 15) j(j), generate_series(0, 63) i(i)),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT e.vec_id, s.j AS dim, sum(v[s.i + 1] * s.sg) AS raw
+            FROM e, s GROUP BY 1, 2)
+      SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+             round(raw / 4.0, 4) + 0.0 AS value
+      FROM p ORDER BY vec_id, dim""",
+    "x40_int8_quantize" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sc AS (SELECT vec_id, v, (SELECT max(abs(x)) FROM UNNEST(v) AS u(x)) AS scale FROM e)
+      SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(round(v[g.i] * 127.0 / scale, 0) AS INT) END AS q,
+             round(scale, 4) AS scale
+      FROM sc, UNNEST(generate_series(1, len(v))) AS g(i)
+      ORDER BY vec_id, dim""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x38_quality_classifier" -> (x38QualityClassifier _),
+    "x39_jl_project" -> (x39JlProject _),
+    "x40_int8_quantize" -> (x40Int8Quantize _))
+}

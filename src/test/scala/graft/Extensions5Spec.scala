@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Extensions5
+
+/** Structural/quality invariants for the batch-5 operators (x38-x40) that
+  * the value-level DuckDB oracle can't express: JL distance preservation,
+  * int8 dequantization error bounds, classifier scale shape.
+  */
+class Extensions5Spec extends SparkSpec {
+
+  private def emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("x38 quality classifier is map-only (no exchange) and score is bounded") {
+    val df = Extensions5.hashedLinearScore(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"hashedLinearScore must not shuffle — map-only classifier:\n$plan")
+    val bad = df.filter(abs(col("score")) > 1.0).count()
+    assert(bad == 0, "mean of [-1,1] weights cannot leave [-1,1]")
+    // keep must agree with the sign of score (threshold 0)
+    val disagree = df.filter(col("keep") =!= (col("score") > 0)).count()
+    assert(disagree == 0, "keep flag must equal score > threshold")
+  }
+
+  test("x39 JL projection preserves squared norms in expectation (E[|Px|^2] = |x|^2)") {
+    val proj = Extensions5.jlProject(emb, "vec_id", "embedding", 16, 64)
+      .groupBy("vec_id").agg(sum(col("value") * col("value")).as("pn2"))
+    val orig = emb.select(col("vec_id"),
+      aggregate(col("embedding").cast("array<double>"), lit(0.0d),
+        (a, x) => a + x * x).as("n2"))
+    val ratios = proj.join(orig, "vec_id")
+      .select(avg(col("pn2") / col("n2")).as("mean_ratio"),
+        count(lit(1)).as("n"))
+      .head()
+    val mean = ratios.getDouble(0)
+    assert(ratios.getLong(1) == 500L)
+    // 16 projected dims average 500 vectors: the mean ratio concentrates
+    // hard around 1; [0.8, 1.25] is a > 5-sigma envelope
+    assert(mean > 0.8 && mean < 1.25, s"norm ratio off: $mean")
+  }
+
+  test("x39 sign matrix is deterministic and balanced") {
+    val signs = for (j <- 0 until 16; i <- 0 until 64) yield Extensions5.jlSign(j, i)
+    assert(signs.forall(s => s == 1.0 || s == -1.0))
+    val plus = signs.count(_ == 1.0)
+    // md5 parity over 1024 cells: binomial(1024, 1/2), +-5 sigma = +-80
+    assert(math.abs(plus - 512) < 80, s"sign matrix unbalanced: $plus/1024 positive")
+    assert(Extensions5.jlSign(3, 7) == Extensions5.jlSign(3, 7))
+  }
+
+  test("x40 int8 dequantized cosine stays within 1% of the exact cosine") {
+    val q = Extensions5.int8Quantize(emb, "vec_id", "embedding")
+      .withColumn("deq", col("q") * col("scale") / 127.0d)
+    // dequantized self-cosine against the original vector per id
+    val o = emb.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val err = q.join(o, Seq("vec_id", "dim"))
+      .groupBy("vec_id")
+      .agg((sum(col("deq") * col("x")) /
+        (sqrt(sum(col("deq") * col("deq"))) * sqrt(sum(col("x") * col("x")))))
+        .as("cos"))
+      .agg(min(col("cos"))).head().getDouble(0)
+    assert(err > 0.99, s"worst dequantized self-cosine $err < 0.99")
+  }
+
+  test("x40 quantized values are int8-range and max-magnitude coordinate hits 127") {
+    val q = Extensions5.int8Quantize(emb, "vec_id", "embedding")
+    assert(q.filter(abs(col("q")) > 127).count() == 0, "values must fit int8")
+    val hit = q.groupBy("vec_id").agg(max(abs(col("q"))).as("m"))
+      .filter(col("m") =!= 127).count()
+    assert(hit == 0, "symmetric quantization pins the max |coordinate| to 127")
+  }
+}
