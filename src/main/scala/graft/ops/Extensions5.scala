@@ -153,7 +153,142 @@ object Extensions5 {
     int8Quantize(emb(s, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"), col("dim"))
 
+  // ---- mixture concentration stats -------------------------------------------
+
+  /** Training-mixture concentration report: per source, document and
+    * token counts, token share, and the cumulative share in descending
+    * share order (the "top-p sources own q% of the corpus" curve that
+    * drives mixture rebalancing and domain-cap decisions — compose with
+    * [[Extensions3.domainCap]] / [[Extensions3.temperatureMix]]).
+    *
+    * Scale: one partial-aggregating groupBy over the corpus; the ranking
+    * window runs on the AGGREGATED table (one row per source), so its
+    * single-partition sort is over #sources rows — noise next to the
+    * corpus scan even at millions of domains. Integer token counts sum
+    * exactly; shares divide those exact longs once.
+    */
+  def sourceMixtureStats(
+      corpus: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc, col(sourceCol))
+    val agg = corpus
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(lower(col(textCol)), " ")).cast("long")).as("n_tokens"))
+    agg
+      .withColumn("total", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("share", round(col("n_tokens") / col("total"), 4))
+      .withColumn("cum_share",
+        round(sum(col("n_tokens")).over(w) / col("total"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("share"), col("cum_share"), col("rk"))
+  }
+
+  /** x41: [[sourceMixtureStats]] over the documents fixture. */
+  def x41MixtureStats(s: SparkSession, dir: String): DataFrame =
+    sourceMixtureStats(docs(s, dir), "source", "text")
+      .orderBy(col("rk"))
+
+  // ---- deterministic shard assignment ----------------------------------------
+
+  /** Deterministic training-shard assignment: shard(id) = 60-bit md5
+    * bucket of the id, mod `nShards` — the writer layout step before a
+    * training run (shard files must be reproducible across retries and
+    * engines, so no RNG and no round-robin, which depends on partition
+    * order). Returns the per-shard balance report; the same expression
+    * assigns the rows themselves.
+    *
+    * Scale: map-side hash + one nShards-cardinality agg. An md5 of the
+    * key distributes adversarial id patterns (sequential ids, stride
+    * artifacts) uniformly, so shard sizes concentrate at n/nShards.
+    */
+  def shardAssign(
+      corpus: DataFrame, idCol: String, textCol: String, nShards: Int): DataFrame =
+    corpus
+      .withColumn("shard",
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(nShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(lower(col(textCol)), " ")).cast("long")).as("n_tokens"))
+
+  /** x42: [[shardAssign]] of the documents fixture into 8 shards. */
+  def x42ShardAssign(s: SparkSession, dir: String): DataFrame =
+    shardAssign(docs(s, dir), "doc_id", "text", nShards = 8)
+      .orderBy(col("shard"))
+
+  // ---- robust length-outlier detection ---------------------------------------
+
+  /** Robust per-group outlier flagging on a numeric column: median and
+    * MAD (median absolute deviation) per group, flag rows where
+    * |x − median| > cutoff·1.4826·MAD (1.4826 scales MAD to the stddev
+    * of a normal distribution). The robust pair survives exactly the
+    * heavy-tailed length distributions that break mean/stddev filtering —
+    * this is the standard "drop truncated and run-on documents" hygiene
+    * pass keyed by source.
+    *
+    * A zero MAD (over half the group identical) flags every deviating
+    * row — strictness is the right default for a degenerate group;
+    * callers wanting leniency can pre-filter such groups.
+    *
+    * Scale: two grouped exact percentiles (sort-based within group) plus
+    * one broadcast join of the O(groups) stats table back onto the
+    * corpus. Percentile groups are per-source — skew-prone only if one
+    * source dominates, the same profile every grouped exact quantile has.
+    */
+  def robustOutliers(
+      df: DataFrame, groupCol: String, valCol: String,
+      cutoff: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(median(col(valCol)).as("med"))
+    val mad = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("med")).as("med"),
+        median(abs(col(valCol) - col("med"))).as("mad"))
+    df.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier",
+        abs(col(valCol) - col("med")) > lit(cutoff) * lit(1.4826) * col("mad"))
+      .withColumn("med", round(col("med"), 4))
+      .withColumn("mad", round(col("mad"), 4))
+  }
+
+  /** x43: [[robustOutliers]] on document length per source. */
+  def x43LengthOutliers(s: SparkSession, dir: String): DataFrame =
+    robustOutliers(docs(s, dir), "source", "n_chars")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med"), col("mad"), col("is_outlier"))
+      .orderBy(col("doc_id"))
+
   val oracles: Map[String, String] = Map(
+    "x41_mixture_stats" -> """
+      WITH a AS (SELECT source, count(*) AS n_docs,
+                        sum(len(string_split(lower(text), ' '))) AS n_tokens
+                 FROM documents GROUP BY source),
+      t AS (SELECT sum(n_tokens) AS total FROM a)
+      SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(n_tokens / (1.0 * t.total), 4) AS share,
+             round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source)
+                   / (1.0 * t.total), 4) AS cum_share,
+             row_number() OVER (ORDER BY n_tokens DESC, source) AS rk
+      FROM a, t ORDER BY rk""",
+    "x42_shard_assign" -> """
+      SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1 ORDER BY shard""",
+    "x43_length_outliers" -> """
+      WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+                   FROM documents GROUP BY source),
+      mad AS (SELECT d.source, max(med.med) AS med,
+                     quantile_cont(abs(d.n_chars - med.med), 0.5) AS mad
+              FROM documents d JOIN med USING (source) GROUP BY d.source)
+      SELECT d.doc_id, d.source, d.n_chars,
+             round(mad.med, 4) AS med, round(mad.mad, 4) AS mad,
+             abs(d.n_chars - mad.med) > 3.0 * 1.4826 * mad.mad AS is_outlier
+      FROM documents d JOIN mad USING (source)
+      ORDER BY d.doc_id""",
     "x38_quality_classifier" -> """
       WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
       t AS (SELECT doc_id, len(tk) AS n_tokens, u.tok FROM d, UNNEST(tk) AS u(tok)),
@@ -188,5 +323,8 @@ object Extensions5 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x38_quality_classifier" -> (x38QualityClassifier _),
     "x39_jl_project" -> (x39JlProject _),
-    "x40_int8_quantize" -> (x40Int8Quantize _))
+    "x40_int8_quantize" -> (x40Int8Quantize _),
+    "x41_mixture_stats" -> (x41MixtureStats _),
+    "x42_shard_assign" -> (x42ShardAssign _),
+    "x43_length_outliers" -> (x43LengthOutliers _))
 }

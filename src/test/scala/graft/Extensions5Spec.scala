@@ -65,6 +65,39 @@ class Extensions5Spec extends SparkSpec {
     assert(err > 0.99, s"worst dequantized self-cosine $err < 0.99")
   }
 
+  test("x41 mixture shares: cum_share is monotone and ends at 1.0") {
+    val rows = Extensions5.sourceMixtureStats(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "source", "text")
+      .orderBy(col("rk")).collect()
+    val cums = rows.map(r => r.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a }, "cum_share must be monotone")
+    assert(math.abs(cums.last - 1.0) < 1e-9, s"last cum_share ${cums.last} != 1.0")
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to rows.length).toSeq)
+  }
+
+  test("x42 md5 sharding populates every shard and balances within 2x of uniform") {
+    val rows = Extensions5.shardAssign(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", 8)
+      .collect()
+    assert(rows.length == 8, "every shard must receive documents")
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    // 500 docs over 8 shards: uniform = 62.5; md5 keeps shards inside [31, 125]
+    assert(counts.max < 2 * counts.min,
+      s"shard skew ${counts.min}..${counts.max} exceeds 2x")
+  }
+
+  test("x43 robust outliers: flag agrees with the med/mad cutoff it reports") {
+    val df = Extensions5.robustOutliers(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "source", "n_chars")
+    val bad = df.filter(
+      col("is_outlier") =!=
+        (abs(col("n_chars") - col("med")) > lit(3.0 * 1.4826) * col("mad"))).count()
+    assert(bad == 0, "is_outlier must restate the reported med/mad cutoff")
+    val flagged = df.filter(col("is_outlier")).count()
+    val total = df.count()
+    assert(flagged < total / 2, s"a robust filter cannot flag the majority ($flagged/$total)")
+  }
+
   test("x40 quantized values are int8-range and max-magnitude coordinate hits 127") {
     val q = Extensions5.int8Quantize(emb, "vec_id", "embedding")
     assert(q.filter(abs(col("q")) > 127).count() == 0, "values must fit int8")
