@@ -261,7 +261,79 @@ object Extensions5 {
         col("med"), col("mad"), col("is_outlier"))
       .orderBy(col("doc_id"))
 
+  // ---- interpolated bigram language-model scoring -----------------------------
+
+  /** Bigram language-model scoring — the next quality signal up from
+    * [[Extensions4.unigramScore]]: train corpus bigram statistics, score
+    * each document by its per-position cross-entropy under an
+    * interpolated model
+    * `P(w2|w1) = λ·cb(w1,w2)/cl(w1) + (1−λ)·cr(w2)/B`
+    * (cb = corpus bigram count, cl/cr = the bigram's left/right marginal
+    * counts, B = total bigrams; the unigram backoff term keeps P > 0 for
+    * every observed pair). High entropy = locally incoherent token
+    * sequences that a unigram model cannot see (shuffled text, id dumps
+    * with plausible vocabulary).
+    *
+    * All model tables derive from ONE materialized (doc, w1, w2, tf)
+    * pass — the corpus is tokenized exactly once. The bigram model join
+    * is a key-partitioned equi-join on (w1, w2) (the model can exceed
+    * broadcast size at corpus scale); the O(vocab) marginals broadcast.
+    */
+  def bigramScore(
+      corpus: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val pairs = zip_with(
+      slice(col("tk"), lit(1), size(col("tk")) - 1),
+      slice(col("tk"), lit(2), size(col("tk")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bg = Extensions.materialized(corpus
+      .select(col(idCol).as("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf")))
+    val model = Extensions.materialized(
+      bg.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb")))
+    val cl = model.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    val cr = model.groupBy(col("w2")).agg(sum(col("cb")).as("cr"))
+    val b = model.agg(sum(col("cb")).as("btot"))
+    bg.join(model, Seq("w1", "w2"))
+      .join(broadcast(cl), Seq("w1"))
+      .join(broadcast(cr), Seq("w2"))
+      .crossJoin(broadcast(b))
+      .withColumn("lp",
+        log(lit(lambda) * col("cb") / col("cl")
+          + lit(1.0 - lambda) * col("cr") / col("btot")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("lp")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (round(-col("s") / col("n_bigrams"), 4) + lit(0.0d)).as("cross_entropy"))
+  }
+
+  /** x44: [[bigramScore]] over the documents fixture at λ = 0.9. */
+  def x44BigramScore(s: SparkSession, dir: String): DataFrame =
+    bigramScore(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val oracles: Map[String, String] = Map(
+    "x44_bigram_score" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      bg0 AS (SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+              FROM d, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)),
+      bg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg0 GROUP BY 1, 2, 3),
+      model AS (SELECT w1, w2, sum(tf) AS cb FROM bg GROUP BY 1, 2),
+      cl AS (SELECT w1, sum(cb) AS cl FROM model GROUP BY 1),
+      cr AS (SELECT w2, sum(cb) AS cr FROM model GROUP BY 1),
+      b AS (SELECT sum(cb) AS btot FROM model)
+      SELECT bg.doc_id, CAST(sum(bg.tf) AS BIGINT) AS n_bigrams,
+             round(-sum(bg.tf * ln(0.9 * model.cb / cl.cl
+                                   + 0.1 * cr.cr / b.btot)) / sum(bg.tf), 4)
+               + 0.0 AS cross_entropy
+      FROM bg JOIN model USING (w1, w2) JOIN cl USING (w1)
+              JOIN cr USING (w2) CROSS JOIN b
+      GROUP BY 1 ORDER BY 1""",
     "x41_mixture_stats" -> """
       WITH a AS (SELECT source, count(*) AS n_docs,
                         sum(len(string_split(lower(text), ' '))) AS n_tokens
@@ -326,5 +398,6 @@ object Extensions5 {
     "x40_int8_quantize" -> (x40Int8Quantize _),
     "x41_mixture_stats" -> (x41MixtureStats _),
     "x42_shard_assign" -> (x42ShardAssign _),
-    "x43_length_outliers" -> (x43LengthOutliers _))
+    "x43_length_outliers" -> (x43LengthOutliers _),
+    "x44_bigram_score" -> (x44BigramScore _))
 }

@@ -98,6 +98,25 @@ class Extensions5Spec extends SparkSpec {
     assert(flagged < total / 2, s"a robust filter cannot flag the majority ($flagged/$total)")
   }
 
+  test("x44 bigram LM separates phrase-coherent text from unigram-identical shuffles") {
+    import spark.implicits._
+    // 20 docs of the dominant phrase pattern + 1 doc with the SAME token
+    // multiset but scrambled order: a unigram model scores both equally,
+    // the bigram model must score the scramble strictly worse
+    val phrase = Seq.fill(10)("a b c d").mkString(" ")
+    val scramble = Seq.fill(10)("a c b d").mkString(" ")
+    val corpus = ((0 until 20).map(i => (i.toLong, phrase)) :+ (99L, scramble))
+      .toDF("doc_id", "text")
+    val ce = Extensions5.bigramScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("cross_entropy")).toMap
+    assert(ce(99L) > ce(0L),
+      s"scrambled doc must score worse: scramble=${ce(99L)} phrase=${ce(0L)}")
+    val df = Extensions5.bigramScore(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text")
+    assert(df.filter(col("cross_entropy") <= 0).count() == 0,
+      "cross-entropy of an interpolated model (P < 1) is strictly positive")
+  }
+
   test("x40 quantized values are int8-range and max-magnitude coordinate hits 127") {
     val q = Extensions5.int8Quantize(emb, "vec_id", "embedding")
     assert(q.filter(abs(col("q")) > 127).count() == 0, "values must fit int8")
