@@ -168,6 +168,58 @@ class PipelineSpec extends SparkSpec {
     info(s"semantic dedup: $n0 vectors, $nPairs near-dup pairs -> $n1 representatives")
   }
 
+  test("audit -> gate -> normalize -> order: the round-4 stages compose into the full prep flow") {
+    import graft.ops.{Extensions5, Extensions6, Extensions7, Extensions8, Extensions9}
+    val raw = Tables.load(spark, sf0001, "documents")
+    val n0 = raw.count()
+
+    // 1. funnel audit over the raw corpus: the last stage's survivor count
+    //    is the size of the gated corpus built below
+    val tk = split(lower(col("text")), " ")
+    val gates = Seq(
+      "min_tokens" -> (size(tk) >= 5),
+      "uniq_ratio" -> (size(array_distinct(tk)) * 10L >= size(tk) * 3L))
+    val funnel = Extensions6.filterFunnel(raw, gates)
+      .orderBy(col("stage_no")).collect()
+    val gated = raw.filter(gates.map(_._2).reduce(_ && _)).cache()
+    val n1 = gated.count()
+    assert(n1 == funnel.last.getAs[Long]("n_survive"),
+      "the funnel report must agree with the materialized gate")
+
+    // 2. robust length-outlier pass on the survivors
+    val clean = Extensions5.robustOutliers(gated, "source", "n_chars")
+      .filter(!col("is_outlier"))
+      .select(gated.columns.map(col): _*).cache()
+    val n2 = clean.count()
+    assert(n2 <= n1 && n2 > 0)
+
+    // 3. cross-source-comparable quality: raw score -> within-source rank
+    val scored = Extensions5.hashedLinearScore(clean, "doc_id", "text")
+      .join(clean.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val normed = Extensions9.quantileNormalize(scored, "source", "doc_id", "score")
+    val kept = normed.filter(col("q_norm") >= 0.2) // drop each source's worst 20%
+    val n3 = kept.count()
+    assert(n3 < n2 && n3 > 0)
+
+    // 4. curriculum deciles + deterministic shard/order for the trainer
+    val curriculum = Extensions8.curriculumDeciles(
+      clean.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+      "doc_id", "n_chars")
+    val ordered = Extensions6.trainingOrder(curriculum, "doc_id", nShards = 4)
+    assert(ordered.count() == n3)
+    // every (shard, ord) slot is unique — the trainer's read contract
+    assert(ordered.groupBy("shard", "ord").count()
+      .filter(col("count") > 1).count() == 0)
+
+    // 5. padding report on the final corpus parameterizes the batcher
+    val pad = Extensions7.paddingReport(
+      ordered.join(raw.select("doc_id", "text"), Seq("doc_id")), "doc_id", "text")
+    val globalRow = pad.filter(col("len_bucket") === -1L).collect()(0)
+    assert(globalRow.getAs[Long]("n_docs") == n3)
+
+    info(s"round-4 funnel: raw=$n0 -> gated=$n1 -> clean=$n2 -> kept=$n3")
+  }
+
   test("a shared shingleIndex handle reproduces the standalone pair results") {
     val raw = Tables.load(spark, sf0001, "documents")
     val idx = Graft.shingleIndex(raw, "doc_id", "text")
