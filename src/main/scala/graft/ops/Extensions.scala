@@ -219,18 +219,18 @@ object Extensions {
 
   // ---- X3: MinHash + LSH dedup --------------------------------------------
 
-  private val MinhashPerms = 32
+  private[ops] val MinhashPerms = 32
   private val LshBands = 8 // 4 rows per band
   /** 2^31-1 (prime) — modulus of the affine MinHash permutations. */
-  private val LshP = 2147483647L
+  private[ops] val LshP = 2147483647L
   /** Largest prime below 2^30 — shingle-id modulus, keeps a*x < 2^61. */
-  private val ShingleP = 1073741789L
+  private[ops] val ShingleP = 1073741789L
   /** Fixed permutation coefficients (Knuth / FNV-style odd constants); pure
     * literals so the DuckDB oracle can replay the identical arithmetic.
     */
-  private val permA: IndexedSeq[Long] =
+  private[ops] val permA: IndexedSeq[Long] =
     (0 until MinhashPerms).map(i => ((i + 1) * 2654435761L) % LshP)
-  private val permB: IndexedSeq[Long] =
+  private[ops] val permB: IndexedSeq[Long] =
     (0 until MinhashPerms).map(i => ((i + 1) * 1779033703L) % LshP)
 
   /** Engine-portable 60-bit string hash: first 15 hex chars of md5. md5 is
