@@ -341,4 +341,50 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 11L, 21L),
       s"expected dups 10 (vs seed) and 20 (vs batch-1 admission) dropped, got $ids")
   }
+
+  test("streaming quality monitor: per-micro-batch funnel stats sum to the batch funnel") {
+    import spark.implicits._
+    // Continuous corpus-quality monitoring: each micro-batch's filter
+    // funnel is appended to a stats table; because every funnel count is
+    // an exact per-doc sum, the monitor's totals must equal one batch
+    // funnel over the full stream — the invariant that makes the live
+    // dashboard trustworthy.
+    val root = tmpDir("qmon")
+    val spool = s"$root/spool"; val statsDir = s"$root/stats"; val ckpt = s"$root/ckpt"
+    val gates = Seq(
+      "min_tokens" -> (size(split(lower(col("text")), " ")) >= 4),
+      "no_digit_runs" -> !col("text").rlike("[0-9]{4,}"))
+    Seq((1L, "good clean text with plenty of words"),
+        (2L, "short"), // fails min_tokens
+        (3L, "contains the id 123456789 dump here")) // fails digit gate
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(spool)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Extensions6.filterFunnel(batch, gates)
+            .write.mode("append").parquet(statsDir)
+      }
+      .start()
+    q.processAllAvailable()
+    Seq((4L, "another perfectly ordinary document flows through"),
+        (5L, "bad 111222333444 row")) // fails digit gate
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    q.processAllAvailable()
+    q.stop()
+    val monitored = spark.read.parquet(statsDir)
+      .groupBy("stage_no", "stage")
+      .agg(sum("n_input").as("n_input"), sum("n_pass").as("n_pass"),
+        sum("n_survive").as("n_survive"))
+    val batchTotals = graft.ops.Extensions6.filterFunnel(
+      spark.read.parquet(spool), gates)
+      .select("stage_no", "stage", "n_input", "n_pass", "n_survive")
+    assert(monitored.exceptAll(batchTotals).count() == 0
+        && batchTotals.exceptAll(monitored).count() == 0,
+      "summed micro-batch funnels must equal the batch funnel over the full stream")
+    // and the gates actually bit: final survivors = docs 1 and 4
+    val last = batchTotals.orderBy(col("stage_no").desc).limit(1)
+      .collect()(0).getAs[Long]("n_survive")
+    assert(last == 2L, s"expected 2 survivors, got $last")
+  }
 }
