@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Multimodal}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Multimodal}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -285,6 +285,176 @@ object Graft {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): DataFrame =
     Extensions3.trainCentroids(corpus, idCol, vecCol, k, iters)
+
+  // ---- quality scoring & curation (round-4 batches) ------------------------
+
+  /** Hashed bag-of-words linear quality score (fasttext-filter shape):
+    * map-only, integer-exact; swap hash weights for learned ones via a
+    * broadcast join when a trained model exists.
+    */
+  def qualityScore(
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.0): DataFrame =
+    Extensions5.hashedLinearScore(corpus, idCol, textCol, threshold)
+
+  /** Per-doc cross-entropy under an interpolated corpus bigram LM —
+    * catches locally-incoherent text a unigram model scores as normal.
+    */
+  def bigramScore(
+      corpus: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame =
+    Extensions5.bigramScore(corpus, idCol, textCol, lambda)
+
+  /** Corpus-inferred stopword-ratio quality feature (top-df tokens are
+    * the stopword list — no hand-curated list, language-agnostic).
+    */
+  def stopwordRatio(
+      corpus: DataFrame, idCol: String, textCol: String,
+      topK: Int = 20): DataFrame =
+    Extensions9.stopwordRatio(corpus, idCol, textCol, topK)
+
+  /** Per-group robust outlier flags via median/MAD — the heavy-tail-safe
+    * length/score hygiene gate.
+    */
+  def robustOutliers(
+      df: DataFrame, groupCol: String, valCol: String,
+      cutoff: Double = 3.0): DataFrame =
+    Extensions5.robustOutliers(df, groupCol, valCol, cutoff)
+
+  /** Ordered multi-stage keep-predicate funnel: per-stage pass and
+    * cumulative-survival counts in ONE corpus scan — the attrition
+    * report every corpus release publishes.
+    */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame =
+    Extensions6.filterFunnel(df, stages)
+
+  /** Within-group percent_rank of a score (deterministic tie-break) —
+    * makes a quality signal comparable across heterogeneous sources
+    * before one global threshold.
+    */
+  def quantileNormalize(
+      df: DataFrame, groupCol: String, idCol: String, valCol: String): DataFrame =
+    Extensions9.quantileNormalize(df, groupCol, idCol, valCol)
+
+  /** Difficulty-decile curriculum assignment via broadcast exact decile
+    * boundaries — the scale-safe replacement for global ntile.
+    */
+  def curriculumDeciles(
+      corpus: DataFrame, idCol: String, valCol: String): DataFrame =
+    Extensions8.curriculumDeciles(corpus, idCol, valCol)
+
+  // ---- corpus topology & composition ---------------------------------------
+
+  /** Exact pairwise source Jaccard overlap (deduped inverted-index join);
+    * for source cardinalities past ~10^5 use [[sourceOverlapSketch]].
+    */
+  def sourceOverlap(
+      corpus: DataFrame, sourceCol: String, textCol: String,
+      shingleSize: Int = 5): DataFrame =
+    Extensions6.sourceOverlap(corpus, sourceCol, textCol, shingleSize)
+
+  /** MinHash-signature estimate of pairwise source overlap — constant
+    * space per source, one corpus pass; the scale path of
+    * [[sourceOverlap]].
+    */
+  def sourceOverlapSketch(
+      corpus: DataFrame, sourceCol: String, textCol: String,
+      shingleSize: Int = 5): DataFrame =
+    Extensions10.sourceOverlapSketch(corpus, sourceCol, textCol, shingleSize)
+
+  /** Per-source doc/token counts, token share, and cumulative
+    * concentration curve — the mixture-rebalancing report.
+    */
+  def sourceMixtureStats(
+      corpus: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    Extensions5.sourceMixtureStats(corpus, sourceCol, textCol)
+
+  /** Per-source language-distribution entropy + majority language — the
+    * composition-diversity audit.
+    */
+  def sourceLangEntropy(
+      corpus: DataFrame, sourceCol: String, langCol: String): DataFrame =
+    Extensions9.sourceLangEntropy(corpus, sourceCol, langCol)
+
+  /** Per-source approximate vocabulary (HLL) + exact token counts — the
+    * lexical-diversity profile at sketch cost.
+    */
+  def sourceVocabSketch(
+      corpus: DataFrame, sourceCol: String, textCol: String,
+      rsd: Double = 0.05): DataFrame =
+    Extensions10.sourceVocabSketch(corpus, sourceCol, textCol, rsd)
+
+  /** Per-eval-doc fraction of shingles unseen in a training corpus —
+    * the per-doc form of the contamination check.
+    */
+  def noveltyScore(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5): DataFrame =
+    Extensions7.noveltyScore(train, eval, idCol, textCol, shingleSize)
+
+  /** Document pairs where one doc's trailing k tokens are another's
+    * leading k — chunked-crawl split-document reassembly candidates.
+    */
+  def stitchCandidates(
+      corpus: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    Extensions8.stitchCandidates(corpus, idCol, textCol, k)
+
+  // ---- embeddings & training layout ----------------------------------------
+
+  /** Johnson-Lindenstrauss sign-random projection to `outDim` dims —
+    * map-only embedding compression ahead of ANN.
+    */
+  def jlProject(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, inDim: Int): DataFrame =
+    Extensions5.jlProject(corpus, idCol, vecCol, outDim, inDim)
+
+  /** Symmetric per-vector int8 quantization (4x storage cut). */
+  def int8Quantize(
+      corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Extensions5.int8Quantize(corpus, idCol, vecCol)
+
+  /** SemDeDup/D4-shaped density pruning: drop the most-central
+    * `dropNum/dropDen` of each sign-bucket cell (exact rational, no
+    * float threshold).
+    */
+  def densityPrune(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      signBits: Int, dropNum: Int = 1, dropDen: Int = 4): DataFrame =
+    Extensions7.densityPrune(corpus, idCol, vecCol, signBits, dropNum, dropDen)
+
+  /** Embedding-table pre-flight validation: ragged dims, zero norms,
+    * non-finite coordinates per group — run before any ANN build.
+    */
+  def embeddingValidation(
+      corpus: DataFrame, vecCol: String, groupCol: String): DataFrame =
+    Extensions10.embeddingValidation(corpus, vecCol, groupCol)
+
+  /** Deterministic md5 shard assignment + balance report. */
+  def shardAssign(
+      corpus: DataFrame, idCol: String, textCol: String, nShards: Int): DataFrame =
+    Extensions5.shardAssign(corpus, idCol, textCol, nShards)
+
+  /** Reproducible corpus-wide pseudo-random training order: md5 shards,
+    * salted within-shard order, per-shard windows only.
+    */
+  def trainingOrder(
+      corpus: DataFrame, idCol: String, nShards: Int): DataFrame =
+    Extensions6.trainingOrder(corpus, idCol, nShards)
+
+  /** Length-bucketed padding-waste report vs the global-max baseline —
+    * parameterizes the batcher.
+    */
+  def paddingReport(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int = 64): DataFrame =
+    Extensions7.paddingReport(corpus, idCol, textCol, bucketWidth)
+
+  /** Corpus-level adjacent char-pair counts — one BPE merge round's
+    * statistics.
+    */
+  def bpePairStats(corpus: DataFrame, textCol: String, topK: Int): DataFrame =
+    Extensions8.bpePairStats(corpus, textCol, topK)
 
   // ---- sampling ------------------------------------------------------------
 

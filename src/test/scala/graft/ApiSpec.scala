@@ -281,4 +281,25 @@ class ApiSpec extends SparkSpec {
       s"OR-amplification must not lose recall: multi $rMulti vs single $rSingle")
     assert(rMulti > 0.0, "multi-table found none of the true top-3")
   }
+
+  test("round-4 facade surface drives a mini curation flow end to end") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // quality -> normalize -> funnel -> order: every call through Graft
+    val scored = Graft.qualityScore(docs, "doc_id", "text")
+    val normed = Graft.quantileNormalize(
+      scored.join(docs.select("doc_id", "source"), Seq("doc_id")),
+      "source", "doc_id", "score")
+    assert(normed.filter(col("q_norm") < 0 || col("q_norm") > 1).count() == 0)
+    val funnel = Graft.filterFunnel(docs, Seq(
+      "nonempty" -> (col("n_chars") > 0))).collect()
+    assert(funnel.head.getAs[Long]("n_survive") == docs.count())
+    val ordered = Graft.trainingOrder(docs, "doc_id", nShards = 4)
+    assert(ordered.count() == docs.count())
+    val overlap = Graft.sourceOverlapSketch(docs, "source", "text")
+    assert(overlap.count() > 0)
+    val validated = Graft.embeddingValidation(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), "embedding", "label")
+    assert(validated.filter(col("min_dim") =!= col("max_dim")).count() == 0)
+  }
 }
