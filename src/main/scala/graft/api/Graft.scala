@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Multimodal}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, IvfStore, Multimodal}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -455,6 +455,24 @@ object Graft {
     */
   def bpePairStats(corpus: DataFrame, textCol: String, topK: Int): DataFrame =
     Extensions8.bpePairStats(corpus, textCol, topK)
+
+  /** Write the IVF index partitioned by centroid cell (+ centroid
+    * sidecar): the ANN serving layout — query batches read only their
+    * probed cell directories.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, path: String): Unit =
+    IvfStore.writeIndex(corpus, idCol, vecCol, centroids, path)
+
+  /** Top-k cosine neighbors from a written IVF index, reading only the
+    * probed cells (static partition pruning; equals the in-memory
+    * [[ivfTopK]] bit for bit).
+    */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, probes: Int): DataFrame =
+    IvfStore.topKFromIndex(spark, path, queries, idCol, vecCol, k, probes)
 
   // ---- sampling ------------------------------------------------------------
 

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.cosine_similarity
+
+/** Persisted IVF index: the serving layout for ANN at rest. The index is
+  * written `partitionBy(cell)` so a query batch reads ONLY its probed
+  * cells from storage — at 100 TB the difference between scanning the
+  * whole vector store per query batch and scanning `probes/k_cells` of
+  * it. Centroids ride along as a sidecar table under the same root
+  * (train once with [[Extensions3.trainCentroids]], write once, serve
+  * many query batches).
+  *
+  * Cell pruning is STATIC: the probed cell set (≤ queries × probes ids,
+  * driver-side — the same bounded-collect shape as the event log's
+  * touched-bucket list) becomes an `isin` literal filter, which the
+  * Parquet source turns into partition-directory pruning — visible as
+  * `PartitionFilters` in the scan and asserted in IvfStoreSpec. A join
+  * against the probe table would need dynamic partition pruning to fire;
+  * the literal filter prunes unconditionally.
+  */
+object IvfStore {
+
+  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    cosine_similarity(a, b)
+
+  /** Assign every vector to its best centroid cell and write the index
+    * partitioned by cell, with the centroid table as a sidecar.
+    */
+  def writeIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, path: String): Unit = {
+    val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    Extensions2.assignCells(base, broadcast(centroids.select(col("cell"), col("cvec"))))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/index")
+    centroids.select(col("cell"), col("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k cosine neighbors for a query batch against a written index,
+    * reading only the probed cells. Same semantics as
+    * [[Extensions2.ivfTopK]] (round-before-rank, id tie-break) — the two
+    * are asserted equal in IvfStoreSpec.
+    */
+  def topKFromIndex(
+      spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, probes: Int): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qvec"))
+      .join(cents)
+      .withColumn("csim", round(cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= probes)
+      .select(col("q_id"), col("qvec"), col("cell"))
+    // bounded driver-side cell list -> literal isin -> static partition pruning
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val idx = spark.read.parquet(s"$path/index")
+      .filter(col("cell").isin(cells: _*))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    probed.join(idx, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(cosine(col("qvec"), col("embedding")), 4).as("sim"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+}
