@@ -474,6 +474,13 @@ object Graft {
       idCol: String, vecCol: String, k: Int, probes: Int): DataFrame =
     IvfStore.topKFromIndex(spark, path, queries, idCol, vecCol, k, probes)
 
+  /** Append vectors to a written IVF index using its stored centroids —
+    * the steady-state ingest path (no rewrite).
+    */
+  def appendToIvfIndex(
+      newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    IvfStore.appendToIndex(newVecs, idCol, vecCol, path)
+
   // ---- sampling ------------------------------------------------------------
 
   /** Deterministic stratified sample: per-stratum rates via an md5-bucket

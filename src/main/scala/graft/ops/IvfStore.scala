@@ -39,6 +39,21 @@ object IvfStore {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append new vectors to an existing index: assign against the STORED
+    * centroids (so old and new rows agree on cell geometry) and append
+    * only the touched cell directories. The index grows without
+    * rewriting — the steady-state ingest path; retrain centroids and
+    * rewrite only when the cell-size balance drifts.
+    */
+  def appendToIndex(
+      newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val base = newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    Extensions2.assignCells(base, cents)
+      .write.partitionBy("cell").mode("append").parquet(s"$path/index")
+  }
+
   /** Top-k cosine neighbors for a query batch against a written index,
     * reading only the probed cells. Same semantics as
     * [[Extensions2.ivfTopK]] (round-before-rank, id tie-break) — the two

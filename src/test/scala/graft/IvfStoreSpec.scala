@@ -26,6 +26,29 @@ class IvfStoreSpec extends SparkSpec {
     assert(fromStore.nonEmpty)
   }
 
+  test("appended vectors are served from the same index with stored-centroid geometry") {
+    import spark.implicits._
+    val root = tmpDir("ivfappend")
+    val old = emb.filter(col("vec_id") < 400)
+    val centroids = Extensions3.trainCentroids(old, "vec_id", "embedding", k = 8)
+    IvfStore.writeIndex(old, "vec_id", "embedding", centroids, root)
+    val newVecs = emb.filter(col("vec_id") >= 400)
+    IvfStore.appendToIndex(newVecs, "vec_id", "embedding", root)
+    // the grown store answers exactly like in-memory IVF over old+new
+    val queries = emb.filter(col("vec_id") < 5)
+    val fromStore = IvfStore.topKFromIndex(
+        spark, root, queries, "vec_id", "embedding", k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val inMemory = Extensions2.ivfTopK(
+        emb, queries, centroids, "vec_id", "embedding", k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(fromStore == inMemory, "grown store must equal in-memory over the union")
+    // appended rows are actually present
+    val served = spark.read.parquet(s"$root/index")
+      .filter(col("vec_id") >= 400).count()
+    assert(served == newVecs.count(), "append must land every new vector")
+  }
+
   test("the index scan prunes to the probed cells (PartitionFilters on cell)") {
     val root = tmpDir("ivfprune")
     val centroids = Extensions3.trainCentroids(emb, "vec_id", "embedding", k = 8)
