@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, IvfStore, Multimodal}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, IvfStore, Multimodal}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -480,6 +480,22 @@ object Graft {
   def appendToIvfIndex(
       newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit =
     IvfStore.appendToIndex(newVecs, idCol, vecCol, path)
+
+  /** Deterministic exhaustive train/val/test split (integer permille,
+    * md5 bucket — no RNG, map-only, stratification by hash uniformity).
+    */
+  def stratifiedSplit(
+      df: DataFrame, idCol: String,
+      valPermille: Int = 50, testPermille: Int = 50): DataFrame =
+    Extensions11.stratifiedSplit(df, idCol, valPermille, testPermille)
+
+  /** Token-budget-constrained selection: best-scored docs until ~budget
+    * tokens, shard-local prefix sums (no global sort).
+    */
+  def budgetSelect(
+      df: DataFrame, idCol: String, scoreCol: String, tokenCol: String,
+      budgetTokens: Long, nShards: Int): DataFrame =
+    Extensions11.budgetSelect(df, idCol, scoreCol, tokenCol, budgetTokens, nShards)
 
   // ---- sampling ------------------------------------------------------------
 
