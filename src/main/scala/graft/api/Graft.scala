@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, IvfStore, Multimodal}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, IvfStore, Multimodal}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -496,6 +496,20 @@ object Graft {
       df: DataFrame, idCol: String, scoreCol: String, tokenCol: String,
       budgetTokens: Long, nShards: Int): DataFrame =
     Extensions11.budgetSelect(df, idCol, scoreCol, tokenCol, budgetTokens, nShards)
+
+  /** Reciprocal-rank fusion of any ranked lists (q_id, c_id, rk) — the
+    * calibration-free hybrid-retrieval combiner (BM25 + cosine, or any
+    * mix). Costs O(queries x k), never touches the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame =
+    Extensions12.rrfFuse(rankings, k, c)
+
+  /** Average-overlap agreement between two rankings at depth k — the
+    * order-aware companion to [[recallAtK]] (disjoint prefixes report 0,
+    * not absence).
+    */
+  def rankingAgreement(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    Extensions12.rankingAgreement(a, b, k)
 
   // ---- sampling ------------------------------------------------------------
 
