@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, IvfStore, Multimodal}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, IvfStore, Multimodal}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -510,6 +510,19 @@ object Graft {
     */
   def rankingAgreement(a: DataFrame, b: DataFrame, k: Int): DataFrame =
     Extensions12.rankingAgreement(a, b, k)
+
+  /** Corpus-version churn report: added/removed/changed/same counts
+    * between two snapshots (ids + digests shuffle, never bodies).
+    */
+  def corpusDiff(
+      prev: DataFrame, next: DataFrame, idCol: String, textCol: String): DataFrame =
+    Extensions13.corpusDiff(prev, next, idCol, textCol)
+
+  /** Zipf rank-frequency fit over the top-K tokens — slope ~ -1 reads
+    * like natural language; far off flags logs/templates/id dumps.
+    */
+  def zipfFit(corpus: DataFrame, textCol: String, topK: Int = 100): DataFrame =
+    Extensions13.zipfFit(corpus, textCol, topK)
 
   // ---- sampling ------------------------------------------------------------
 
