@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Extensions6, Extensions11, Extensions12}
+import scala.util.Random
+
+/** Randomized-input properties for the round-4 curation operators —
+  * seeded generators (reproducible), invariants checked against
+  * driver-side reference computations.
+  */
+class CurationPropertySpec extends SparkSpec {
+
+  private def randomCorpus(rnd: Random, n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val len = 1 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(len)(s"w${rnd.nextInt(40)}").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("property: funnel counts equal driver-side predicate evaluation on random corpora") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new Random(seed)
+      val df = randomCorpus(rnd, 80).cache()
+      val lens = df.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val cut1 = 5 + rnd.nextInt(10)
+      val cut2 = 10 + rnd.nextInt(15)
+      val funnel = Extensions6.filterFunnel(df, Seq(
+        "ge" -> (size(split(col("text"), " ")) >= cut1),
+        "le" -> (size(split(col("text"), " ")) <= cut2)))
+        .orderBy(col("stage_no")).collect()
+      val expPass1 = lens.values.count(_ >= cut1).toLong
+      val expPass2 = lens.values.count(_ <= cut2).toLong
+      val expSurv2 = lens.values.count(n => n >= cut1 && n <= cut2).toLong
+      assert(funnel(0).getAs[Long]("n_pass") == expPass1, s"seed $seed stage 1 pass")
+      assert(funnel(0).getAs[Long]("n_survive") == expPass1, s"seed $seed stage 1 survive")
+      assert(funnel(1).getAs[Long]("n_pass") == expPass2, s"seed $seed stage 2 pass")
+      assert(funnel(1).getAs[Long]("n_survive") == expSurv2, s"seed $seed stage 2 survive")
+      df.unpersist()
+    }
+  }
+
+  test("property: stratifiedSplit partitions exhaustively at any permille mix") {
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = df.count()
+    for ((v, t) <- Seq((0, 0), (1000, 0), (0, 1000), (333, 333), (10, 990))) {
+      val s = Extensions11.stratifiedSplit(df, "doc_id", v, t)
+      val counts = s.groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.values.sum == n, s"($v,$t): split must be exhaustive")
+      if (v == 0) assert(!counts.contains("val"), s"($v,$t): no val bucket expected")
+      if (v + t == 1000) assert(!counts.contains("train"),
+        s"($v,$t): permilles covering everything leave no train")
+    }
+  }
+
+  test("property: trainingOrder is a global bijection doc -> (shard, ord) for odd shard counts") {
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+    for (nShards <- Seq(1, 3, 17)) {
+      val o = Extensions6.trainingOrder(df, "doc_id", nShards)
+      assert(o.count() == df.count())
+      assert(o.select("shard", "ord").distinct().count() == df.count(),
+        s"nShards=$nShards: (shard, ord) must be unique")
+      val maxShard = o.agg(max("shard")).collect()(0).getLong(0)
+      assert(maxShard < nShards, s"shard ids must stay under $nShards")
+    }
+  }
+
+  test("property: rrfFuse equals a driver-side reference on random rankings") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11)) {
+      val rnd = new Random(seed)
+      // 2-3 rankings over 4 queries x up to 8 candidates
+      val lists = (0 until 2 + rnd.nextInt(2)).map { _ =>
+        (0 until 4).flatMap { q =>
+          rnd.shuffle((0 until 8).toList).take(5).zipWithIndex
+            .map { case (c, i) => (q.toLong, c.toLong, (i + 1).toLong) }
+        }
+      }
+      val dfs = lists.map(_.toDF("q_id", "c_id", "rk"))
+      val got = Extensions12.rrfFuse(dfs, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(4)) -> r.getLong(1)).toMap
+      // reference: sum 1/(60+rk) per (q,c), sort by (-score, c), take 3
+      val ref = lists.flatten.groupBy(p => (p._1, p._2))
+        .map { case ((q, c), rs) => (q, c, rs.map(p => 1.0 / (60 + p._3)).sum) }
+        .groupBy(_._1).flatMap { case (q, cs) =>
+          cs.toSeq.sortBy(t => (-math.rint(t._3 * 1e6) / 1e6, t._2)).take(3)
+            .zipWithIndex.map { case ((_, c, _), i) => (q, i + 1L) -> c }
+        }
+      assert(got == ref, s"seed $seed: fused ranking diverged from reference")
+    }
+  }
+}
