@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, IvfStore, Multimodal}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, IvfStore, Multimodal, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -523,6 +523,21 @@ object Graft {
     */
   def zipfFit(corpus: DataFrame, textCol: String, topK: Int = 100): DataFrame =
     Extensions13.zipfFit(corpus, textCol, topK)
+
+  /** Write the corpus as ordered training shards (partitionBy(shard),
+    * ord-sorted files): the trainer's read layout for [[trainingOrder]].
+    */
+  def writeTrainingShards(
+      corpus: DataFrame, idCol: String, nShards: Int, path: String,
+      columns: Seq[String]): Unit =
+    TrainStore.writeShards(corpus, idCol, nShards, path, columns)
+
+  /** Read one training shard in assigned order (ord is the resume
+    * cursor).
+    */
+  def readTrainingShard(
+      spark: org.apache.spark.sql.SparkSession, path: String, shard: Long): DataFrame =
+    TrainStore.readShard(spark, path, shard)
 
   // ---- sampling ------------------------------------------------------------
 
