@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, RepetitionMetrics}
+import graft.functions.{CosineSimilarity, Md5Bucket60, RepetitionMetrics}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions into the SQL function registry so `spark.sql` users get them
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityFn)
     e.injectFunction(GraftExtensions.repetitionMetricsFn)
+    e.injectFunction(GraftExtensions.md5Bucket60Fn)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -46,11 +47,19 @@ object GraftExtensions {
         intLit(exprs(1), "dupN"), intLit(exprs(2), "topN"))
     })
 
+  private val md5Bucket60Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_bucket60"),
+    new ExpressionInfo(classOf[Md5Bucket60].getName, "md5_bucket60"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "md5_bucket60 takes exactly 1 argument")
+      Md5Bucket60(exprs.head)
+    })
+
   /** Register the functions on an already-running session (getOrCreate
     * ignores withExtensions for existing sessions).
     */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSimilarityFn, repetitionMetricsFn).foreach { fn =>
+    Seq(cosineSimilarityFn, repetitionMetricsFn, md5Bucket60Fn).foreach { fn =>
       org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, fn._1, fn._2, fn._3)
     }
 }

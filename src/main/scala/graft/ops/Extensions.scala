@@ -236,9 +236,18 @@ object Extensions {
   /** Engine-portable 60-bit string hash: first 15 hex chars of md5. md5 is
     * bit-identical everywhere, 60 bits fits a signed long exactly — so any
     * SQL engine with md5 + hex-cast replays it (the DuckDB oracle does).
+    * Runs as the native [[graft.functions.Md5Bucket60]] expression (no
+    * hex-string round-trip, codegen-fused); [[md5Hash60Reference]] keeps
+    * the composable form ExtensionsSpec asserts bit-equality against.
     */
   private def md5Hash60(c: Column): Column =
+    graft.functions.HashFunctions.md5_bucket60(c)
+
+  private[graft] def md5Hash60Reference(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private[graft] def md5Hash60Native(c: Column): Column =
+    graft.functions.HashFunctions.md5_bucket60(c)
 
   /** MinHash signatures: min over shingles of the affine permutation
     * (a_i·x + b_i) mod p for 32 permutations — one groupBy, 32 partial-agg

@@ -42,7 +42,7 @@ object Extensions10 {
       .select(col(sourceCol).as("src"),
         explode(Extensions.shingles(col(textCol), shingleSize)).as("sh"))
       .select(col("src"),
-        (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long") % ShingleP)
+        (graft.functions.HashFunctions.md5_bucket60(col("sh")) % ShingleP)
           .as("shx"))
     val aggs = (0 until MinhashPerms)
       .map(i => min((lit(permA(i)) * col("shx") + lit(permB(i))) % LshP).as(s"h$i"))

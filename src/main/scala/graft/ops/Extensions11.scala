@@ -40,8 +40,8 @@ object Extensions11 {
       && valPermille + testPermille <= 1000,
       "val + test permille must fit in [0, 1000]")
     val bucket = pmod(
-      conv(substring(md5(concat(col(idCol).cast("string"), lit(":split"))), 1, 15),
-        16, 10).cast("long"), lit(1000L))
+      graft.functions.HashFunctions.md5_bucket60(
+        concat(col(idCol).cast("string"), lit(":split"))), lit(1000L))
     df.withColumn("split",
       when(bucket < valPermille, "val")
         .when(bucket < valPermille + testPermille, "test")
@@ -79,8 +79,8 @@ object Extensions11 {
     require(nShards > 0 && budgetTokens > 0)
     val shardBudget = budgetTokens / nShards
     val shard = pmod(
-      conv(substring(md5(concat(col(idCol).cast("string"), lit(":bsel"))), 1, 15),
-        16, 10).cast("long"), lit(nShards.toLong))
+      graft.functions.HashFunctions.md5_bucket60(
+        concat(col(idCol).cast("string"), lit(":bsel"))), lit(nShards.toLong))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col(scoreCol).desc, col(idCol))
     df.withColumn("shard", shard)

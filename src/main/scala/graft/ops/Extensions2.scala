@@ -129,8 +129,7 @@ object Extensions2 {
   def stratifiedSample(
       df: DataFrame, stratumCol: String, keyCol: String,
       rates: Map[String, Double], default: Double): DataFrame = {
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long") % 1000
+    val bucket = graft.functions.HashFunctions.md5_bucket60(col(keyCol).cast("string")) % 1000
     val keep = rates.foldLeft(when(lit(false), lit(true))) { case (acc, (stratum, rate)) =>
       acc.when(col(stratumCol) === stratum, bucket < (rate * 1000).toLong)
     }.otherwise(bucket < (default * 1000).toLong)

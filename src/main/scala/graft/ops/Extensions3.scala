@@ -240,9 +240,8 @@ object Extensions3 {
     // null, so `bucket < thr` would be null and a null-keyed row silently
     // filtered — contradicting the null-group contract above. The sentinel
     // (NUL prefix) cannot collide with a real key's own string form.
-    val bucket = conv(substring(
-        md5(coalesce(col(keyCol).cast("string"), lit("\u0000null"))), 1, 15), 16, 10)
-      .cast("long") % (1L << 20)
+    val bucket = graft.functions.HashFunctions.md5_bucket60(
+        coalesce(col(keyCol).cast("string"), lit("\u0000null"))) % (1L << 20)
     df.join(broadcast(rates), col(groupCol) <=> col("__grp"))
       .filter(bucket < col("thr"))
       .select(df.columns.map(col): _*) // keep the caller's column order

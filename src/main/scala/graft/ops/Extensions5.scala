@@ -51,7 +51,7 @@ object Extensions5 {
       threshold: Double = 0.0): DataFrame = {
     // milli-weight(token) = md5-uniform integer in [-1000, 1000]
     def milliWeight(t: Column): Column =
-      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 2001L - 1000L
+      graft.functions.HashFunctions.md5_bucket60(t) % 2001L - 1000L
     val toks = split(lower(col(textCol)), " ")
     corpus.select(
         col(idCol),
@@ -208,8 +208,8 @@ object Extensions5 {
       corpus: DataFrame, idCol: String, textCol: String, nShards: Int): DataFrame =
     corpus
       .withColumn("shard",
-        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(nShards.toLong)))
+        pmod(graft.functions.HashFunctions.md5_bucket60(col(idCol).cast("string")),
+          lit(nShards.toLong)))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(lower(col(textCol)), " ")).cast("long")).as("n_tokens"))

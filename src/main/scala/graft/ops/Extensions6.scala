@@ -148,13 +148,11 @@ object Extensions6 {
   def trainingOrder(
       corpus: DataFrame, idCol: String, nShards: Int): DataFrame = {
     val shard = pmod(
-      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-        .cast("long"), lit(nShards.toLong))
+      graft.functions.HashFunctions.md5_bucket60(col(idCol).cast("string")), lit(nShards.toLong))
     // independent salt: without it the within-shard order would correlate
     // with the shard assignment (both monotone in the same hash)
-    val pos = conv(
-      substring(md5(concat(col(idCol).cast("string"), lit(":ord"))), 1, 15),
-      16, 10).cast("long")
+    val pos = graft.functions.HashFunctions.md5_bucket60(
+      concat(col(idCol).cast("string"), lit(":ord")))
     corpus
       .withColumn("shard", shard)
       .withColumn("ord", row_number()

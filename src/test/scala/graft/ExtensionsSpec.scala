@@ -18,6 +18,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(diff == 0.0, s"native vs HOF max abs diff: $diff")
   }
 
+  test("native Md5Bucket60 is bit-identical to the conv(substring(md5)) form") {
+    import spark.implicits._
+    // every distinct shingle of the fixture corpus + adversarial edges:
+    // empty string, unicode, long strings, digits that look hexish
+    val d = graft.model.Tables.load(spark, sf0001, "documents")
+    val shingled = d.select(explode(split(lower(col("text")), " ")).as("s"))
+    val edges = Seq("", "0", "f" * 64, "é中文", "deadbeef", " ", "a b").toDF("s")
+    val diff = shingled.unionByName(edges)
+      .select((Extensions.md5Hash60Native(col("s")) -
+        Extensions.md5Hash60Reference(col("s"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getLong(0)
+    assert(diff == 0L, s"native vs conv form diverged by $diff")
+    // non-negative by construction (60 bits in a signed long)
+    val neg = shingled.select(Extensions.md5Hash60Native(col("s")).as("v"))
+      .filter(col("v") < 0).count()
+    assert(neg == 0)
+  }
+
+  test("md5_bucket60 is callable from SQL and codegen-fused") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT md5_bucket60('hello')").collect().head.getLong(0)
+    val viaRef = spark.sql(
+      "SELECT CAST(conv(substring(md5('hello'), 1, 15), 16, 10) AS LONG)")
+      .collect().head.getLong(0)
+    assert(viaSql == viaRef)
+    val plan = spark.sql("SELECT md5_bucket60(lower(text)) FROM parquet.`" +
+      s"$sf0001/documents.parquet`").queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Project") && l.trim.startsWith("*")),
+      s"md5_bucket60 not codegen-fused:\n$plan")
+  }
+
   test("native CosineSimilarity stays inside whole-stage codegen") {
     val e = graft.model.Tables.load(spark, sf0001, "embeddings")
     val plan = e.select(VectorFunctions.cosine_similarity(col("embedding"), col("embedding")))
