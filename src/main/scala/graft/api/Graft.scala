@@ -16,6 +16,13 @@ import graft.stream.Materializer
   * reduced/narrow data, candidate generation never goes all-pairs, small
   * sides broadcast, similarity scores round before ranking, and every
   * pipeline is deterministic under retries and re-partitioning.
+  *
+  * Null policy for text operators: id and shard/order operators are
+  * null-safe on payloads; explode-based per-doc text reports treat a
+  * null/empty text as "no tokens" where they are total ([[stopwordRatio]])
+  * and otherwise null-propagate into their score columns (a null `keep`
+  * is dropped by `filter(keep)` — run [[filterFunnel]] with an explicit
+  * `isNotNull` first stage to count such rows instead of losing them).
   */
 object Graft {
 

@@ -38,19 +38,24 @@ object Extensions9 {
   def stopwordRatio(
       corpus: DataFrame, idCol: String, textCol: String,
       topK: Int = 20): DataFrame = {
+    // explode_outer + count(tok): a null-text doc stays in the report
+    // (n_tokens = 0, ratio null) instead of silently vanishing — a
+    // per-doc report must be total over its input
     val occ = Extensions.materialized(
       corpus.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("tok")))
-    val stop = occ.select(col("doc_id"), col("tok")).distinct()
+        explode_outer(split(lower(col(textCol)), " ")).as("tok")))
+    val stop = occ.filter(col("tok").isNotNull)
+      .select(col("doc_id"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok")).limit(topK)
       .select(col("tok"), lit(1L).as("is_stop"))
     occ.join(broadcast(stop), Seq("tok"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
+      .agg(count(col("tok")).as("n_tokens"),
         coalesce(sum(col("is_stop")), lit(0L)).as("n_stop"))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"),
-        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"))
+        when(col("n_tokens") > 0,
+          round(col("n_stop") / col("n_tokens"), 4)).as("stop_ratio"))
   }
 
   /** x54: [[stopwordRatio]] over the documents fixture, top-20 list. */

@@ -24,6 +24,16 @@ class Extensions9Spec extends SparkSpec {
     assert(m(3L) == (1L, 0.3333))
   }
 
+  test("x54 report is total: a null-text doc appears with zero tokens, not silently dropped") {
+    import spark.implicits._
+    val corpus = Seq((1L, "some words here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = Extensions9.stopwordRatio(corpus, "doc_id", "text", topK = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(rows.keySet == Set(1L, 2L), s"every input doc must be reported, got ${rows.keySet}")
+    assert(rows(2L) == 0L, "null text reports zero tokens")
+  }
+
   test("x55 entropy is 0 for a monolingual source and ln(k) for a uniform one") {
     import spark.implicits._
     val corpus = (
