@@ -118,8 +118,9 @@ object Extensions11 {
       WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
       t AS (SELECT doc_id, len(tk) AS n_tokens, u.tok FROM d, UNNEST(tk) AS u(tok)),
       sc AS (SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
-                    round(sum(('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000)
-                          / (max(n_tokens) * 1000.0), 4) AS score
+                    sign(sum(('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000))
+                      * ((abs(sum(('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000) * 10) * 2
+                          + max(n_tokens)) // (max(n_tokens) * 2)) / 10000.0 AS score
              FROM t GROUP BY doc_id),
       sh AS (SELECT *,
                     ('0x' || substr(md5(doc_id::VARCHAR || ':bsel'), 1, 15))::BIGINT % 4 AS shard

@@ -53,6 +53,15 @@ object Extensions5 {
     def milliWeight(t: Column): Column =
       graft.functions.HashFunctions.md5_bucket60(t) % 2001L - 1000L
     val toks = split(lower(col(textCol)), " ")
+    // score = si / (n·1000) rounded to 4 decimals — computed as an exact
+    // INTEGER half-away-from-zero rounding of si·10/n (the 10^4-scaled
+    // value), then one exact division by 10^4. `round(double, 4)` here
+    // is a cross-engine trap: quotients landing on a .xxxx5 boundary
+    // round differently under BigDecimal-of-double (Spark) vs
+    // multiply-round (DuckDB) — ~1 in 10^3 rows at corpus scale.
+    val num = col("si") * 10L
+    val scaled = ((abs(num) * 2L + col("n_tokens"))
+      / (col("n_tokens") * 2L)).cast("long")
     corpus.select(
         col(idCol),
         size(toks).cast("long").as("n_tokens"),
@@ -60,7 +69,7 @@ object Extensions5 {
       .select(
         col(idCol),
         col("n_tokens"),
-        round(col("si") / (col("n_tokens") * 1000.0), 4).as("score"),
+        (signum(col("si")) * scaled / 10000.0d).as("score"),
         (col("si") > lit(threshold * 1000.0)).as("keep"))
   }
 
@@ -368,7 +377,7 @@ object Extensions5 {
                    sum(('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000) AS si
             FROM t GROUP BY doc_id)
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-             round(si / (n_tokens * 1000.0), 4) AS score,
+             sign(si) * ((abs(si * 10) * 2 + n_tokens) // (n_tokens * 2)) / 10000.0 AS score,
              si > 0 AS keep
       FROM s ORDER BY doc_id""",
     "x39_jl_project" -> """

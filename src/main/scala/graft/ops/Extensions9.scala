@@ -160,7 +160,7 @@ object Extensions9 {
                    sum(('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000) AS si
             FROM t GROUP BY doc_id),
       sc AS (SELECT d.doc_id, d.source,
-                    round(si / (s.n_tokens * 1000.0), 4) AS score
+                    sign(si) * ((abs(si * 10) * 2 + s.n_tokens) // (s.n_tokens * 2)) / 10000.0 AS score
              FROM s JOIN (SELECT DISTINCT doc_id, source FROM documents) d USING (doc_id))
       SELECT doc_id, source, score,
              round(percent_rank() OVER (
