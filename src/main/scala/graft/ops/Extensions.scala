@@ -208,7 +208,7 @@ object Extensions {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
-        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+        round4o(col("shared") / (col("na") + col("nb") - col("shared"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -383,6 +383,21 @@ object Extensions {
     * expression [[graft.functions.VectorFunctions.cosine_similarity]]
     * (bit-identical arithmetic, asserted in ExtensionsSpec).
     */
+  /** Oracle-aligned 4-decimal rounding for NON-NEGATIVE integer-ratio
+    * values. Spark's `round(x, 4)` is BigDecimal-of-the-exact-double
+    * (HALF_UP); DuckDB's is `std::round(x·10⁴)/10⁴`. For a rational p/q
+    * whose decimal expansion lands exactly on a .xxxx5 boundary but is
+    * binary-inexact (q with a factor of 5, e.g. 407/4000 = 0.101750),
+    * the two mechanisms round OPPOSITE ways — ~1e-3 of rows flipped in
+    * x38 at sf0.1 before this existed. Computing the product form on the
+    * Spark side replicates DuckDB bit-for-bit for every input (verified
+    * on the divergent cases), so ratio columns stay hash-identical at
+    * any scale. Use for p/q ratio outputs; negative-capable columns need
+    * the sign-split integer form instead (see hashedLinearScore).
+    */
+  private[graft] def round4o(c: Column): Column =
+    round(c * 10000.0d, 0) / 10000.0d
+
   private[graft] def cosineHof(a: Column, b: Column): Column = {
     def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
     def dot(x: Column, y: Column): Column =
@@ -540,12 +555,12 @@ object Extensions {
         size(tk).as("n_tokens"),
         (size(array_distinct(tk)).cast("double") / size(tk)).as("uniq_ratio"),
         (length(regexp_replace(col("text"), " ", "")).cast("double") / size(tk)).as("avg_tok_len"))
-      .withColumn("score", round(
+      .withColumn("score", round4o(
         lit(0.4) * least(col("n_tokens").cast("double") / 50, lit(1.0)) +
           lit(0.4) * col("uniq_ratio") +
-          lit(0.2) * when(col("avg_tok_len").between(3, 8), 1.0).otherwise(0.0), 4))
+          lit(0.2) * when(col("avg_tok_len").between(3, 8), 1.0).otherwise(0.0)))
       .withColumn("keep", (col("score") >= 0.5).cast("int"))
-      .select(col("doc_id"), col("n_tokens"), round(col("uniq_ratio"), 4).as("uniq_ratio"),
+      .select(col("doc_id"), col("n_tokens"), round4o(col("uniq_ratio")).as("uniq_ratio"),
         col("score"), col("keep"))
       .orderBy(col("doc_id"))
   }
@@ -595,8 +610,8 @@ object Extensions {
         col("n_chars"),
         size(tk).as("n_tokens"),
         size(array_distinct(tk)).as("n_uniq"),
-        round(size(array_distinct(tk)).cast("double") / size(tk), 4).as("uniq_ratio"),
-        round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(tk), 4)
+        round4o(size(array_distinct(tk)).cast("double") / size(tk)).as("uniq_ratio"),
+        round4o(length(regexp_replace(col("text"), " ", "")).cast("double") / size(tk))
           .as("avg_tok_len"))
       .orderBy(col("doc_id"))
   }

@@ -53,7 +53,7 @@ object Extensions10 {
     sigs.as("a").join(sigs.as("b"), col("a.src") < col("b.src"))
       .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
         matches.as("n_match"))
-      .withColumn("est_jaccard", round(col("n_match") / MinhashPerms.toDouble, 4))
+      .withColumn("est_jaccard", Extensions.round4o(col("n_match") / MinhashPerms.toDouble))
   }
 
   /** x57: [[sourceOverlapSketch]] over the documents fixture. */

@@ -270,7 +270,7 @@ object Extensions2 {
     ti.join(ei, Seq("shk"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared"), max(col("n_sh")).as("n_sh"))
-      .withColumn("overlap", round(col("shared") / col("n_sh"), 4))
+      .withColumn("overlap", Extensions.round4o(col("shared") / col("n_sh")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1 && col("overlap") >= minOverlap)
       .select(col("train_id"), col("eval_id").as("matched_eval_id"), col("overlap"))

@@ -68,13 +68,13 @@ object Extensions3 {
     df.select(
       col(idCol),
       size(tk).cast("long").as("n_tok"),
-      round(lit(1.0) - size(array_distinct(tk)) / size(tk).cast("double"), 4)
+      Extensions.round4o(lit(1.0) - size(array_distinct(tk)) / size(tk).cast("double"))
         .as("dup_tok_frac"),
       when(size(gd) > 0,
-        round(lit(1.0) - size(array_distinct(gd)) / size(gd).cast("double"), 4))
+        Extensions.round4o(lit(1.0) - size(array_distinct(gd)) / size(gd).cast("double")))
         .otherwise(lit(0.0)).as(s"dup_${dupN}gram_frac"),
       when(size(gt) > 0,
-        round(maxRunSorted(array_sort(gt)) / size(gt).cast("double"), 4))
+        Extensions.round4o(maxRunSorted(array_sort(gt)) / size(gt).cast("double")))
         .otherwise(lit(0.0)).as(s"top_${topN}gram_frac"))
   }
 
@@ -280,7 +280,7 @@ object Extensions3 {
       .agg(
         count(lit(1)).as("n_grams"),
         sum(when(col("df_docs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
-      .withColumn("dup_frac", round(col("n_dup_grams") / col("n_grams"), 4))
+      .withColumn("dup_frac", Extensions.round4o(col("n_dup_grams") / col("n_grams")))
   }
 
   /** x27: [[dupGramCoverage]] at 10-gram granularity on the documents

@@ -50,7 +50,7 @@ object Extensions4 {
       .groupBy(col("q_id"), col("c_id"))
       .agg(count(lit(1)).as("shared"), max(col("qn")).as("qn"), max(col("cn")).as("cn"))
       .withColumn("jaccard",
-        round(col("shared") / (col("qn") + col("cn") - col("shared")), 4))
+        Extensions.round4o(col("shared") / (col("qn") + col("cn") - col("shared"))))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"), col("jaccard"), col("rk").cast("long").as("rk"))
@@ -99,7 +99,7 @@ object Extensions4 {
       .groupBy(col("b_id"), col("c_id"))
       .agg(count(lit(1)).as("shared"), max(col("bn")).as("bn"), max(col("cn")).as("cn"))
       .withColumn("jaccard",
-        round(col("shared") / (col("bn") + col("cn") - col("shared")), 4))
+        Extensions.round4o(col("shared") / (col("bn") + col("cn") - col("shared"))))
       .filter(col("jaccard") >= threshold)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -140,7 +140,7 @@ object Extensions4 {
       .join(hits, Seq("q_id"), "left_outer")
       .select(col("q_id"), col("n_truth"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)) / col("n_truth"), 4).as("recall"))
+        Extensions.round4o(coalesce(col("n_hit"), lit(0L)) / col("n_truth")).as("recall"))
   }
 
   /** x31: recall@3 of the sign-bucket ANN family against brute-force truth

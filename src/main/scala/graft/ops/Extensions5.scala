@@ -187,9 +187,9 @@ object Extensions5 {
     agg
       .withColumn("total", sum(col("n_tokens")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
-      .withColumn("share", round(col("n_tokens") / col("total"), 4))
+      .withColumn("share", Extensions.round4o(col("n_tokens") / col("total")))
       .withColumn("cum_share",
-        round(sum(col("n_tokens")).over(w) / col("total"), 4))
+        Extensions.round4o(sum(col("n_tokens")).over(w) / col("total")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .select(col(sourceCol), col("n_docs"), col("n_tokens"),
         col("share"), col("cum_share"), col("rk"))

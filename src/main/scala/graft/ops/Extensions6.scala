@@ -109,7 +109,7 @@ object Extensions6 {
           .as(Seq("stage_no", "stage", "n_pass", "n_survive")))
       .select(col("stage_no").cast("long").as("stage_no"), col("stage"),
         col("_n").as("n_input"), col("n_pass"), col("n_survive"),
-        round(col("n_survive") / col("_n"), 4).as("survive_frac"))
+        Extensions.round4o(col("n_survive") / col("_n")).as("survive_frac"))
   }
 
   /** x46: [[filterFunnel]] over the documents fixture with the standard

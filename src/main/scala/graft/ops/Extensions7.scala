@@ -107,7 +107,7 @@ object Extensions7 {
       .agg(count(lit(1)).as("n_sh"),
         coalesce(sum(col("seen")), lit(0L)).as("n_seen"))
       .select(col("doc_id"), col("n_sh"), col("n_seen"),
-        round((col("n_sh") - col("n_seen")) / col("n_sh"), 4).as("novelty"))
+        Extensions.round4o((col("n_sh") - col("n_seen")) / col("n_sh")).as("novelty"))
   }
 
   /** x49: [[noveltyScore]] of every 10th fixture document against the
@@ -154,7 +154,7 @@ object Extensions7 {
         (col("n_docs") * col("gmax")).as("capacity"))
     bucketed.unionByName(global)
       .withColumn("pad_frac",
-        round(lit(1.0) - col("sum_tokens") / col("capacity"), 4))
+        Extensions.round4o(lit(1.0) - col("sum_tokens") / col("capacity")))
   }
 
   /** x50: [[paddingReport]] of the documents fixture at bucket width 64.

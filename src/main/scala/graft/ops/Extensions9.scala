@@ -55,7 +55,7 @@ object Extensions9 {
         coalesce(sum(col("is_stop")), lit(0L)).as("n_stop"))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"),
         when(col("n_tokens") > 0,
-          round(col("n_stop") / col("n_tokens"), 4)).as("stop_ratio"))
+          Extensions.round4o(col("n_stop") / col("n_tokens"))).as("stop_ratio"))
   }
 
   /** x54: [[stopwordRatio]] over the documents fixture, top-20 list. */
@@ -89,7 +89,7 @@ object Extensions9 {
       // H = -Σ (c/N) ln(c/N) = ln N − (Σ c·ln c)/N : one pass, exact
       // integer counts, a single float combination at the end
       .select(col(sourceCol), col("n_docs"), col("n_langs"), col("top_lang"),
-        round(col("top_n") / col("n_docs"), 4).as("top_share"),
+        Extensions.round4o(col("top_n") / col("n_docs")).as("top_share"),
         round(log(col("n_docs")) - col("snln") / col("n_docs"), 4)
           .as("lang_entropy"))
   }
@@ -114,9 +114,9 @@ object Extensions9 {
   def quantileNormalize(
       df: DataFrame, groupCol: String, idCol: String, valCol: String): DataFrame =
     df.withColumn("q_norm",
-      round(percent_rank().over(
+      Extensions.round4o(percent_rank().over(
         Window.partitionBy(col(groupCol))
-          .orderBy(col(valCol), col(idCol))), 4))
+          .orderBy(col(valCol), col(idCol)))))
 
   /** x56: [[quantileNormalize]] of the x38 quality score within each
     * source — the cross-domain-comparable quality signal.
