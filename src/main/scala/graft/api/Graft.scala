@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, IvfStore, Multimodal, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, IvfStore, Multimodal, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -545,6 +545,14 @@ object Graft {
   def readTrainingShard(
       spark: org.apache.spark.sql.SparkSession, path: String, shard: Long): DataFrame =
     TrainStore.readShard(spark, path, shard)
+
+  /** One-table corpus datasheet (counts, composition, vocabulary, Zipf
+    * naturalness) — the release summary to diff across versions.
+    */
+  def corpusDatasheet(
+      corpus: DataFrame, textCol: String, sourceCol: String,
+      langCol: String): DataFrame =
+    Extensions14.datasheet(corpus, textCol, sourceCol, langCol)
 
   // ---- sampling ------------------------------------------------------------
 
