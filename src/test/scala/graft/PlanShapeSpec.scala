@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Executed-plan shape assertions for the round-4 operators — each claim
+  * in PLANS.md that matters at 100 TB, pinned so a refactor cannot
+  * silently regress it.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("x48 density prune: both windows share one exchange on cell") {
+    val plan = planOf("x48_density_prune")
+    // two Window nodes (row_number + count) must not be separated by an
+    // Exchange — they run on the same cell partitioning
+    val lines = plan.linesIterator.toSeq
+    val wIdx = lines.zipWithIndex.filter(_._1.contains("Window")).map(_._2)
+    assert(wIdx.size >= 2, s"expected stacked Window nodes:\n$plan")
+    val between = lines.slice(wIdx.min, wIdx.max)
+    assert(!between.exists(_.contains("Exchange")),
+      s"windows over the same cell spec must share one exchange:\n$plan")
+  }
+
+  test("x57 sketch: signature aggregation is map-side partial") {
+    val plan = planOf("x57_source_overlap_sketch")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"signature mins must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair phase must not be a cartesian of the corpus:\n$plan")
+  }
+
+  test("x52 curriculum deciles: no single-partition window (the ntile anti-shape)") {
+    val plan = planOf("x52_curriculum_deciles")
+    // no Window node at all = no ntile, no per-row rank machinery; the
+    // only single-partition exchange is the percentile scalar agg
+    assert(!plan.contains("Window"), s"assignment must be map-side:\n$plan")
+  }
+
+  test("x61 budget select: the quality sort is per-shard, not global") {
+    val plan = planOf("x61_budget_select")
+    // the window's exchange must be hash-partitioned on shard, never a
+    // range partitioning over score (= a global sort of the corpus)
+    assert(plan.contains("hashpartitioning"),
+      s"expected hash partitioning on shard:\n$plan")
+    val winSort = plan.linesIterator.filter(l =>
+      l.contains("Sort ") && l.contains("score"))
+    assert(winSort.forall(!_.contains("true, 0")) || // global sort flag absent
+      !plan.contains("rangepartitioning(score"),
+      s"score sort must stay shard-local:\n$plan")
+  }
+
+  test("x60 split groups land as partial aggregation over the map-only assignment") {
+    val plan = planOf("x60_stratified_split")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"split balance counts must partial-aggregate:\n$plan")
+  }
+}
