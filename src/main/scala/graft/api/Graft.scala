@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, IvfStore, Multimodal, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, IvfStore, Multimodal, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -553,6 +553,23 @@ object Graft {
       corpus: DataFrame, textCol: String, sourceCol: String,
       langCol: String): DataFrame =
     Extensions14.datasheet(corpus, textCol, sourceCol, langCol)
+
+  /** MinHash signature table (doc_id, h0..h31) — storable corpus
+    * representation for signature-only dedup (256 bytes/doc, no text).
+    */
+  def minhashSignatures(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5): DataFrame =
+    Extensions15.minhashSignatures(corpus, idCol, textCol, shingleSize)
+
+  /** Incremental batch-vs-corpus near-dedup on signatures alone: LSH
+    * band candidates + estimated-Jaccard verdict; the corpus text is
+    * never re-read. Exact-verify alternative: [[incrementalDedup]].
+    */
+  def incrementalSignatureDedup(
+      corpusSigs: DataFrame, batchSigs: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    Extensions15.incrementalSignatureDedup(corpusSigs, batchSigs, threshold)
 
   // ---- sampling ------------------------------------------------------------
 

@@ -220,7 +220,7 @@ object Extensions {
   // ---- X3: MinHash + LSH dedup --------------------------------------------
 
   private[ops] val MinhashPerms = 32
-  private val LshBands = 8 // 4 rows per band
+  private[ops] val LshBands = 8 // 4 rows per band
   /** 2^31-1 (prime) — modulus of the affine MinHash permutations. */
   private[ops] val LshP = 2147483647L
   /** Largest prime below 2^30 — shingle-id modulus, keeps a*x < 2^61. */
