@@ -220,6 +220,37 @@ class PipelineSpec extends SparkSpec {
     info(s"round-4 funnel: raw=$n0 -> gated=$n1 -> clean=$n2 -> kept=$n3")
   }
 
+  test("signature-store lifecycle: sign -> store -> batch dedup -> store grows with kept docs") {
+    import graft.ops.Extensions15
+    val root = tmpDir("sigstore")
+    val d = Tables.load(spark, sf0001, "documents")
+    // 1. sign the seed corpus and WRITE the store (text discarded)
+    Extensions15.minhashSignatures(d.filter(col("doc_id") < 400), "doc_id", "text")
+      .write.mode("overwrite").parquet(root)
+    // 2. a batch arrives: one near-copy of a stored doc + the rest novel
+    val copied = d.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val batch = d.filter(col("doc_id") >= 400 && col("doc_id") < 420)
+      .select("doc_id", "text").unionByName(copied)
+    val store = spark.read.parquet(root)
+    val verdicts = Extensions15.incrementalSignatureDedup(
+      store, Extensions15.minhashSignatures(batch, "doc_id", "text"))
+    val dropped = verdicts.filter(!col("keep")).collect()
+    assert(dropped.exists(r => r.getLong(0) == 1007L && r.getLong(2) == 7L),
+      s"the copy must be dropped against stored doc 7: ${dropped.mkString(",")}")
+    // 3. kept docs' signatures append; the store grows without any text
+    val keptSigs = Extensions15.minhashSignatures(batch, "doc_id", "text")
+      .join(verdicts.filter(col("keep")).select(col("b_id").as("doc_id")), Seq("doc_id"))
+    keptSigs.write.mode("append").parquet(root)
+    val grown = spark.read.parquet(root)
+    assert(grown.count() == 400 + keptSigs.count())
+    // 4. a re-delivery of the same batch now dedups against the GROWN store
+    val redelivered = Extensions15.incrementalSignatureDedup(
+      grown, Extensions15.minhashSignatures(batch, "doc_id", "text"))
+    assert(redelivered.filter(col("keep")).count() == 0,
+      "every re-delivered doc must now match its own stored signature")
+  }
+
   test("a shared shingleIndex handle reproduces the standalone pair results") {
     val raw = Tables.load(spark, sf0001, "documents")
     val idx = Graft.shingleIndex(raw, "doc_id", "text")
