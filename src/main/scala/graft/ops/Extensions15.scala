@@ -57,6 +57,10 @@ object Extensions15 {
   def incrementalSignatureDedup(
       corpusSigs: DataFrame, batchSigs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
+    // each signature table feeds two consumers (band explode + verdict
+    // join); AQE exchange reuse already shares the 32-way min agg across
+    // them (verified: forcing a materialization here measures SLOWER),
+    // and steady-state callers pass a stored table anyway
     val matches = (0 until Extensions.MinhashPerms)
       .map(i => when(col(s"c.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
       .reduce(_ + _)
