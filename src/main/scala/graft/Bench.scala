@@ -79,6 +79,15 @@ object Bench {
     val total = results.values.map(_.min).sum
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_max_over_min":$spread,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver keeps only the TAIL of stdout, and the full line above
+    // grows with the query count — round 4's artifact lost the leading
+    // "total" field to truncation. Emit a compact summary as the FINAL
+    // line so any tail capture still contains the verdict-relevant
+    // numbers (total, count, errors, top-5 slowest).
+    val slowest = results.toSeq.sortBy { case (_, v) => -v.min }.take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v.min) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,13 +31,19 @@ object Extensions13 {
     */
   def corpusDiff(
       prev: DataFrame, next: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val a = prev.select(col(idCol).as("id"), md5(col(textCol)).as("ha"))
-    val b = next.select(col(idCol).as("id"), md5(col(textCol)).as("hb"))
+    // presence is an explicit per-side flag, NOT digest nullity — a doc
+    // present in both snapshots with NULL text in one would otherwise be
+    // misclassified as added/removed (and diverge from the id-nullity
+    // oracle); digests compare null-safely for the same reason
+    val a = prev.select(col(idCol).as("id"), md5(col(textCol)).as("ha"),
+      lit(true).as("in_prev"))
+    val b = next.select(col(idCol).as("id"), md5(col(textCol)).as("hb"),
+      lit(true).as("in_next"))
     a.join(b, Seq("id"), "full_outer")
       .select(
-        when(col("ha").isNull, "added")
-          .when(col("hb").isNull, "removed")
-          .when(col("ha") === col("hb"), "same")
+        when(col("in_prev").isNull, "added")
+          .when(col("in_next").isNull, "removed")
+          .when(col("ha") <=> col("hb"), "same")
           .otherwise("changed").as("change"))
       .groupBy(col("change"))
       .agg(count(lit(1)).as("n_docs"))

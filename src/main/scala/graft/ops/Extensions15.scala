@@ -30,9 +30,15 @@ object Extensions15 {
       Extensions.shingleIndexKeyedOf(corpus, idCol, textCol, shingleSize))
 
   private def banded(sigs: DataFrame, idAs: String): DataFrame = {
+    // rows-per-band derives from the signature geometry — hardcoding it
+    // would silently truncate signatures (or reference nonexistent h
+    // columns) if MinhashPerms/LshBands ever change
+    val rows = Extensions.MinhashPerms / Extensions.LshBands
+    require(rows * Extensions.LshBands == Extensions.MinhashPerms,
+      s"LshBands (${Extensions.LshBands}) must divide MinhashPerms (${Extensions.MinhashPerms})")
     val bandCols = (0 until Extensions.LshBands).map { bnd =>
       struct(lit(bnd).as("band"),
-        concat_ws(":", (bnd * 4 until (bnd + 1) * 4).map(i => col(s"h$i")): _*)
+        concat_ws(":", (bnd * rows until (bnd + 1) * rows).map(i => col(s"h$i")): _*)
           .as("bh"))
     }
     sigs.select(col("doc_id").as(idAs), explode(array(bandCols: _*)).as("b"))
@@ -107,8 +113,9 @@ object Extensions15 {
     val mins = (0 until MinhashPerms)
       .map(i => s"min((${permA(i)} * shx + ${permB(i)}) % $LshP) AS h$i")
       .mkString(",\n                   ")
+    val rows = MinhashPerms / LshBands
     def bandsOf(sig: String): String = (0 until LshBands).map { bnd =>
-      val cols = (bnd * 4 until (bnd + 1) * 4).map(i => s"h$i").mkString(", ")
+      val cols = (bnd * rows until (bnd + 1) * rows).map(i => s"h$i").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(':', $cols) AS bh FROM $sig"
     }.mkString("\n                UNION ALL ")
     val matchSum = (0 until MinhashPerms)

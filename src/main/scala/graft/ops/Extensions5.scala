@@ -70,7 +70,12 @@ object Extensions5 {
         col(idCol),
         col("n_tokens"),
         (signum(col("si")) * scaled / 10000.0d).as("score"),
-        (col("si") > lit(threshold * 1000.0)).as("keep"))
+        // keep iff score > threshold, i.e. si/(1000·n) > threshold —
+        // compare on the exact integer side: si > threshold·1000·n.
+        // (Comparing si against a length-independent constant would make
+        // the effective cutoff threshold/n_tokens: long low-score docs
+        // pass, short high-score docs fail.)
+        (col("si") > lit(threshold * 1000.0) * col("n_tokens")).as("keep"))
   }
 
   /** x38: [[hashedLinearScore]] over the documents fixture at the

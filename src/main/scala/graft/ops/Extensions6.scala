@@ -44,6 +44,13 @@ object Extensions6 {
     * keeps the exchange narrow. Not intended for source cardinalities in
     * the millions (that's a MinHash-signature job — compose
     * [[Extensions.minhashLshPairs]] per source instead).
+    *
+    * "Exact" caveat: shingle sets are keyed by their 64-bit xxhash, so
+    * two distinct shingles that collide merge into one set element. The
+    * birthday bound makes that negligible until distinct shingles
+    * approach ~2^32 — beyond that, key by the shingle string (exact, at
+    * a wider exchange) or switch to [[Extensions10.sourceOverlapSketch]]
+    * whose error is explicit.
     */
   def sourceOverlap(
       corpus: DataFrame, sourceCol: String, textCol: String,

@@ -33,13 +33,15 @@ object TrainStore {
       .write.partitionBy("shard").mode("overwrite").parquet(path)
   }
 
-  /** Read one shard in training order (files carry rows ord-sorted, but
-    * a multi-file shard interleaves on read — the trainer's contract is
-    * the `ord` column, so sort on it; with one file per shard this is a
-    * no-op sort over an already-ordered stream).
+  /** Read one shard in training order. Files carry rows ord-sorted, but
+    * a multi-file shard (appends, or file splits at read time)
+    * interleaves across read partitions — the trainer's contract is the
+    * `ord` column, so this sorts GLOBALLY on it. Cheap: the sort spans
+    * one shard (corpus/nShards rows), and each input split is already
+    * ord-sorted so the exchange feeds nearly-sorted runs.
     */
   def readShard(spark: SparkSession, path: String, shard: Long): DataFrame =
     spark.read.parquet(path)
       .filter(col("shard") === shard)
-      .sortWithinPartitions(col("ord"))
+      .orderBy(col("ord"))
 }

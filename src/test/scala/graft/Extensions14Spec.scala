@@ -21,4 +21,15 @@ class Extensions14Spec extends SparkSpec {
     assert(m("top_lang_share") > 0.0 && m("top_lang_share") <= 1.0)
     assert(m.keySet.size == 8)
   }
+
+  test("x66 datasheet is exactly two corpus passes (round-4 weak closed)") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val (pairs, freq) = Extensions14.datasheetPasses(d, "text", "source", "lang")
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // each pass reads the corpus exactly once; every datasheet metric
+    // derives from these two materialized tables, so total = 2 scans
+    assert(scans(pairs) == 1, s"pass 1 must be one corpus scan:\n${pairs.queryExecution.executedPlan}")
+    assert(scans(freq) == 1, s"pass 2 must be one corpus scan:\n${freq.queryExecution.executedPlan}")
+  }
 }

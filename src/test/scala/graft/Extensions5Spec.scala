@@ -24,6 +24,30 @@ class Extensions5Spec extends SparkSpec {
     assert(disagree == 0, "keep flag must equal score > threshold")
   }
 
+  test("x38 nonzero threshold: keep cutoff is per-doc score, not length-scaled") {
+    import spark.implicits._
+    // a long doc of weakly-positive tokens vs a short doc of strongly-
+    // positive ones: with the cutoff wrongly compared against raw si, the
+    // long doc would pass any threshold its length can buy
+    val df = Extensions5.hashedLinearScore(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text",
+      threshold = 0.05)
+    // keep compares the EXACT integer si against threshold·1000·n; score
+    // is rounded to 4 decimals — exclude the one representable boundary
+    // bin where the rounded value can't distinguish the two sides
+    val disagree = df.filter(abs(col("score") - 0.05) > 1e-4)
+      .filter(col("keep") =!= (col("score") > 0.05)).count()
+    assert(disagree == 0, "keep must equal score > threshold at nonzero threshold")
+    // and the two regimes must actually differ on this corpus (otherwise
+    // the assertion above is vacuous)
+    val zeroKeeps = Extensions5.hashedLinearScore(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text")
+      .filter(col("keep")).count()
+    val thrKeeps = df.filter(col("keep")).count()
+    assert(thrKeeps < zeroKeeps,
+      s"raising the threshold must shrink the kept set ($thrKeeps !< $zeroKeeps)")
+  }
+
   test("x39 JL projection preserves squared norms in expectation (E[|Px|^2] = |x|^2)") {
     val proj = Extensions5.jlProject(emb, "vec_id", "embedding", 16, 64)
       .groupBy("vec_id").agg(sum(col("value") * col("value")).as("pn2"))
