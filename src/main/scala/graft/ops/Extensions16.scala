@@ -1,0 +1,301 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Sixteenth extension batch — the round-5 dedup/tokenizer/serving
+  * completions:
+  *
+  *  - span-level duplicate-substring REMOVAL (x68): doc-level dedup
+  *    (x01/x03/x30/x67) keeps or drops whole documents; crawl boilerplate
+  *    (headers, nav bars, license blocks) survives it inside kept docs.
+  *    This is the Lee et al. 2022 "Deduplicating Training Data Makes
+  *    Language Models Better" substring shape at n-gram granularity:
+  *    find ≥n-token runs shared across documents, strip them, keep the
+  *    rest of the document.
+  *  - BPE merge-loop training (x69): x51 computes one round of pair
+  *    statistics; this runs the full Sennrich merge loop to an ordered
+  *    merge list — the artifact a tokenizer ships.
+  *  - recall evaluation over the PERSISTED IVF index (x70): x31 scores
+  *    the in-memory ANN paths; this scores the serving path
+  *    ([[IvfStore.topKFromIndex]], partition-pruned reads) so the number
+  *    the dashboard shows is measured on the plan production runs.
+  */
+object Extensions16 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ---- X23/x68: span-level duplicate-substring removal -----------------------
+
+  /** Strip cross-document duplicated token spans from every document.
+    *
+    * Semantics (chosen to be exactly SQL-replayable): a position `i`
+    * (1-based) in a document is a DUP START if the n-gram of lowercased
+    * tokens beginning there also occurs in at least one OTHER document.
+    * A token is covered if any dup start lies within the n tokens ending
+    * at it; maximal runs of covered tokens are the removed spans —
+    * adjacent/overlapping dup grams merge into one span by construction.
+    * Output per doc: token counts and the cleaned text (original-case
+    * tokens, single-space joined). A document with no duplicated span is
+    * returned byte-identical (modulo pre-existing repeated whitespace,
+    * which tokenization cannot see).
+    *
+    * Scale: grams travel as 8-byte xxhash64 keys (never text) through
+    * ONE doc-frequency hash-agg; the per-doc dup-start list rides a
+    * bounded array (≤ tokens/doc) back onto the corpus via an equi-join
+    * on doc_id; the rewrite is a map-side HOF filter inside codegen. Two
+    * corpus text scans total (index build + rewrite) — the minimum for
+    * "compute a global statistic, then rewrite every doc against it".
+    * Never doc×doc, no window over the corpus.
+    */
+  def stripDuplicateSpans(
+      corpus: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val lowToks = split(lower(col(textCol)), " ")
+    // (doc_id, pos, gk): every gram OCCURRENCE with its 1-based start.
+    // Materialized — it feeds both the doc-frequency agg and the
+    // dup-start join (same double-consumer shape as dupGramCoverage).
+    val grams = Extensions.materialized(
+      corpus
+        .filter(size(lowToks) >= n)
+        .select(col(idCol).as("doc_id"),
+          posexplode(transform(sequence(lit(1), size(lowToks) - (n - 1)),
+            i => xxhash64(concat_ws(" ", slice(lowToks, i, lit(n))))))
+            .as(Seq("p0", "gk")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gk")))
+    // grams occurring in >= 2 DISTINCT docs (distinct first: a gram
+    // repeated inside one doc is repetition, not cross-doc duplication —
+    // x22 measures that; this operator only strips shared boilerplate)
+    val dupKeys = grams.select(col("doc_id"), col("gk")).distinct()
+      .groupBy(col("gk")).agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= 2)
+      .select(col("gk"))
+    val starts = grams.join(dupKeys, Seq("gk"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val out = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(starts, Seq("doc_id"), "left_outer")
+    val rt = split(col("text"), " ")
+    val ss = coalesce(col("starts"), array().cast("array<int>"))
+    // token at 0-based index i is covered iff a dup span starts in
+    // (i+1-n, i+1]; HOF filter with the index lambda — codegen, no explode
+    val kept = filter(rt, (t: Column, i: Column) =>
+      !exists(ss, s => s <= i + 1 && i + 1 < s + n))
+    out.select(
+      col("doc_id"),
+      size(rt).cast("long").as("n_tokens"),
+      (size(rt) - size(kept)).cast("long").as("n_removed"),
+      concat_ws(" ", kept).as("clean_text"))
+  }
+
+  /** x68: [[stripDuplicateSpans]] at 5-gram granularity over the
+    * documents fixture (5 matches the corpus shingle size — the same
+    * spans LSH candidates collide on are the ones stripped).
+    */
+  def x68StripDupSpans(s: SparkSession, dir: String): DataFrame =
+    stripDuplicateSpans(docs(s, dir), "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+
+  private val x68OracleSql: String = {
+    val n = 5
+    s"""
+      WITH d AS (SELECT doc_id, text,
+                   string_split(text, ' ') AS rt,
+                   string_split(lower(text), ' ') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+${n - 1}], ' ') AS gram
+            FROM d, UNNEST(generate_series(1, len(toks) - ${n - 1})) AS t(i)
+            WHERE len(toks) >= $n),
+      dupg AS (SELECT gram FROM (
+                 SELECT gram, count(DISTINCT doc_id) AS dfd FROM g GROUP BY gram)
+               WHERE dfd >= 2),
+      dup AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)),
+      cov AS (SELECT DISTINCT doc_id, pos + o AS j
+              FROM dup, UNNEST(generate_series(0, ${n - 1})) AS t(o)),
+      tk AS (SELECT doc_id, j, rt[j] AS tok
+             FROM d, UNNEST(generate_series(1, len(rt))) AS t(j)),
+      kept AS (SELECT tk.doc_id, tk.j, tk.tok
+               FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.j = cov.j
+               WHERE cov.j IS NULL),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+                    array_to_string(list(tok ORDER BY j), ' ') AS clean_text
+             FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(d.rt) AS BIGINT) AS n_tokens,
+             CAST(len(d.rt) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(ka.clean_text, '') AS clean_text
+      FROM d LEFT JOIN ka ON d.doc_id = ka.doc_id
+      ORDER BY d.doc_id"""
+  }
+
+  // ---- x69: BPE merge-loop training ------------------------------------------
+
+  /** Train a byte-pair-encoding merge list: the full Sennrich loop, not
+    * just one round of pair statistics (x51). Returns the ordered merge
+    * rules (rank, left, right, pair_n) — the artifact a tokenizer ships.
+    *
+    * Shape: ONE corpus scan builds the word-frequency table (distinct
+    * whitespace tokens + occurrence counts — the classical BPE working
+    * set, vocabulary-sized, NOT corpus-sized). Every merge iteration then
+    * runs on that small table: adjacent-pair counts weighted by word
+    * frequency (hash-agg, ≤ |symbols|² keys), a deterministic arg-max
+    * (count desc, pair asc — one collected row, the merge decision is
+    * inherently sequential), and a map-side left-to-right greedy rewrite
+    * of each word's symbol array via an `aggregate` HOF. The symbol table
+    * is re-materialized per iteration to bound lineage. At 100 TB the
+    * corpus is touched exactly once; the loop cost is iterations ×
+    * (vocab-table agg + map), independent of corpus size.
+    */
+  def trainBpe(
+      corpus: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // pass 1 (the only corpus scan): word-frequency table, words as
+    // character-symbol arrays
+    var words = Extensions.materialized(
+      corpus
+        .select(explode(split(lower(col(textCol)), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+        .select(split(col("w"), "").as("syms"), col("wn")))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val top = words
+        // single-symbol words have no adjacent pair — and sequence(1, 0)
+        // would DESCEND ([1,0]) rather than come back empty
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          j => struct(element_at(col("syms"), j).as("l"),
+            element_at(col("syms"), j + 1).as("r")))).as("p"), col("wn"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i + 1L, l, r, n))
+        // left-to-right greedy, non-overlapping: fold the symbol array,
+        // fusing when the accumulator's tail is `l` and the next symbol
+        // is `r` (after a fusion the tail is `l+r`, so an overlapping
+        // second fusion cannot fire — the standard BPE scan)
+        val fused = concat(lit(l), lit(r))
+        words = Extensions.materialized(words.select(
+          aggregate(col("syms"), array().cast("array<string>"), (acc, s) =>
+            when(try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
+            .otherwise(concat(acc, array(s)))).as("syms"),
+          col("wn")))
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_n")
+  }
+
+  /** x69: the first 12 BPE merges over the documents fixture. No DuckDB
+    * oracle — the merge loop is iterative state SQL can't replay
+    * reasonably (driver records the rows-only check); value-level
+    * correctness is pinned by Extensions16Spec against an independent
+    * driver-side reference implementation.
+    */
+  def x69BpeMerges(s: SparkSession, dir: String): DataFrame =
+    trainBpe(docs(s, dir), "text", numMerges = 12)
+      .orderBy(col("rank"))
+
+  // ---- x70: recall over the persisted IVF index ------------------------------
+
+  /** x70: recall@k of the PERSISTED IVF serving path against brute-force
+    * truth. Builds the store (deterministic first-k-vectors centroids —
+    * the x16 geometry, so the oracle can replay the assignment), serves
+    * the query batch through [[IvfStore.topKFromIndex]] (partition-pruned
+    * reads — the plan production runs), and scores with
+    * [[Extensions4.recallAtK]]. x31 evaluates the in-memory ANN paths;
+    * this evaluates what actually gets deployed.
+    */
+  def x70IvfStoreRecall(s: SparkSession, dir: String): DataFrame = {
+    import Extensions2.{IvfCells, IvfProbes, AnnK}
+    val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = base.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfstore-x70").toString
+    IvfStore.writeIndex(base, "vec_id", "embedding", cents, path)
+    val q = base.filter(col("vec_id") < 10)
+    val ann = IvfStore.topKFromIndex(s, path, q, "vec_id", "embedding",
+      k = AnnK, probes = IvfProbes)
+    val qb = q.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = base.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val truth = c.crossJoin(broadcast(qb))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        graft.functions.VectorFunctions.cosine_similarity(col("qv"), col("cv")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnK)
+      .select(col("q_id"), col("c_id"))
+    Extensions4.recallAtK(ann, truth).orderBy(col("q_id"))
+  }
+
+  private val x70OracleSql: String = {
+    import Extensions2.{IvfCells, IvfProbes, AnnK}
+    s"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cell, v AS cvec FROM base WHERE vec_id < $IvfCells),
+      assigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT b.vec_id, b.v, c.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY round(list_cosine_similarity(b.v, c.cvec), 6) DESC, c.cell) AS rk
+          FROM base b CROSS JOIN cents c) sub
+        WHERE rk = 1),
+      probes AS (
+        SELECT q_id, qv, cell FROM (
+          SELECT b.vec_id AS q_id, b.v AS qv, c.cell,
+                 row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY round(list_cosine_similarity(b.v, c.cvec), 6) DESC, c.cell) AS rk
+          FROM base b CROSS JOIN cents c
+          WHERE b.vec_id < 10) sub
+        WHERE rk <= $IvfProbes),
+      ann AS (
+        SELECT q_id, c_id FROM (
+          SELECT p.q_id, a.vec_id AS c_id,
+                 row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY round(list_cosine_similarity(p.qv, a.v), 4) DESC, a.vec_id) AS rk
+          FROM probes p JOIN assigned a ON p.cell = a.cell
+          WHERE a.vec_id <> p.q_id) sub
+        WHERE rk <= $AnnK),
+      qs AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 10),
+      truth AS (
+        SELECT q_id, c_id FROM (
+          SELECT q.q_id, c.vec_id AS c_id,
+                 row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY round(list_cosine_similarity(q.qv, c.v), 4) DESC, c.vec_id) AS rk
+          FROM base c, qs q
+          WHERE c.vec_id <> q.q_id) sub
+        WHERE rk <= $AnnK),
+      den AS (SELECT q_id, count(*) AS n_truth FROM truth GROUP BY q_id),
+      hit AS (SELECT t.q_id, count(*) AS n_hit
+              FROM truth t JOIN ann a ON a.q_id = t.q_id AND a.c_id = t.c_id
+              GROUP BY t.q_id)
+      SELECT den.q_id, den.n_truth,
+             coalesce(hit.n_hit, 0) AS n_hit,
+             round(coalesce(hit.n_hit, 0) * 10000.0 / den.n_truth, 0) / 10000.0 AS recall
+      FROM den LEFT JOIN hit ON den.q_id = hit.q_id
+      ORDER BY den.q_id"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x68_strip_dup_spans" -> x68OracleSql,
+    "x70_ivfstore_recall" -> x70OracleSql)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x68_strip_dup_spans" -> (x68StripDupSpans _),
+    "x69_bpe_merges" -> (x69BpeMerges _),
+    "x70_ivfstore_recall" -> (x70IvfStoreRecall _))
+}

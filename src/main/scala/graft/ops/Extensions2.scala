@@ -31,9 +31,9 @@ object Extensions2 {
 
   // ---- X16: IVF ANN (coarse quantizer + cell probe) ------------------------
 
-  private val IvfCells = 8
-  private val IvfProbes = 2
-  private val AnnK = 5
+  private[ops] val IvfCells = 8
+  private[ops] val IvfProbes = 2
+  private[ops] val AnnK = 5
 
   /** Codegen'd native expression (graft.functions.CosineSimilarity) — same
     * arithmetic as the HOF formulation in [[Extensions.cosineHof]], ~one
