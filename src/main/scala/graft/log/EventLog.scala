@@ -123,9 +123,17 @@ object EventLog {
         if (!fs.exists(sidecar)) None
         else {
           val in = fs.open(sidecar)
-          try Some(new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt)
+          val raw = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
           finally in.close()
+          // the temp+rename write below can't tear, but a sidecar from an
+          // older writer (or a corrupted copy) can — fail with instructions,
+          // not a bare NumberFormatException
+          Some(raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+            s"snapshot at $snapshotPath has an unreadable _graft_buckets " +
+              s"sidecar (content: '${raw.take(32)}') — restore it to a single " +
+              "integer (the bucket modulus the snapshot was written with) or " +
+              "rewrite the snapshot into a fresh path")))
         }
       persisted match {
         case Some(nb) =>
@@ -175,9 +183,16 @@ object EventLog {
     // sidecar BEFORE the data write: a crash between the two then leaves a
     // sidecar + no buckets (retry sees a first merge — see `exists` above),
     // never data with an unguarded modulus, which was the exact window the
-    // guard exists to close
-    val out = fs.create(sidecar, true)
+    // guard exists to close. Written via temp-file + rename so no reader
+    // ever observes a torn sidecar: every crash window leaves either no
+    // sidecar (→ first merge / legacy inference) or a stale `.tmp` the
+    // next merge silently replaces — never a partial integer.
+    val sidecarTmp = new org.apache.hadoop.fs.Path(snapshotPath, "_graft_buckets.tmp")
+    val out = fs.create(sidecarTmp, true)
     try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(sidecar)) fs.delete(sidecar, false)
+    require(fs.rename(sidecarTmp, sidecar),
+      s"failed to commit the _graft_buckets sidecar at $sidecar (rename returned false)")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(snapshotPath)

@@ -202,6 +202,53 @@ class MaterializeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("mergeSnapshot crash windows: every torn state re-opens loudly or correctly") {
+    import spark.implicits._
+    def ev(id: Long, v: Long) = Event(id, "PlayerCreated", v, ts(id), payload(s"F$id", s"L$id"))
+
+    // (a) crash AFTER the sidecar commit, BEFORE the data write: retry must
+    // see a first merge (sidecar alone is not evidence of data)
+    val a = tmpDir("crash_sidecar_only")
+    new java.io.File(a).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(a, "_graft_buckets"), "8")
+    EventLog.mergeSnapshot(Seq(ev(1, 0), ev(2, 0)).toDF(), a, numBuckets = 8)
+    assert(spark.read.parquet(a).select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // (b) crash between the temp write and the rename: a stale .tmp next to
+    // data whose sidecar is missing — re-open must either infer correctly
+    // (dirs bound the modulus) or refuse loudly; never silent corruption
+    val b = tmpDir("crash_tmp_left")
+    // id 7 -> bucket=7: a dir that PROVES the modulus exceeds 4 (see below)
+    EventLog.mergeSnapshot(Seq(ev(1, 0), ev(7, 0)).toDF(), b, numBuckets = 8)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(b, "_graft_buckets"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(b, "_graft_buckets.tmp"), "8")
+    // same modulus: legacy inference path accepts (dirs all < 8) and merges
+    EventLog.mergeSnapshot(Seq(ev(7, 1)).toDF(), b, numBuckets = 8)
+    val got = spark.read.parquet(b).groupBy("id")
+      .agg(org.apache.spark.sql.functions.max("version").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 7L -> 1L))
+    // and the recovered merge re-committed a readable sidecar atomically
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(b, "_graft_buckets")).trim == "8")
+    // smaller modulus against dirs that prove a larger one: loud refusal
+    java.nio.file.Files.delete(java.nio.file.Paths.get(b, "_graft_buckets"))
+    val eb = intercept[IllegalArgumentException] {
+      EventLog.mergeSnapshot(Seq(ev(2, 0)).toDF(), b, numBuckets = 4)
+    }
+    assert(eb.getMessage.contains("no _graft_buckets sidecar"))
+
+    // (c) torn sidecar from a pre-atomic writer: loud, actionable error —
+    // not a bare NumberFormatException
+    val c = tmpDir("crash_torn_sidecar")
+    EventLog.mergeSnapshot(Seq(ev(1, 0)).toDF(), c, numBuckets = 8)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(c, "_graft_buckets"), "")
+    val ec = intercept[IllegalArgumentException] {
+      EventLog.mergeSnapshot(Seq(ev(2, 0)).toDF(), c, numBuckets = 8)
+    }
+    assert(ec.getMessage.contains("unreadable _graft_buckets"))
+  }
+
   test("allocateIds is deterministic when orderCol ties (stable whole-row tiebreak)") {
     import spark.implicits._
     val creates = Seq(("Same", "Alpha"), ("Same", "Beta"), ("Same", "Gamma"), ("Other", "Delta"))

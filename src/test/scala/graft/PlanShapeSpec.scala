@@ -56,4 +56,62 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"split balance counts must partial-aggregate:\n$plan")
   }
+
+  /** Total `Scan parquet` nodes across EVERY query execution a full run
+    * of the query triggers — the localCheckpoint materialization job
+    * surfaces its parquet scan here (the downstream plan only shows
+    * `Scan ExistingRDD`), so this counts what a plain executed-plan
+    * string cannot: the real number of corpus reads.
+    */
+  private def parquetScanCount(name: String): Long = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val scans = new java.util.concurrent.atomic.AtomicLong(0L)
+    val idle = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        // an AQE plan prints BOTH "Final Plan" and "Initial Plan" sections
+        // — count the final section only or every scan doubles
+        val s = qe.executedPlan.toString
+        val finalOnly = s.indexOf("== Initial Plan ==") match {
+          case -1 => s
+          case i => s.substring(0, i)
+        }
+        scans.addAndGet("Scan parquet".r.findAllIn(finalOnly).length.toLong)
+        idle.incrementAndGet()
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries(name)(spark, sf0001)
+        .write.format("noop").mode("overwrite").save()
+      // the execution listener bus is async: wait until events stop
+      var last = -1L
+      var spins = 0
+      while ((idle.get() != last || last == -1L) && spins < 50) {
+        last = idle.get(); Thread.sleep(100); spins += 1
+      }
+      scans.get()
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("scan-count baseline: x27 reads the corpus exactly once (round-3 fix stays fixed)") {
+    // gram index materialized once; both consumers read the checkpoint —
+    // a regression to double-scan shows up as 2
+    assert(parquetScanCount("x27_dupgram_coverage") == 1L,
+      "x27 must read the corpus exactly once")
+  }
+
+  test("scan-count baseline: x45 source overlap reads the corpus exactly once") {
+    assert(parquetScanCount("x45_source_overlap") == 1L,
+      "x45's deduped index must materialize from one corpus scan")
+  }
+
+  test("scan-count baseline: x68 substring dedup is exactly two corpus scans") {
+    // index build + rewrite join — the documented minimum for a global-
+    // statistic-then-rewrite operator
+    assert(parquetScanCount("x68_strip_dup_spans") == 2L,
+      "x68 must be exactly two corpus scans (gram index + rewrite)")
+  }
 }
