@@ -30,7 +30,7 @@ class OperatorSpec extends SparkSpec {
     // accidental: x69's BPE merge loop is iterative driver-coordinated
     // state DuckDB SQL can't replay; its values are pinned instead by
     // Extensions16Spec against an independent reference implementation.
-    val rowsOnly = Set("x69_bpe_merges")
+    val rowsOnly = Set("x69_bpe_merges", "x73_bpe_encode")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(unchecked.isEmpty, s"queries without oracles: $unchecked")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty,
