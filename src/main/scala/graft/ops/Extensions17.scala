@@ -53,9 +53,14 @@ object Extensions17 {
             pmod(graft.functions.HashFunctions.md5_bucket60(
               concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))),
               lit(buckets.toLong)))).as("bucket")))
-    val counts = idx.groupBy(col("bucket")).agg(
-      count(lit(1)).as("cs"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    // materialized: counts feeds BOTH the ratio table and the totals row —
+    // unmaterialized, the bucket agg over the (corpus-sized) index ran
+    // twice (measured in the executed plan; AQE reuse didn't fire across
+    // the crossJoin boundary). ≤ buckets rows, so the checkpoint is free.
+    val counts = Extensions.materialized(
+      idx.groupBy(col("bucket")).agg(
+        count(lit(1)).as("cs"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")))
     val totals = counts.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"))
     // per-bucket log-ratio with add-one smoothing, exact integer inputs:
     // lr = ln(ct+1) - ln(tt+B) - ln(cs+1) + ln(ts+B)
