@@ -108,7 +108,7 @@ object Extensions15 {
   /** DuckDB replay: identical signature, band, and estimate arithmetic
     * over the two document sets.
     */
-  private def x67OracleSql: String = {
+  private[ops] def x67OracleSql: String = {
     import Extensions.{MinhashPerms, LshBands, LshP, ShingleP, permA, permB}
     val mins = (0 until MinhashPerms)
       .map(i => s"min((${permA(i)} * shx + ${permB(i)}) % $LshP) AS h$i")
@@ -150,9 +150,30 @@ object Extensions15 {
       ORDER BY b_id"""
   }
 
+  /** x76: [[SignatureStore]] round-trip — write the < 450 corpus
+    * signatures as a partitioned store, dedup the >= 450 batch against
+    * it through the PRUNED read. Same semantics (and same oracle) as
+    * x67; what this entry adds to the gate is the store path: layout,
+    * partition pruning, and the denormalized verdict all sit under a
+    * value-level hash compare.
+    */
+  def x76SignatureStoreDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sigstore-x76").toString
+    SignatureStore.write(
+      minhashSignatures(d.filter(col("doc_id") < 450), "doc_id", "text"), path)
+    SignatureStore.dedupAgainstStore(s, path,
+        minhashSignatures(d.filter(col("doc_id") >= 450), "doc_id", "text"),
+        threshold = 0.5)
+      .orderBy(col("b_id"))
+  }
+
   val oracles: Map[String, String] = Map(
-    "x67_signature_dedup" -> x67OracleSql)
+    "x67_signature_dedup" -> x67OracleSql,
+    "x76_sigstore_dedup" -> x67OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x67_signature_dedup" -> (x67SignatureDedup _))
+    "x67_signature_dedup" -> (x67SignatureDedup _),
+    "x76_sigstore_dedup" -> (x76SignatureStoreDedup _))
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Extensions15, SignatureStore}
+
+/** The persisted signature-store serving path: written store answers
+  * identically to the in-memory signature dedup, the batch read prunes
+  * to its band cells, and append grows the store incrementally.
+  */
+class SignatureStoreSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private def sigs(pred: org.apache.spark.sql.Column) =
+    Extensions15.minhashSignatures(docs.filter(pred), "doc_id", "text")
+
+  test("store dedup answers bit-identically to the in-memory signature dedup") {
+    val root = tmpDir("sigstore")
+    SignatureStore.write(sigs(col("doc_id") < 450), root)
+    val fromStore = SignatureStore.dedupAgainstStore(
+        spark, root, sigs(col("doc_id") >= 450))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    val inMemory = Extensions15.incrementalSignatureDedup(
+        sigs(col("doc_id") < 450), sigs(col("doc_id") >= 450))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(fromStore == inMemory,
+      s"store diverged: only-store=${fromStore -- inMemory}, only-mem=${inMemory -- fromStore}")
+    assert(fromStore.nonEmpty)
+  }
+
+  test("the store read prunes to the batch's band cells (PartitionFilters on cell)") {
+    val root = tmpDir("sigprune")
+    SignatureStore.write(sigs(col("doc_id") < 450), root)
+    // a small batch whose ids INCLUDE a known near-dup (487 -> 45 at this
+    // sf): the candidate join must stay non-empty, or AQE's empty-relation
+    // propagation deletes the store scan and there is no filter to assert
+    val df = SignatureStore.dedupAgainstStore(spark, root, sigs(col("doc_id") >= 480))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // >10 literals render as INSET rather than IN in the scan line
+    val pf = "PartitionFilters: \\[[^\\]]*cell#\\d+ (?:IN \\(([^)]*)\\)|INSET ([^\\]]*))\\]".r
+      .findFirstMatchIn(plan)
+      .getOrElse(fail(s"store read must partition-prune on cell:\n$plan"))
+    // 20 batch docs x 8 bands = at most 160 of the 256 cell dirs
+    val touched = Option(pf.group(1)).getOrElse(pf.group(2)).split(",").length
+    assert(touched <= 160, s"expected <= 160 probed cells, got $touched")
+  }
+
+  test("append-grown store equals a store written from the union") {
+    val root = tmpDir("siggrow")
+    val rootFull = tmpDir("sigfull")
+    SignatureStore.write(sigs(col("doc_id") < 300), root)
+    SignatureStore.append(sigs(col("doc_id") >= 300 && col("doc_id") < 450), root)
+    SignatureStore.write(sigs(col("doc_id") < 450), rootFull)
+    val batch = sigs(col("doc_id") >= 450)
+    val grown = SignatureStore.dedupAgainstStore(spark, root, batch)
+      .collect().map(_.toSeq).toSet
+    val full = SignatureStore.dedupAgainstStore(spark, rootFull, batch)
+      .collect().map(_.toSeq).toSet
+    assert(grown == full, "append must be indistinguishable from a full rewrite")
+  }
+}
