@@ -47,6 +47,49 @@ class SignatureStoreSpec extends SparkSpec {
     assert(touched <= 160, s"expected <= 160 probed cells, got $touched")
   }
 
+  test("streaming crawl loop: batches dedup against the store, survivors' SIGNATURES append") {
+    import spark.implicits._
+    // The steady-state crawl at rest: the store holds signatures only
+    // (256 bytes/doc — no text is ever retained), each micro-batch signs
+    // itself, dedups against the PRUNED store read, and appends the
+    // survivors' signatures — so a doc admitted in batch N dedups its
+    // copies in batch N+1 without any text reread.
+    val root = tmpDir("sigstream")
+    val spool = s"$root/spool"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    val seedA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val novelB = "totally new content that matches nothing currently stored anywhere"
+    graft.ops.SignatureStore.write(
+      graft.ops.Extensions15.minhashSignatures(
+        Seq((1L, seedA), (2L, "one two three four five six seven eight nine ten"))
+          .toDF("doc_id", "text"), "doc_id", "text"), store)
+    Seq((10L, seedA), (11L, novelB))
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(spool)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sigsB = graft.ops.Extensions15.minhashSignatures(batch, "doc_id", "text")
+          val kept = sigsB.join(
+            graft.ops.SignatureStore.dedupAgainstStore(spark, store, sigsB)
+              .filter(col("keep")).select(col("b_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          graft.ops.SignatureStore.append(kept, store)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    // batch 2: a copy of the BATCH-1 ADMISSION + a novel doc — proves the
+    // store growth gates later arrivals
+    Seq((20L, novelB), (21L, "yet another brand new document unlike all previous ones written"))
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(store).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L, 21L),
+      s"expected near-dups 10 (vs seed) and 20 (vs batch-1 admission) rejected, got $ids")
+  }
+
   test("append-grown store equals a store written from the union") {
     val root = tmpDir("siggrow")
     val rootFull = tmpDir("sigfull")
