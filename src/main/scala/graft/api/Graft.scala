@@ -1,8 +1,8 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, IvfStore, Multimodal, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -570,6 +570,87 @@ object Graft {
       corpusSigs: DataFrame, batchSigs: DataFrame,
       threshold: Double = 0.5): DataFrame =
     Extensions15.incrementalSignatureDedup(corpusSigs, batchSigs, threshold)
+
+  /** Persisted signature store: write/append band-postings partitioned
+    * for static pruning; [[dedupAgainstSignatureStore]] serves batches
+    * reading only their band cells.
+    */
+  def writeSignatureStore(sigs: DataFrame, path: String): Unit =
+    SignatureStore.write(sigs, path)
+
+  def appendToSignatureStore(sigs: DataFrame, path: String): Unit =
+    SignatureStore.append(sigs, path)
+
+  def dedupAgainstSignatureStore(
+      spark: SparkSession, path: String, batchSigs: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    SignatureStore.dedupAgainstStore(spark, path, batchSigs, threshold)
+
+  /** Span-level duplicate-substring removal (Lee et al. 2022 shape):
+    * strips cross-document duplicated n-gram spans from kept documents.
+    */
+  def stripDuplicateSpans(
+      corpus: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Extensions16.stripDuplicateSpans(corpus, idCol, textCol, n)
+
+  /** BPE: train the ordered merge list / apply it back to the corpus. */
+  def trainBpe(corpus: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    Extensions16.trainBpe(corpus, textCol, numMerges)
+
+  def applyBpe(
+      corpus: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    Extensions17.applyBpe(corpus, idCol, textCol, merges)
+
+  /** DSIR importance weights toward a target subset (Xie et al. 2023). */
+  def importanceWeights(
+      corpus: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096): DataFrame =
+    Extensions17.importanceWeights(corpus, idCol, textCol, targetPred, buckets)
+
+  /** Duplicate-cluster resolution: the full-corpus keep table with an
+    * explicit quality policy (best copy survives).
+    */
+  def resolveDuplicates(
+      corpus: DataFrame, idCol: String, qualityCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    Extensions17.resolveDuplicates(corpus, idCol, qualityCol, pairs, aCol, bCol)
+
+  /** CCNet-style per-language perplexity head/middle/tail buckets. */
+  def perplexityBuckets(
+      corpus: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    Extensions18.perplexityBuckets(corpus, idCol, textCol, langCol)
+
+  /** Materialized repetition mixture: docs × per-source epoch grants. */
+  def epochUpsample(
+      corpus: DataFrame, idCol: String, sourceCol: String,
+      epochs: Map[String, Int], defaultEpochs: Int = 1): DataFrame =
+    Extensions18.epochUpsample(corpus, idCol, sourceCol, epochs, defaultEpochs)
+
+  /** Benchmark decontamination decision table (keep/drop + audit trail). */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      minOverlap: Double = 0.3): DataFrame =
+    Extensions19.decontaminate(train, eval, idCol, textCol, minOverlap)
+
+  /** Near-dup-cluster-safe train/val/test split (no duplicate leakage). */
+  def clusterSafeSplit(
+      corpus: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String,
+      valPermille: Int = 100, testPermille: Int = 100): DataFrame =
+    Extensions19.clusterSafeSplit(corpus, idCol, pairs, aCol, bCol,
+      valPermille, testPermille)
+
+  /** Waterfill token-budget allocation across sources. */
+  def waterfillBudget(
+      corpus: DataFrame, sourceCol: String, textCol: String,
+      budgetFrac: Double): DataFrame =
+    Extensions20.waterfillBudget(corpus, sourceCol, textCol, budgetFrac)
+
+  /** Gopher document-quality rule card (per-rule booleans + keep). */
+  def gopherRuleCard(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    Extensions20.gopherRuleCard(corpus, idCol, textCol)
 
   // ---- sampling ------------------------------------------------------------
 

@@ -302,4 +302,33 @@ class ApiSpec extends SparkSpec {
       spark.read.parquet(s"$sf0001/embeddings.parquet"), "embedding", "label")
     assert(validated.filter(col("min_dim") =!= col("max_dim")).count() == 0)
   }
+
+  test("round-5 facade surface drives the dedup-resolve-split-budget flow end to end") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // rule gate -> substring scrub -> near-dup pairs -> resolve -> safe
+    // split -> budget: every call through Graft
+    val card = Graft.gopherRuleCard(docs, "doc_id", "text")
+    val kept = docs.join(card.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(kept.count() > 0 && kept.count() < docs.count())
+    val scrubbed = Graft.stripDuplicateSpans(kept, "doc_id", "text", n = 5)
+    assert(scrubbed.count() == kept.count())
+    val pairs = Graft.jaccardNearDupPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    val resolved = Graft.resolveDuplicates(docs, "doc_id", "n_chars",
+      pairs, "doc_a", "doc_b")
+    assert(resolved.filter(col("keep")).count() < docs.count())
+    val split = Graft.clusterSafeSplit(docs, "doc_id", pairs, "doc_a", "doc_b")
+    assert(split.select("split").distinct().count() == 3)
+    val budget = Graft.waterfillBudget(docs, "source", "text", budgetFrac = 0.5)
+    assert(budget.count() == 20)
+    val merges = Graft.trainBpe(docs, "text", numMerges = 4)
+    assert(Graft.applyBpe(docs, "doc_id", "text",
+      merges.orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq)
+      .count() == docs.count())
+    val buckets = Graft.perplexityBuckets(docs, "doc_id", "text", "lang")
+    assert(buckets.select("bucket").distinct().count() == 3)
+    val up = Graft.epochUpsample(docs, "doc_id", "source", Map("src0" -> 2))
+    assert(up.count() > docs.count())
+  }
 }
