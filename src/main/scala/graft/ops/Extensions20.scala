@@ -170,11 +170,70 @@ object Extensions20 {
       FROM r
       ORDER BY doc_id"""
 
+  // ---- x81: packing-efficiency curve -----------------------------------------
+
+  /** Packing efficiency across candidate context lengths: for each
+    * budget L, how many packed sequences the x23 offset packing yields
+    * and how full they run (fill = tokens / (chunks × L); straddling
+    * docs can push a chunk past L, so fill hugs 1 from both sides).
+    * The "which context length should this corpus train at" table.
+    *
+    * Scale: ONE per-shard cumulative-sum window (identical for every L —
+    * chunk assignment is floor(cum_before / L) over the same running
+    * sum), then a bounded explode over the budget list and two
+    * hash-aggs. Adding budgets costs map-side rows, not extra windows.
+    */
+  def packingCurve(
+      corpus: DataFrame, shardCol: String, idCol: String, textCol: String,
+      budgets: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = corpus.select(col(idCol), col(shardCol).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+    cum.select(col("shard"), col("n_tok"), col("cum_before"),
+        explode(typedLit(budgets.map(_.toLong))).as("ctx"))
+      .withColumn("chunk_id", floor(col("cum_before") / col("ctx")))
+      .groupBy(col("ctx"), col("shard"), col("chunk_id"))
+      .agg(sum(col("n_tok")).as("chunk_tokens"))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("chunk_tokens")).as("sum_tokens"))
+      .withColumn("fill_frac",
+        Extensions.round4o(col("sum_tokens") / (col("n_chunks") * col("ctx"))))
+  }
+
+  /** x81: [[packingCurve]] sharded by language over 128..1024 contexts. */
+  def x81PackingCurve(s: SparkSession, dir: String): DataFrame =
+    packingCurve(docs(s, dir), "lang", "doc_id", "text",
+        budgets = Seq(128, 256, 512, 1024))
+      .orderBy(col("ctx"))
+
+  private val x81OracleSql: String = """
+      WITH d AS (SELECT doc_id, lang AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+            FROM d),
+      e AS (SELECT shard, n_tok, cum_before, CAST(ctx AS BIGINT) AS ctx
+            FROM c, UNNEST([128, 256, 512, 1024]) AS t(ctx)),
+      chunks AS (SELECT ctx, shard, CAST(floor(cum_before * 1.0 / ctx) AS BIGINT) AS chunk_id,
+                        sum(n_tok) AS chunk_tokens
+                 FROM e GROUP BY 1, 2, 3)
+      SELECT ctx, count(*) AS n_chunks,
+             CAST(sum(chunk_tokens) AS BIGINT) AS sum_tokens,
+             round(sum(chunk_tokens) * 10000.0 / (count(*) * ctx), 0) / 10000.0 AS fill_frac
+      FROM chunks
+      GROUP BY ctx
+      ORDER BY ctx"""
+
   val oracles: Map[String, String] = Map(
     "x79_waterfill_budget" -> x79OracleSql,
-    "x80_gopher_rule_card" -> x80OracleSql)
+    "x80_gopher_rule_card" -> x80OracleSql,
+    "x81_packing_curve" -> x81OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x79_waterfill_budget" -> (x79WaterfillBudget _),
-    "x80_gopher_rule_card" -> (x80GopherRuleCard _))
+    "x80_gopher_rule_card" -> (x80GopherRuleCard _),
+    "x81_packing_curve" -> (x81PackingCurve _))
 }

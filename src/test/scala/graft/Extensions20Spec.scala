@@ -35,6 +35,19 @@ class Extensions20Spec extends SparkSpec {
       "cap must be infinite when the budget exceeds the corpus")
   }
 
+  test("x81 packing curve: token mass is conserved and fill degrades with context") {
+    val rows = SparkEntry.queries("x81_packing_curve")(spark, sf0001)
+      .orderBy(col("ctx")).collect()
+      .map(r => (r.getAs[Long]("ctx"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("sum_tokens"), r.getAs[Double]("fill_frac")))
+    assert(rows.map(_._3).distinct.length == 1,
+      "every context length packs the same corpus token mass")
+    // longer contexts -> fewer chunks, and (on fixed-size docs) no better fill
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+    assert(rows.forall(r => r._4 > 0.5 && r._4 < 1.1),
+      s"fill must hug 1 from both sides: ${rows.map(_._4).toSeq}")
+  }
+
   test("x80 rule card: keep is exactly the conjunction, and rules actually bite") {
     val df = SparkEntry.queries("x80_gopher_rule_card")(spark, sf0001)
     val broken = df.filter(col("keep") =!=
