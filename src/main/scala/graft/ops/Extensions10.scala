@@ -40,7 +40,9 @@ object Extensions10 {
     import Extensions.{MinhashPerms, LshP, ShingleP, permA, permB}
     val idx = corpus
       .select(col(sourceCol).as("src"),
-        explode(Extensions.shingles(col(textCol), shingleSize)).as("sh"))
+        split(lower(col(textCol)), " ").as("tk0"))
+      .select(col("src"),
+        explode(Extensions.shinglesFromToks(col("tk0"), shingleSize)).as("sh"))
       .select(col("src"),
         (graft.functions.HashFunctions.md5_bucket60(col("sh")) % ShingleP)
           .as("shx"))

@@ -54,16 +54,19 @@ object Extensions16 {
     */
   def stripDuplicateSpans(
       corpus: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val lowToks = split(lower(col(textCol)), " ")
     // (doc_id, pos, gk): every gram OCCURRENCE with its 1-based start.
     // Materialized — it feeds both the doc-frequency agg and the
     // dup-start join (same double-consumer shape as dupGramCoverage).
+    // The token array binds to a column before the per-gram lambda: an
+    // inline split() inside the lambda re-tokenizes the doc per gram.
+    val ltk = col("ltk")
     val grams = Extensions.materialized(
       corpus
-        .filter(size(lowToks) >= n)
-        .select(col(idCol).as("doc_id"),
-          posexplode(transform(sequence(lit(1), size(lowToks) - (n - 1)),
-            i => xxhash64(concat_ws(" ", slice(lowToks, i, lit(n))))))
+        .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("ltk"))
+        .filter(size(ltk) >= n)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(ltk) - (n - 1)),
+            i => xxhash64(concat_ws(" ", slice(ltk, i, lit(n))))))
             .as(Seq("p0", "gk")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gk")))
     // grams occurring in >= 2 DISTINCT docs (distinct first: a gram

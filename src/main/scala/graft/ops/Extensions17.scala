@@ -44,11 +44,16 @@ object Extensions17 {
   def importanceWeights(
       corpus: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 4096): DataFrame = {
-    val tk = split(lower(col(textCol)), " ")
+    // bind the token array to a column BEFORE the per-bigram lambda —
+    // an inline split() inside the lambda re-tokenizes the doc once per
+    // bigram (O(n²/doc); same trap as gopherRuleCard, measured there)
+    val tk = col("tk")
     val idx = Extensions.materialized(
       corpus
-        .filter(size(tk) >= 2)
         .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+          split(lower(col(textCol)), " ").as("tk"))
+        .filter(size(tk) >= 2)
+        .select(col("doc_id"), col("is_target"),
           explode(transform(sequence(lit(1), size(tk) - 1), i =>
             pmod(graft.functions.HashFunctions.md5_bucket60(
               concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))),

@@ -62,10 +62,14 @@ object Extensions3 {
   def repetitionMetrics(
       df: DataFrame, idCol: String, textCol: String,
       dupN: Int = 5, topN: Int = 2): DataFrame = {
-    val tk = split(lower(col(textCol)), " ")
+    // token array bound BEFORE the gram lambdas (an inline split inside a
+    // HOF lambda re-tokenizes per element — the O(n²/doc) trap; see
+    // Extensions.shinglesFromToks)
+    val tk = col("tk_")
     val gd = grams(tk, dupN)
     val gt = grams(tk, topN)
-    df.select(
+    df.select(col(idCol), split(lower(col(textCol)), " ").as("tk_"))
+      .select(
       col(idCol),
       size(tk).cast("long").as("n_tok"),
       Extensions.round4o(lit(1.0) - size(array_distinct(tk)) / size(tk).cast("double"))

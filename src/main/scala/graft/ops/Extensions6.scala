@@ -60,7 +60,9 @@ object Extensions6 {
     val idx = Extensions.materialized(
       corpus
         .select(col(sourceCol).as("src"),
-          explode(Extensions.shingles(col(textCol), shingleSize)).as("sh"))
+          split(lower(col(textCol)), " ").as("tk0"))
+        .select(col("src"),
+          explode(Extensions.shinglesFromToks(col("tk0"), shingleSize)).as("sh"))
         .select(col("src"), xxhash64(col("sh")).as("shk"))
         .distinct())
     val sizes = idx.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))

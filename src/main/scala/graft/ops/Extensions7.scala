@@ -95,12 +95,14 @@ object Extensions7 {
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5): DataFrame = {
     val trainSh = train
-      .select(explode(Extensions.shingles(col(textCol), shingleSize)).as("sh"))
+      .select(split(lower(col(textCol)), " ").as("tk0"))
+      .select(explode(Extensions.shinglesFromToks(col("tk0"), shingleSize)).as("sh"))
       .select(xxhash64(col("sh")).as("shk")).distinct()
       .withColumn("seen", lit(1L))
     eval
-      .select(col(idCol).as("doc_id"),
-        explode(Extensions.shingles(col(textCol), shingleSize)).as("sh"))
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("tk0"))
+      .select(col("doc_id"),
+        explode(Extensions.shinglesFromToks(col("tk0"), shingleSize)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shk")).distinct()
       .join(trainSh, Seq("shk"), "left")
       .groupBy(col("doc_id"))
