@@ -92,4 +92,106 @@ class CurationPropertySpec extends SparkSpec {
       assert(got == ref, s"seed $seed: fused ranking diverged from reference")
     }
   }
+
+  test("property: stripDuplicateSpans equals a driver-side reference on random corpora") {
+    import graft.ops.Extensions16
+    for (seed <- Seq(3, 11, 29)) {
+      val rnd = new Random(seed)
+      // small vocabulary + short docs => real cross-doc gram collisions
+      val df = (0 until 40).map { i =>
+        val len = 3 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(s"w${rnd.nextInt(8)}").mkString(" "))
+      }.foldLeft(Seq.empty[(Long, String)])(_ :+ _) match {
+        case rows => { import spark.implicits._; rows.toDF("doc_id", "text") }
+      }
+      val n = 3
+      // reference: same coverage semantics, computed naively on the driver
+      val texts = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val gramsOf = texts.view.mapValues { t =>
+        val tk = t.toLowerCase.split(" ")
+        if (tk.length < n) Seq.empty
+        else (0 to tk.length - n).map(i => (i + 1, tk.slice(i, i + n).mkString(" ")))
+      }.toMap
+      val df2docs = gramsOf.toSeq.flatMap { case (id, gs) => gs.map(g => (g._2, id)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = texts.map { case (id, t) =>
+        val tk = t.split(" ")
+        val starts = gramsOf(id).filter(g => df2docs(g._2) >= 2).map(_._1).toSet
+        val kept = tk.zipWithIndex.collect {
+          case (tok, i0) if !starts.exists(s => s <= i0 + 1 && i0 + 1 < s + n) => tok
+        }
+        id -> (tk.length.toLong, (tk.length - kept.length).toLong, kept.mkString(" "))
+      }
+      val got = Extensions16.stripDuplicateSpans(df, "doc_id", "text", n)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("clean_text"))).toMap
+      assert(got == expected, s"seed $seed: span removal diverged from reference")
+      assert(got.values.exists(_._2 > 0), s"seed $seed: vacuous (no dup spans generated)")
+    }
+  }
+
+  test("property: waterfillBudget equals a driver-side reference for random masses") {
+    import graft.ops.Extensions20
+    import spark.implicits._
+    for (seed <- Seq(5, 13, 77)) {
+      val rnd = new Random(seed)
+      val nSrc = 3 + rnd.nextInt(10)
+      val docs = (0 until 120).map { i =>
+        (i.toLong, s"src${rnd.nextInt(nSrc)}",
+          Seq.fill(1 + rnd.nextInt(20))("tok").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val frac = 0.3 + rnd.nextDouble() * 0.6
+      val masses = docs.collect().groupBy(_.getString(1)).view
+        .mapValues(_.map(_.getString(2).split(" ").length.toLong).sum).toMap
+      val total = masses.values.sum
+      val budget = math.floor(total * frac).toLong
+      // reference waterfill: exact cap on the sorted ladder
+      val sorted = masses.toSeq.sortBy { case (s, m) => (m, s) }
+      val refCap: Option[Double] = {
+        var cum = 0L
+        var found: Option[Double] = None
+        for (((_, m), j) <- sorted.zipWithIndex if found.isEmpty) {
+          val cap = (budget - cum).toDouble / (sorted.length - j)
+          if (cap <= m) found = Some(cap)
+          cum += m
+        }
+        found
+      }
+      def round4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+      val expected = masses.map { case (s, m) =>
+        s -> round4(math.min(m.toDouble, refCap.getOrElse(m.toDouble)))
+      }
+      val got = Extensions20.waterfillBudget(docs, "source", "text", frac)
+        .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("alloc_tokens"))
+        .toMap
+      assert(got == expected, s"seed $seed: waterfill diverged (cap=$refCap)\n got=$got\n exp=$expected")
+      val allocSum = got.values.sum
+      assert(math.abs(allocSum - math.min(budget, total)) < got.size * 1e-3,
+        s"seed $seed: allocations must exhaust min(budget, total)")
+    }
+  }
+
+  test("property: clusterSafeSplit never separates a pair, at any permilles") {
+    import graft.ops.Extensions19
+    import spark.implicits._
+    for (seed <- Seq(2, 17)) {
+      val rnd = new Random(seed)
+      val docs = (0 until 60).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+      val pairs = (0 until 25)
+        .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("doc_a", "doc_b")
+      val vp = 50 + rnd.nextInt(300); val tp = 50 + rnd.nextInt(300)
+      val split = Extensions19.clusterSafeSplit(docs, "doc_id", pairs,
+          "doc_a", "doc_b", valPermille = vp, testPermille = tp)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      assert(split.size == 60, "split must cover every doc")
+      pairs.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(split(a) == split(b), s"seed $seed: pair ($a,$b) torn at vp=$vp tp=$tp")
+      }
+    }
+  }
 }
