@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -651,6 +651,46 @@ object Graft {
   /** Gopher document-quality rule card (per-rule booleans + keep). */
   def gopherRuleCard(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     Extensions20.gopherRuleCard(corpus, idCol, textCol)
+
+  // ---- event analytics ------------------------------------------------------
+
+  /** Strict-sequence windowed funnel: steps_completed per user. */
+  def orderedFunnel(
+      log: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String], stepWindowUs: Long): DataFrame =
+    Extensions23.orderedFunnel(log, userCol, typeCol, tsCol, steps, stepWindowUs)
+
+  /** Daily cohort retention triangle over `convType` events. */
+  def cohortRetention(
+      log: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      convType: String): DataFrame =
+    Extensions23.cohortRetention(log, userCol, typeCol, tsCol, convType)
+
+  /** Event-type Markov transition matrix (counts + row-normalized p). */
+  def markovTransitions(
+      log: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      ordCol: String): DataFrame =
+    Extensions23.markovTransitions(log, userCol, typeCol, tsCol, ordCol)
+
+  /** RFM tercile segmentation over a conversion log (recency inverted). */
+  def rfmSegments(
+      log: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      valueCol: String, convType: String): DataFrame =
+    Extensions24.rfmSegments(log, userCol, typeCol, tsCol, valueCol, convType)
+
+  /** Most frequent gap-delimited session event-type paths (top k). */
+  def topSessionPaths(
+      log: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      ordCol: String, gapUs: Long, k: Int): DataFrame =
+    Extensions24.topSessionPaths(log, userCol, typeCol, tsCol, ordCol, gapUs, k)
+
+  // ---- similarity join (record linkage) -------------------------------------
+
+  /** All string pairs within edit distance 1 via FastSS deletion-
+    * neighborhood blocking — candidates track matches, never N².
+    */
+  def editDistance1Pairs(rel: DataFrame, strCol: String): DataFrame =
+    Extensions24.editDistance1Pairs(rel, strCol)
 
   // ---- sampling ------------------------------------------------------------
 
