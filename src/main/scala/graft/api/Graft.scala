@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -683,6 +683,31 @@ object Graft {
       log: DataFrame, userCol: String, typeCol: String, tsCol: String,
       ordCol: String, gapUs: Long, k: Int): DataFrame =
     Extensions24.topSessionPaths(log, userCol, typeCol, tsCol, ordCol, gapUs, k)
+
+  /** Per-user mean transition surprisal under the population Markov model
+    * (unsupervised behaves-unlike-the-population score).
+    */
+  def timelineSurprisal(
+      eventLog: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      ordCol: String): DataFrame =
+    Extensions25.timelineSurprisal(eventLog, userCol, typeCol, tsCol, ordCol)
+
+  /** SCD2 history build: state-change rows with [valid_from, valid_to)
+    * intervals + is_current flag — the interval sibling of [[latestState]].
+    */
+  def scd2History(
+      log: DataFrame, keyCol: String, stateCol: String, tsCol: String,
+      ordCol: String): DataFrame =
+    Extensions25.scd2History(log, keyCol, stateCol, tsCol, ordCol)
+
+  /** Population-stability-index drift report between two corpus snapshots
+    * over a numeric column (prev's exact deciles as buckets, add-half
+    * smoothing). PSI < 0.1 stable, > 0.25 action.
+    */
+  def psiDrift(
+      prev: DataFrame, next: DataFrame, valueCol: String,
+      nBuckets: Int = 10): DataFrame =
+    Extensions25.psiDrift(prev, next, valueCol, nBuckets)
 
   // ---- similarity join (record linkage) -------------------------------------
 

@@ -184,15 +184,22 @@ object EventLog {
     // sidecar + no buckets (retry sees a first merge — see `exists` above),
     // never data with an unguarded modulus, which was the exact window the
     // guard exists to close. Written via temp-file + rename so no reader
-    // ever observes a torn sidecar: every crash window leaves either no
-    // sidecar (→ first merge / legacy inference) or a stale `.tmp` the
-    // next merge silently replaces — never a partial integer.
-    val sidecarTmp = new org.apache.hadoop.fs.Path(snapshotPath, "_graft_buckets.tmp")
-    val out = fs.create(sidecarTmp, true)
-    try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(sidecar)) fs.delete(sidecar, false)
-    require(fs.rename(sidecarTmp, sidecar),
-      s"failed to commit the _graft_buckets sidecar at $sidecar (rename returned false)")
+    // ever observes a torn sidecar. An already-correct sidecar is LEFT
+    // ALONE: its value can never change once data exists (nb == numBuckets
+    // is required above), and a rewrite would need delete-then-rename —
+    // a crash between those leaves data with no sidecar, silently
+    // downgrading the modulus guard to the weaker legacy dir-name bound.
+    // The only deletable sidecar is a pre-data one (retry of a crashed
+    // first merge, possibly with a different modulus); losing it to a
+    // crash just re-creates the first-merge state.
+    if (!exists && fs.exists(sidecar)) fs.delete(sidecar, false)
+    if (!fs.exists(sidecar)) {
+      val sidecarTmp = new org.apache.hadoop.fs.Path(snapshotPath, "_graft_buckets.tmp")
+      val out = fs.create(sidecarTmp, true)
+      try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+      require(fs.rename(sidecarTmp, sidecar),
+        s"failed to commit the _graft_buckets sidecar at $sidecar (rename returned false)")
+    }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(snapshotPath)

@@ -39,6 +39,21 @@ object Extensions {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Temp directory for a fixture-scoped store (x70/x76 caches), removed
+    * recursively at JVM exit so repeated test/bench JVMs don't accumulate
+    * orphaned index builds in the system temp dir.
+    */
+  private[ops] def tempStoreDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: java.io.IOException => () }))
+    p.toString
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =

@@ -168,8 +168,7 @@ object Extensions15 {
   def x76SignatureStoreDedup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val path = storeCache.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-sigstore-x76").toString
+      val p = Extensions.tempStoreDir("graft-sigstore-x76")
       SignatureStore.write(
         minhashSignatures(d.filter(col("doc_id") < 450), "doc_id", "text"), p)
       p

@@ -28,8 +28,18 @@ object Extensions23 {
   // ---- x85: ordered windowed funnel ------------------------------------------
 
   /** Strict-sequence funnel: step k counts only if it happens strictly
-    * after step k-1 and within `stepWindowUs` of it; each user's
-    * earliest achievable chain is taken (min-of-eligible per step).
+    * after step k-1 and within `stepWindowUs` of it, with each step
+    * GREEDILY anchored on the user's earliest eligible occurrence
+    * (min-of-eligible per step, computed left to right).
+    *
+    * Greedy-anchor semantics, explicitly: the chain commits to the
+    * earliest step-k before looking at step k+1. A user whose earliest
+    * step-1 lapses (no step-2 inside its window) but who has a LATER
+    * step-1 that would complete the funnel is counted at the depth the
+    * earliest anchor reaches — an undercount versus any-achievable-chain
+    * (backtracking) semantics, which needs per-event chain state rather
+    * than k stacked windows. This greedy definition is what the oracle
+    * replays; both engines agree on it.
     *
     * Plan shape: one Exchange on the user key, then one chained
     * conditional-min Window per step over the SAME partitioning — Spark

@@ -249,6 +249,23 @@ class MaterializeSpec extends SparkSpec {
     assert(ec.getMessage.contains("unreadable _graft_buckets"))
   }
 
+  test("mergeSnapshot never recreates a committed sidecar (no delete→rename window once data exists)") {
+    import spark.implicits._
+    def ev(id: Long, v: Long) = Event(id, "PlayerCreated", v, ts(id), payload(s"F$id", s"L$id"))
+    val dir = tmpDir("sidecar_untouched")
+    EventLog.mergeSnapshot(Seq(ev(1, 0)).toDF(), dir, numBuckets = 8)
+    val p = java.nio.file.Paths.get(dir, "_graft_buckets")
+    def inode = java.nio.file.Files.readAttributes(
+      p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    val before = inode
+    EventLog.mergeSnapshot(Seq(ev(2, 0)).toDF(), dir, numBuckets = 8)
+    // same file, not a same-content recreation: a rewrite would reopen the
+    // crash window where data exists with no sidecar (guard downgrade)
+    assert(inode == before,
+      "sidecar was recreated on a steady-state merge — delete→rename window is back")
+    assert(java.nio.file.Files.readString(p).trim == "8")
+  }
+
   test("allocateIds is deterministic when orderCol ties (stable whole-row tiebreak)") {
     import spark.implicits._
     val creates = Seq(("Same", "Alpha"), ("Same", "Beta"), ("Same", "Gamma"), ("Other", "Delta"))
