@@ -71,23 +71,33 @@ object Bench {
       .filter { case (name, _) => !failed.contains(name) }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // Median (upper median for even n) alongside min: min is robust to
+    // one-sided noise but can't distinguish "this recording was noisy"
+    // from "this query regressed" when ALL repeats are inflated (round-5
+    // driver artifact: slowest entries 2-3x their clean cost even at
+    // min-of-3). min ≈ median → the number is trustworthy; min << median
+    // → the environment was loaded and only min is usable.
+    def med(v: Seq[Double]): Double = { val s = v.sorted; s(s.size / 2) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v.min) }
+      .mkString("{", ",", "}")
+    val qsMed = results.map { case (k, v) => s"\"" + k + "\":" + fmt(med(v)) }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v.max / math.max(1e-9, v.min)) }
       .mkString("{", ",", "}")
     val total = results.values.map(_.min).sum
+    val totalMed = results.values.map(med).sum
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread_max_over_min":$spread,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
     // The driver keeps only the TAIL of stdout, and the full line above
     // grows with the query count — round 4's artifact lost the leading
     // "total" field to truncation. Emit a compact summary as the FINAL
     // line so any tail capture still contains the verdict-relevant
-    // numbers (total, count, errors, top-5 slowest).
+    // numbers (total min+median, count, errors, top-5 slowest with both).
     val slowest = results.toSeq.sortBy { case (_, v) => -v.min }.take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v.min) }
+      .map { case (k, v) => s"\"" + k + "\":{\"min\":" + fmt(v.min) + ",\"med\":" + fmt(med(v)) + "}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
