@@ -117,6 +117,17 @@ object Extensions24 {
     * similarity-join blocking that makes entity resolution feasible at
     * 10⁹ rows. Depth-τ deletion neighborhoods generalize to edit
     * distance τ; depth 1 is what record-linkage blocking needs.
+    *
+    * The join key is xxhash64 of the (L−1)-char neighborhood string — 8
+    * bytes through the exchange instead of the string (x02's "8-byte
+    * keys, never text" discipline). Measured at sf0.1 (ShuffleProbe,
+    * PLANS.md round 6): the keyed exchange drops 3546→3247 KiB (−8.4%
+    * compressed; the short, prefix-sharing fixture names compress well —
+    * longer real-world strings widen the gap), and the SMJ compares
+    * 8-byte longs instead of variable-length strings. A hash collision
+    * can only ADD a spurious candidate, which the levenshtein verify
+    * rejects — true pairs always share a key because equal strings hash
+    * equal, so the result is exact regardless.
     */
   def editDistance1Pairs(rel: DataFrame, strCol: String): DataFrame = {
     val base = rel.select(col(strCol).as("s"))
@@ -125,7 +136,8 @@ object Extensions24 {
       array(col("s")),
       transform(sequence(lit(1), length(col("s"))), i =>
         concat(col("s").substr(lit(1), i - 1),
-          col("s").substr(i + 1, length(col("s")) - i))))).as("k"))
+          col("s").substr(i + 1, length(col("s")) - i))))).as("kstr"))
+      .select(col("s"), xxhash64(col("kstr")).as("k"))
     val cands = keyed.select(col("s").as("name_a"), col("k"))
       .join(keyed.select(col("s").as("name_b"), col("k")), Seq("k"))
       .filter(col("name_a") < col("name_b"))
