@@ -212,15 +212,61 @@ object Extensions16 {
     merges.toSeq.toDF("rank", "left", "right", "pair_n")
   }
 
-  /** x69: the first 12 BPE merges over the documents fixture. No DuckDB
-    * oracle — the merge loop is iterative state SQL can't replay
-    * reasonably (driver records the rows-only check); value-level
-    * correctness is pinned by Extensions16Spec against an independent
-    * driver-side reference implementation.
+  /** x69: the first 12 BPE merges over the documents fixture, with a
+    * GENERATED chained-CTE DuckDB oracle (the x67 generated-SQL
+    * discipline): the merge count is fixed and each step deterministic,
+    * so the loop unrolls into 12 (pair-count, argmax, rewrite) CTE
+    * triples — see [[bpeOracleChain]]. Values are additionally pinned by
+    * Extensions16Spec against an independent reference implementation.
     */
   def x69BpeMerges(s: SparkSession, dir: String): DataFrame =
     trainBpe(docs(s, dir), "text", numMerges = 12)
       .orderBy(col("rank"))
+
+  /** The DuckDB replay of [[trainBpe]]'s merge loop, generated for a
+    * fixed merge count. Key trick: each word's symbol array is encoded
+    * as a STRING with every symbol prefixed by chr(31) (a marker that
+    * cannot appear in the fixture text), so DuckDB's left-to-right
+    * non-overlapping `replace(enc, M||l||M||r, M||l||r)` IS the greedy
+    * BPE fuse — the prefix marker makes symbol boundaries unambiguous
+    * (no suffix/prefix cross-matches) and, because the pattern carries
+    * no trailing marker, back-to-back occurrences fuse exactly like the
+    * scan ([a,a,a,a] → [aa,aa]). Each merge round is three CTEs:
+    * lateral-unnest pair counts, a LIMIT 1 argmax with the Spark side's
+    * (n DESC, l, r) tie-break, and the replace rewrite. CTEs are
+    * MATERIALIZED — without it DuckDB inlines the doubly-referenced
+    * chain and the plan blows up 2^merges.
+    */
+  private[ops] def bpeOracleChain(numMerges: Int): String = {
+    val head = """WITH tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> ''),
+    w0 AS MATERIALIZED (
+      SELECT w, regexp_replace(w, '(.)', chr(31) || '\1', 'g') AS enc, count(*) AS wn
+      FROM tok GROUP BY 1, 2)"""
+    val rounds = (1 to numMerges).map { i =>
+      s"""
+    p$i AS (
+      SELECT s.syms[u.j] AS l, s.syms[u.j + 1] AS r, sum(s.wn) AS n
+      FROM (SELECT list_filter(str_split(enc, chr(31)), x -> x <> '') AS syms, wn
+            FROM w${i - 1}) s,
+           LATERAL unnest(generate_series(1, len(s.syms) - 1)) AS u(j)
+      GROUP BY 1, 2),
+    t$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+    w$i AS MATERIALIZED (
+      SELECT w, replace(enc, chr(31)||t.l||chr(31)||t.r, chr(31)||t.l||t.r) AS enc, wn
+      FROM w${i - 1}, t$i t)"""
+    }
+    head + rounds.mkString(",", ",", "")
+  }
+
+  private val x69OracleSql: String = {
+    val sel = (1 to 12)
+      .map(i => s"""SELECT $i AS rank, l AS "left", r AS "right", n::BIGINT AS pair_n FROM t$i""")
+      .mkString(" UNION ALL ")
+    bpeOracleChain(12) + s" SELECT * FROM ($sel) ORDER BY rank"
+  }
 
   // ---- x70: recall over the persisted IVF index ------------------------------
 
@@ -312,6 +358,7 @@ object Extensions16 {
 
   val oracles: Map[String, String] = Map(
     "x68_strip_dup_spans" -> x68OracleSql,
+    "x69_bpe_merges" -> x69OracleSql,
     "x70_ivfstore_recall" -> x70OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

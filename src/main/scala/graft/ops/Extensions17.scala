@@ -221,8 +221,11 @@ object Extensions17 {
   }
 
   /** x73: encode the fixture under its own 12-merge BPE (train + apply —
-    * the shipped-tokenizer loop end to end). No DuckDB oracle (iterative,
-    * like x69); pinned by Extensions17Spec against a reference encoder.
+    * the shipped-tokenizer loop end to end). The DuckDB oracle extends
+    * x69's generated merge chain ([[Extensions16.bpeOracleChain]]): the
+    * final rewritten word table's symbol count is len(enc) minus
+    * len(enc without markers), joined back onto exploded corpus tokens.
+    * Also pinned by Extensions17Spec against a reference encoder.
     */
   def x73BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -233,9 +236,16 @@ object Extensions17 {
       .orderBy(col("doc_id"))
   }
 
+  private val x73OracleSql: String = Extensions16.bpeOracleChain(12) + """,
+    cost AS (SELECT w, len(enc) - len(replace(enc, chr(31), '')) AS n_sub FROM w12)
+    SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_subwords
+    FROM tok JOIN cost USING (w)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "x71_importance_weights" -> x71OracleSql,
-    "x72_resolve_duplicates" -> x72OracleSql)
+    "x72_resolve_duplicates" -> x72OracleSql,
+    "x73_bpe_encode" -> x73OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x71_importance_weights" -> (x71ImportanceWeights _),

@@ -42,15 +42,12 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("every query has an oracle (the correctness gate covers the whole inventory)") {
-    // rows-only exemptions must be EXPLICIT and justified here, never
-    // accidental: x69's BPE merge loop is iterative driver-coordinated
-    // state DuckDB SQL can't replay; its values are pinned instead by
-    // Extensions16Spec against an independent reference implementation.
-    val rowsOnly = Set("x69_bpe_merges", "x73_bpe_encode")
-    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    // No rows-only exemptions: even the iterative BPE ops replay in
+    // DuckDB via generated chained-CTE oracles (round 6) — a new query
+    // without an oracle fails here and must earn an explicit, justified
+    // exemption in this test to ship.
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked.isEmpty, s"queries without oracles: $unchecked")
-    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty,
-      "rows-only exemption names a query that no longer exists")
   }
 
   test("q63 try_divide: NULL exactly where the manufactured division by zero hits") {
