@@ -586,6 +586,22 @@ object Graft {
       threshold: Double = 0.5): DataFrame =
     SignatureStore.dedupAgainstStore(spark, path, batchSigs, threshold)
 
+  /** Compact deleted docs out of the signature store (prunable: the
+    * removed docs' signatures determine exactly which cell directories
+    * are rewritten). Run after x72/x77 removals so the store stops
+    * serving stale dup verdicts.
+    */
+  def compactSignatureStore(
+      spark: SparkSession, path: String, removeSigs: DataFrame): Set[Int] =
+    SignatureStore.compact(spark, path, removeSigs)
+
+  /** Compact deleted vectors out of a written IVF index (touched cells
+    * only, via re-assignment against the stored centroids).
+    */
+  def compactIvfIndex(
+      removeVecs: DataFrame, idCol: String, vecCol: String, path: String): Set[Int] =
+    IvfStore.compactIndex(removeVecs, idCol, vecCol, path)
+
   /** Span-level duplicate-substring removal (Lee et al. 2022 shape):
     * strips cross-document duplicated n-gram spans from kept documents.
     */

@@ -54,6 +54,49 @@ object IvfStore {
       .write.partitionBy("cell").mode("append").parquet(s"$path/index")
   }
 
+  /** Compact deleted vectors OUT of the index (the [[SignatureStore.compact]]
+    * discipline): the removed vectors' embeddings re-assign against the
+    * STORED centroids to the exact cells their rows live in, so only
+    * those cell directories are read, anti-joined on vec_id, and
+    * dynamically overwritten — never a full-index rewrite. Emptied cells
+    * are deleted explicitly; kept rows are materialized before the
+    * self-overwrite. Returns the cell ids rewritten or deleted.
+    */
+  def compactIndex(
+      removeVecs: DataFrame, idCol: String, vecCol: String, path: String): Set[Int] = {
+    val spark = removeVecs.sparkSession
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val base = removeVecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val assigned = Extensions.materialized(Extensions2.assignCells(base, cents))
+    // normalize to int: the assign side inherits the centroid table's cell
+    // type (long in the x16 geometry) while the read-back partition column
+    // infers int — the driver-side lists must agree
+    val cells = assigned.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty) return Set.empty
+    val removeIds = broadcast(assigned.select(col("vec_id")).distinct())
+    val kept = Extensions.materialized(
+      spark.read.parquet(s"$path/index")
+        .filter(col("cell").isin(cells: _*))
+        .join(removeIds, Seq("vec_id"), "left_anti"))
+    val nonEmpty = kept.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try kept.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/index")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (cells.toSet -- nonEmpty).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/index", s"cell=$c"), true)
+    }
+    cells.toSet
+  }
+
   /** Top-k cosine neighbors for a query batch against a written index,
     * reading only the probed cells. Same semantics as
     * [[Extensions2.ivfTopK]] (round-before-rank, id tie-break) — the two

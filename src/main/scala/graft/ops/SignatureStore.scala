@@ -69,6 +69,52 @@ object SignatureStore {
     postings(sigs).repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(path)
 
+  /** Compact deleted documents OUT of the store — the missing half of
+    * "the store is where the corpus lives between batches": the
+    * pipeline's own dedup/decontamination (x72/x77) later REMOVES docs,
+    * and an append-only store would serve their stale postings as dup
+    * verdicts forever.
+    *
+    * Removal is signature-driven because that is what makes it
+    * PRUNABLE: a doc's postings live in exactly the cells its band keys
+    * hash to, so the removed docs' signatures give a bounded cell list
+    * (driver-side, O(cells) ints — the dedup probe shape), and only
+    * those cell directories are read, anti-joined on doc_id, and
+    * dynamically overwritten. A keep-id formulation would have to
+    * rewrite every cell by definition. Cells whose postings vanish
+    * entirely are deleted explicitly (dynamic overwrite only replaces
+    * partitions PRESENT in the output). The kept rows are materialized
+    * before the write so the self-overwrite never reads files the
+    * commit is replacing. Returns the cell ids rewritten or deleted.
+    */
+  def compact(spark: SparkSession, path: String, removeSigs: DataFrame): Set[Int] = {
+    val posts = Extensions.materialized(postings(removeSigs))
+    val cells = posts.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty) return Set.empty
+    val removeIds = broadcast(removeSigs.select(col("doc_id")).distinct())
+    val kept = Extensions.materialized(
+      spark.read.parquet(path)
+        .filter(col("cell").isin(cells: _*))
+        .join(removeIds, Seq("doc_id"), "left_anti"))
+    val nonEmpty = kept.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try kept.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (cells.toSet -- nonEmpty).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"cell=$c"), true)
+    }
+    cells.toSet
+  }
+
   /** Signature-only incremental dedup of a batch against the store —
     * identical semantics to [[Extensions15.incrementalSignatureDedup]]
     * (band candidates, estimated-Jaccard verdict, best match above

@@ -65,4 +65,35 @@ class IvfStoreSpec extends SparkSpec {
     val touched = pf.group(1).split(",").length
     assert(touched <= 6, s"expected <= 6 probed cells in the filter, got $touched")
   }
+
+  test("compaction removes vectors from serving and equals an index built without them") {
+    val root = tmpDir("ivfcompact")
+    val centroids = Extensions3.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    IvfStore.writeIndex(emb, "vec_id", "embedding", centroids, root)
+    val queries = emb.filter(col("vec_id") < 10)
+    // pick victims OUT of today's top-k so their removal is observable
+    val victims = IvfStore.topKFromIndex(
+        spark, root, queries, "vec_id", "embedding", k = 5, probes = 2)
+      .filter(col("rk") === 1).select(col("c_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    val removeVecs = emb.filter(col("vec_id").isin(victims.map(Long.box): _*))
+    val touched = IvfStore.compactIndex(removeVecs, "vec_id", "embedding", root)
+    assert(touched.nonEmpty && touched.size <= victims.size,
+      s"one vector lives in one cell: touched=${touched.size} > victims=${victims.size}")
+    val served = IvfStore.topKFromIndex(
+        spark, root, queries, "vec_id", "embedding", k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    served.foreach { case (_, c, _, _) =>
+      assert(!victims.contains(c), s"compacted vector $c still served") }
+    // ground truth: an index written WITHOUT the victims serves identically
+    val root2 = tmpDir("ivfcompact_truth")
+    IvfStore.writeIndex(
+      emb.filter(!col("vec_id").isin(victims.map(Long.box): _*)),
+      "vec_id", "embedding", centroids, root2)
+    val truth = IvfStore.topKFromIndex(
+        spark, root2, queries, "vec_id", "embedding", k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(served == truth, "compacted index must equal the never-had-them index")
+  }
 }

@@ -103,4 +103,62 @@ class SignatureStoreSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(grown == full, "append must be indistinguishable from a full rewrite")
   }
+
+  test("compaction removes a doc's postings, flips its dedup verdict, and touches only its cells") {
+    val root = tmpDir("sigcompact")
+    SignatureStore.write(sigs(col("doc_id") < 450), root)
+    val batch = sigs(col("doc_id") >= 480)
+    val before = SignatureStore.dedupAgainstStore(spark, root, batch)
+      .filter(!col("keep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(before.nonEmpty, "fixture must produce at least one dup verdict (487 -> 45)")
+    val dupTargets = before.values.toSet.toSeq
+    // snapshot the files of cells compaction should NOT touch
+    def cellFiles(pred: Int => Boolean): Map[String, Long] = {
+      val dir = new java.io.File(root)
+      dir.listFiles().filter(_.getName.startsWith("cell="))
+        .filter(f => pred(f.getName.stripPrefix("cell=").toInt))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val removeSigs = sigs(col("doc_id").isin(dupTargets.map(Long.box): _*))
+    val touched = SignatureStore.compact(spark, root, removeSigs)
+    // 8 LSH bands per doc -> at most removedDocs x 8 touched cells
+    assert(touched.nonEmpty && touched.size <= dupTargets.size * 8,
+      s"compaction must touch at most removedDocs x bands cells, got ${touched.size}")
+    // untouched cell directories are byte-for-byte the same files
+    val untouchedAfter = cellFiles(c => !touched.contains(c))
+    assert(untouchedAfter.nonEmpty, "fixture must leave some cells untouched")
+    untouchedAfter.foreach { case (p, _) =>
+      assert(new java.io.File(p).exists(), s"untouched cell file vanished: $p") }
+    // the removed docs serve no verdicts anymore
+    val after = SignatureStore.dedupAgainstStore(spark, root, batch)
+    val afterDupOf = after.filter(!col("keep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    afterDupOf.values.foreach { c =>
+      assert(!dupTargets.contains(c), s"compacted doc $c still serves a dup verdict") }
+    // and at least one previously-dup batch doc flipped to keep (or
+    // re-matched a different survivor — either way never the removed id)
+    val flipped = before.keySet -- afterDupOf.keySet
+    assert(flipped.nonEmpty, "compacting the dup targets must flip some verdict to keep")
+    // store rows for the removed ids are fully gone
+    val remaining = spark.read.parquet(root)
+      .filter(col("doc_id").isin(dupTargets.map(Long.box): _*)).count()
+    assert(remaining == 0, s"$remaining stale postings survived compaction")
+  }
+
+  test("compacting every doc of a small store deletes its cell directories entirely") {
+    import spark.implicits._
+    val root = tmpDir("sigcompact_empty")
+    val tiny = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val s1 = Extensions15.minhashSignatures(tiny, "doc_id", "text")
+    SignatureStore.write(s1, root)
+    val touched = SignatureStore.compact(spark, root, s1)
+    assert(touched.nonEmpty)
+    val cellDirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSeq
+    assert(cellDirs.isEmpty,
+      s"emptied cells must be deleted (dynamic overwrite alone leaves them): $cellDirs")
+  }
 }
