@@ -65,16 +65,29 @@ object Tables {
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark 4's vectorized
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * rebuild a microsecond TimestampType — lossless here (the generated data
-    * is µs-aligned; verified sub-µs residue is zero at every sf), and µs is
-    * exactly DuckDB's native timestamp precision, so oracle comparisons are
-    * representation-identical.
+  /** `events.parquet` has shipped with two physical `ts` encodings across
+    * driver testdata generations: TIMESTAMP(NANOS) — which Spark 4's
+    * vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL), so it is
+    * read as a nanos long and rebuilt — and TIMESTAMP(MICROS) without UTC
+    * adjustment, which arrives as TIMESTAMP_NTZ. Both are normalized to a
+    * microsecond TimestampType: lossless (the generated data is µs-aligned;
+    * verified sub-µs residue is zero at every sf), µs is exactly DuckDB's
+    * native timestamp precision, and the NTZ→LTZ cast is value-identical
+    * under the engine's UTC session timezone. Normalizing keeps every
+    * downstream ts expression and dumped result schema identical whichever
+    * generation of fixture is on disk.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }
