@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -303,6 +303,31 @@ object Graft {
       corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.0): DataFrame =
     Extensions5.hashedLinearScore(corpus, idCol, textCol, threshold)
+
+  /** TRAIN the quality classifier [[qualityScore]] only mimics: batch-GD
+    * logistic regression over hashed bag-of-words features (integer-exact
+    * iterations, no MLlib/RNG). Returns the micro-unit weight vector;
+    * pair with [[logregWeights]]/[[trainAndScoreQuality]].
+    */
+  def trainQualityClassifier(
+      labeled: DataFrame, idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int = Extensions26.NumBuckets, iters: Int = 8,
+      lrDen: Long = 20L): Array[Long] =
+    Extensions26.trainFromText(labeled, idCol, textCol, labelCol, numBuckets, iters, lrDen)
+
+  /** Trained weights as a shippable (feature, w_micro) artifact table. */
+  def logregWeights(spark: SparkSession, weights: Array[Long]): DataFrame =
+    Extensions26.logregWeights(spark, weights)
+
+  /** Train on labels and score every document (exact integer margins). */
+  def trainAndScoreQuality(
+      labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame =
+    Extensions26.trainAndScore(labeled, idCol, textCol, labelCol)
+
+  /** Mann–Whitney rank AUC of a scored table against binary labels. */
+  def rankAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    Extensions26.rankAuc(scored, scoreCol, labelCol)
 
   /** Per-doc cross-entropy under an interpolated corpus bigram LM —
     * catches locally-incoherent text a unigram model scores as normal.

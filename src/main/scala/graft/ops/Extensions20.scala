@@ -112,32 +112,39 @@ object Extensions20 {
     * arithmetic, no shuffle); every ratio goes through the oracle-round
     * product form.
     */
-  def gopherRuleCard(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRuleCard(corpus: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
     // the token array and the bigram array BIND to columns before any
     // lambda touches them: an expression inside a HOF lambda re-evaluates
     // per element, so an inline split() makes every per-token lambda
     // re-tokenize the whole document — O(n²/doc), measured 27s at sf0.1
     // for this map-only card. Multi-use aliases survive CollapseProject.
+    // `carryCols` ride along unchanged so a consumer (x94 training labels)
+    // can fuse the card into its own map stage instead of joining the
+    // doc-level keep verdict back to the corpus — label derivation at
+    // 100 TB must never cost a corpus-sized shuffle.
+    val carry = carryCols.map(col)
     val tk = col("tk")
     val g2 = col("g2")
     val nW = size(tk).cast("long")
     val nG2 = size(g2).cast("long")
     val dupG2 = (nG2 - size(array_distinct(g2)).cast("long"))
     corpus
-      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("tk"))
-      .select(col("doc_id"), tk,
+      .select(col(idCol).as("doc_id") +: split(lower(col(textCol)), " ").as("tk") +: carry: _*)
+      .select(col("doc_id") +: tk +:
         when(size(tk) >= 2, transform(sequence(lit(1), size(tk) - 1),
           i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-          .otherwise(array().cast("array<string>")).as("g2"))
+          .otherwise(array().cast("array<string>")).as("g2") +: carry: _*)
       .select(
-        col("doc_id"),
-        nW.as("n_words"),
+        col("doc_id") +:
+        nW.as("n_words") +:
         Extensions.round4o(aggregate(tk, lit(0L), (a, t) => a + length(t)) / nW)
-          .as("mean_word_len"),
+          .as("mean_word_len") +:
         Extensions.round4o(
           size(filter(tk, t => t === "the" || t === "a")).cast("long") / nW)
-          .as("stop_ratio"),
-        when(nG2 > 0, Extensions.round4o(dupG2 / nG2)).otherwise(0.0).as("dup2_frac"))
+          .as("stop_ratio") +:
+        when(nG2 > 0, Extensions.round4o(dupG2 / nG2)).otherwise(0.0).as("dup2_frac") +:
+        carry: _*)
       .withColumn("r_wordcount", col("n_words") >= 50 && col("n_words") <= 100000L)
       .withColumn("r_wordlen", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
       .withColumn("r_stopword", col("stop_ratio") <= 0.25)

@@ -1,0 +1,273 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Twenty-sixth extension batch — the TRAINED quality classifier, the
+  * missing half of x38 (which scores with fixed hash-derived weights):
+  *
+  *  - x94: deterministic distributed logistic-regression training over
+  *    hashed bag-of-words features — batch gradient descent run as a
+  *    fixed number of aggregate-and-collect iterations (the x69 merge-
+  *    loop discipline: the corpus is featurized ONCE; every iteration
+  *    touches only the bounded feature table and collects O(F) numbers,
+  *    the inherently sequential weight update). Labels come from the
+  *    x80 Gopher rule card, so the learned model is "predict the rule
+  *    card from token identity" — exactly the fasttext-quality-filter
+  *    training loop (Joulin et al. 2017 shape) with no MLlib and no RNG.
+  *
+  * Determinism discipline (what makes this oracle-replayable when
+  * `sum(double)` across partitions is not): every quantity that crosses
+  * an aggregation is an exact INTEGER. Weights live in micro-units
+  * (1e-6); margins are exact integer dot products; the only float step —
+  * the sigmoid — happens per row on an exact integer input, and its
+  * output is immediately rounded back to an integer micro-residual, so
+  * partial-aggregation order can never change a result. The engine-
+  * parity residue is one `exp()` ulp inside the sigmoid, which moves a
+  * residual only when 1e6·σ(m) lands within ~1e-10 of a .5 boundary —
+  * the same documented risk class as the x84 `ln` discipline.
+  */
+object Extensions26 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Hashed feature dimensionality (token buckets); feature index F is
+    * the constant-1 bias term.
+    */
+  val NumBuckets = 32
+
+  // ---- x94: trained logistic-regression quality classifier -------------------
+
+  /** One corpus scan → the hashed-feature design matrix: per document a
+    * length-(F+1) integer vector (token count per md5 bucket + bias 1)
+    * and the 0/1 label cast from `labelCol`.
+    *
+    * Scale: map-only (tokenize, hash, count — one codegen stage); the
+    * output is n_docs × (F+1) longs, the bounded working set every
+    * training iteration runs on. At 100 TB the corpus is touched exactly
+    * once, here. The bucket-count fold runs F passes over the bound
+    * token-bucket array (`bks` is a column BEFORE any lambda touches it —
+    * the PLANS.md HOF-lambda discipline), O(F·tokens) per doc with no
+    * shuffle.
+    */
+  def hashedFeatures(
+      labeled: DataFrame, idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int = NumBuckets): DataFrame = {
+    val bks = col("bks")
+    labeled
+      .select(col(idCol).as("doc_id"), col(labelCol).cast("long").as("y"),
+        transform(split(lower(col(textCol)), " "),
+          t => pmod(graft.functions.HashFunctions.md5_bucket60(t),
+            lit(numBuckets.toLong))).as("bks"))
+      .select(col("doc_id"), col("y"),
+        concat(
+          transform(sequence(lit(0), lit(numBuckets - 1)),
+            j => size(filter(bks, b => b === j.cast("long"))).cast("long")),
+          array(lit(1L))).as("x"))
+  }
+
+  /** Exact integer margin Σ_j w_j·x_j in micro-units for a literal
+    * weight vector — the scoring kernel shared by training and serving.
+    */
+  private def marginMicro(weights: Array[Long], x: Column): Column = {
+    val wLit = array(weights.map(lit(_)): _*)
+    aggregate(zip_with(wLit, x, (wi, xi) => wi * xi), lit(0L), (a, b) => a + b)
+  }
+
+  /** Round-half-away-from-zero integer division — the cross-engine-exact
+    * rounding both sides of the oracle replay share (x38's integer form).
+    */
+  private def halfAwayDiv(num: Long, den: Long): Long = {
+    val s = if (num < 0) -1L else 1L
+    s * ((math.abs(num) * 2L + den) / (den * 2L))
+  }
+
+  /** Batch-gradient-descent logistic regression over a [[hashedFeatures]]
+    * table (already materialized by the caller). Fixed iteration count,
+    * fixed learning rate 1/`lrDen` — no stopping heuristics, so the
+    * whole run is a pure function of the corpus and replays in SQL.
+    *
+    * Per iteration: margins and residuals are MAP-SIDE over the feature
+    * table (the weight vector rides along as an O(F) literal array — no
+    * join); the gradient is ONE aggregation producing F+1 exact long
+    * sums, collected to the driver for the O(F) weight update (the
+    * sequential step, same shape as the x69 merge decision). Residual
+    * r = round(1e6·σ(m/1e6)) − 1e6·y ∈ [−1e6, 1e6]; gradient entries are
+    * Σ r·x_j — exact longs with headroom up to ~9e18/(1e6·x̄) documents
+    * per aggregation before overflow (billions at realistic token
+    * counts).
+    *
+    * At 100 TB: `iters` scans of the (n_docs × (F+1))-long feature
+    * table, never the corpus; each scan is a map + one partial-aggregated
+    * reduce of F+1 longs. The driver holds O(F) state.
+    */
+  def trainLogreg(
+      feat: DataFrame, numBuckets: Int = NumBuckets, iters: Int = 8,
+      lrDen: Long = 20L): Array[Long] = {
+    val n = feat.count()
+    require(n > 0, "trainLogreg: empty feature table")
+    var w = Array.fill(numBuckets + 1)(0L)
+    for (_ <- 1 to iters) {
+      val withR = feat.select(col("x"),
+        (round(lit(1e6) / (lit(1.0) + exp(-marginMicro(w, col("x")) / lit(1e6))), 0)
+          .cast("long") - col("y") * 1000000L).as("r"))
+      val sums = (0 to numBuckets).map(j =>
+        sum(element_at(col("x"), j + 1) * col("r")).as(s"g$j"))
+      val gradRow = withR.agg(sums.head, sums.tail: _*).collect()(0)
+      w = Array.tabulate(numBuckets + 1)(j =>
+        w(j) - halfAwayDiv(gradRow.getLong(j), lrDen * n))
+    }
+    w
+  }
+
+  /** Featurize (one corpus scan, materialized) and train — the one-call
+    * form for API users; [[trainLogreg]] is the loop for callers that
+    * already hold a feature table.
+    */
+  def trainFromText(
+      labeled: DataFrame, idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int = NumBuckets, iters: Int = 8,
+      lrDen: Long = 20L): Array[Long] =
+    trainLogreg(
+      Extensions.materialized(
+        hashedFeatures(labeled, idCol, textCol, labelCol, numBuckets)),
+      numBuckets, iters, lrDen)
+
+  /** Trained weights as the shippable model artifact: (feature, w_micro)
+    * rows — bucket j for token buckets, "bias" for the intercept.
+    */
+  def logregWeights(
+      spark: SparkSession, weights: Array[Long]): DataFrame = {
+    import spark.implicits._
+    weights.zipWithIndex.map { case (wv, j) =>
+      (if (j == weights.length - 1) "bias" else s"b$j", wv)
+    }.toSeq.toDF("feature", "w_micro")
+  }
+
+  /** Train on `labeled` and score every row with the learned weights.
+    * Output is all-integer/boolean (doc_id, label, exact micro-margin,
+    * sign prediction) — no float ever crosses the result boundary, so
+    * the oracle replay is value-exact except for the documented in-
+    * training sigmoid-ulp residue.
+    */
+  def trainAndScore(
+      labeled: DataFrame, idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int = NumBuckets, iters: Int = 8,
+      lrDen: Long = 20L): DataFrame = {
+    val feat = Extensions.materialized(
+      hashedFeatures(labeled, idCol, textCol, labelCol, numBuckets))
+    val w = trainLogreg(feat, numBuckets, iters, lrDen)
+    feat.select(col("doc_id"), (col("y") === 1L).as("label"),
+        marginMicro(w, col("x")).as("margin_micro"))
+      .withColumn("pred_keep", col("margin_micro") > 0L)
+  }
+
+  /** Threshold-free ranking quality of a scored table: the Mann–Whitney
+    * AUC from the rank-sum over (score, tie-broken) ranks — one sort-
+    * free window pass + one aggregation. Used by the spec as the "did
+    * training actually learn the labels" gate (AUC ≈ 0.5 is chance).
+    */
+  def rankAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(scoreCol))
+    // average rank within score ties = (2·cume_rank_low + n_tied − 1)/2,
+    // computed from rank() (low end) and count over the tie partition
+    val byScore = org.apache.spark.sql.expressions.Window.partitionBy(col(scoreCol))
+    scored
+      .select(col(labelCol).cast("long").as("y"),
+        (rank().over(w) + (count(lit(1)).over(byScore) - 1) / 2.0).as("r"))
+      .agg(
+        sum(col("y")).as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).as("n_neg"),
+        sum(when(col("y") === 1L, col("r")).otherwise(0.0)).as("rank_sum"))
+      .select(round((col("rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2.0)
+        / (col("n_pos") * col("n_neg")), 4).as("auc"))
+  }
+
+  /** x94: train the quality classifier on the documents fixture with the
+    * x80 Gopher rule card as labels (the card computation is fused map-
+    * side via its carry-through — no label join), then score the corpus.
+    * The DuckDB oracle REPLAYS THE TRAINING: 8 unrolled (margin,
+    * residual, gradient, weight-update) CTE rounds over the same integer
+    * arithmetic — see [[logregOracleChain]].
+    */
+  def x94QualityLogreg(s: SparkSession, dir: String): DataFrame = {
+    val labeled = Extensions20.gopherRuleCard(
+        docs(s, dir), "doc_id", "text", carryCols = Seq("text"))
+      .select(col("doc_id"), col("text"), col("keep"))
+    trainAndScore(labeled, "doc_id", "text", "keep")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB replay of [[trainLogreg]], generated for a fixed
+    * iteration count (the x69 generated-SQL discipline). Weight vectors
+    * and gradients are BIGINT lists carried through one CTE per step;
+    * the half-away rounding of the update replays as the same integer
+    * form `(|g|·2 + den) // (2·den)` both engines compute exactly.
+    */
+  private[ops] def logregOracleChain(
+      iters: Int, F: Int = NumBuckets, lrDen: Int = 20): String = {
+    val head = s"""WITH d AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents),
+    f0 AS (SELECT doc_id, tk,
+              CAST(len(tk) AS BIGINT) AS n_words,
+              list_aggregate(list_transform(tk, t -> length(t)), 'sum') AS sum_len,
+              len(list_filter(tk, t -> t IN ('the', 'a'))) AS n_stop,
+              CASE WHEN len(tk) >= 2
+                   THEN list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1])
+                   ELSE [] END AS g2
+       FROM d),
+    lab AS (SELECT doc_id, tk,
+        CASE WHEN n_words BETWEEN 50 AND 100000
+              AND round(sum_len * 10000.0 / n_words, 0) / 10000.0 BETWEEN 3.0 AND 10.0
+              AND round(n_stop * 10000.0 / n_words, 0) / 10000.0 <= 0.25
+              AND (CASE WHEN len(g2) > 0
+                        THEN round((len(g2) - len(list_distinct(g2))) * 10000.0 / len(g2), 0) / 10000.0
+                        ELSE 0.0 END) <= 0.2
+             THEN 1 ELSE 0 END AS y
+        FROM f0),
+    feat AS MATERIALIZED (
+      SELECT doc_id, CAST(y AS BIGINT) AS y,
+             list_append(list_transform(generate_series(0, ${F - 1}),
+               j -> CAST(len(list_filter(bks, b -> b = j)) AS BIGINT)), CAST(1 AS BIGINT)) AS x
+      FROM (SELECT doc_id, y,
+                   list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $F) AS bks
+            FROM lab)),
+    nn AS (SELECT count(*) AS n FROM feat),
+    w0 AS (SELECT list_transform(generate_series(1, ${F + 1}), j -> CAST(0 AS BIGINT)) AS w)"""
+    val rounds = (1 to iters).map { i =>
+      s"""
+    m$i AS (SELECT f.y, f.x,
+         CAST(list_sum(list_transform(generate_series(1, ${F + 1}), j -> w.w[j] * f.x[j])) AS BIGINT) AS m
+         FROM feat f, w${i - 1} w),
+    r$i AS (SELECT y, x,
+         CAST(round(1e6 / (1.0 + exp(-m / 1e6)), 0) AS BIGINT) - y * 1000000 AS r FROM m$i),
+    g$i AS MATERIALIZED (SELECT list(gj ORDER BY j) AS g FROM (
+        SELECT u.j AS j, CAST(sum(r.r * r.x[u.j]) AS BIGINT) AS gj
+        FROM r$i r, LATERAL unnest(generate_series(1, ${F + 1})) AS u(j) GROUP BY u.j)),
+    w$i AS MATERIALIZED (SELECT list_transform(generate_series(1, ${F + 1}),
+        j -> w.w[j] - CAST(sign(g.g[j]) AS BIGINT)
+               * ((abs(g.g[j]) * 2 + $lrDen * nn.n) // (2 * $lrDen * nn.n))) AS w
+        FROM w${i - 1} w, g$i g, nn)"""
+    }
+    head + rounds.mkString(",", ",", "")
+  }
+
+  private val x94OracleSql: String = {
+    val F1 = NumBuckets + 1
+    logregOracleChain(8) + s"""
+      SELECT doc_id, label, margin_micro, margin_micro > 0 AS pred_keep FROM (
+        SELECT f.doc_id, f.y = 1 AS label,
+               CAST(list_sum(list_transform(generate_series(1, $F1), j -> w.w[j] * f.x[j])) AS BIGINT) AS margin_micro
+        FROM feat f, w8 w)
+      ORDER BY doc_id"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x94_quality_logreg" -> x94OracleSql)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x94_quality_logreg" -> (x94QualityLogreg _))
+}
