@@ -387,4 +387,105 @@ class StreamingSpec extends SparkSpec {
       .collect()(0).getAs[Long]("n_survive")
     assert(last == 2L, s"expected 2 survivors, got $last")
   }
+
+  test("end-to-end streaming curation: dedup -> quality gate -> decontaminate -> store append + TrainStore (the production crawl round-trip)") {
+    import spark.implicits._
+    // The full per-batch plan a production crawl runs (PLANS.md round-6
+    // curation section): sign the batch, dedup against the PRUNED
+    // SignatureStore read, Gopher-gate the novel docs (map-side), drop
+    // benchmark contamination vs a fixed eval set (inverted-index join),
+    // then append ONLY the admitted docs' signatures and spool their text
+    // for the TrainStore. Asserted invariants: every gate bites exactly
+    // once somewhere, funnel counts are additive across micro-batches,
+    // and the store/TrainStore grow by exactly the admitted docs.
+    val root = tmpDir("curation")
+    val spool = s"$root/spool"; val store = s"$root/store"
+    val curated = s"$root/curated"; val ckpt = s"$root/ckpt"
+
+    // tokens stay 4-6 chars so the rule card's mean-word-length [3, 10]
+    // passes; 60 distinct tokens clear word count and repetition
+    def prose(seed: String, n: Int): String =
+      (1 to n).map(i => s"$seed$i").mkString(" ")
+    val goodA = prose("alph", 60)            // admitted in batch 1
+    val nearA = (prose("alph", 59) + " diff60")  // near-dup of goodA
+    val goodB = prose("brav", 60)            // admitted in batch 2
+    val evalText = prose("evlq", 60)         // the benchmark doc
+    val evalSet = Seq((9000L, evalText)).toDF("doc_id", "text")
+    // seed the store with one unrelated admitted doc
+    graft.ops.SignatureStore.write(
+      graft.ops.Extensions15.minhashSignatures(
+        Seq((1L, prose("sed", 60))).toDF("doc_id", "text"),
+        "doc_id", "text"), store)
+
+    val funnel = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    // batch 1: one good novel doc, one too-short doc (quality), one
+    // benchmark copy (decontamination) — spooled before the stream
+    // starts (the source path must exist)
+    Seq((10L, goodA), (11L, "too short"), (12L, evalText))
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(spool)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sigsB = graft.ops.Extensions15.minhashSignatures(batch, "doc_id", "text")
+          val novel = batch.join(
+            graft.ops.SignatureStore.dedupAgainstStore(spark, store, sigsB)
+              .filter(col("keep")).select(col("b_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          val quality = graft.ops.Extensions20.gopherRuleCard(
+              novel, "doc_id", "text", carryCols = Seq("text"))
+            .filter(col("keep")).select("doc_id", "text")
+          val admitted = quality.join(
+            graft.ops.Extensions19.decontaminate(
+                quality, evalSet, "doc_id", "text", minOverlap = 0.3)
+              .filter(col("keep")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          // localCheckpoint, not cache: the admission verdict depends on
+          // the store path, and the signature append below invalidates
+          // any cache over that path (refreshByPath) — a cached plan
+          // would silently RECOMPUTE against the just-mutated store and
+          // drop this batch's own admissions from the curated spool
+          val adm = admitted.localCheckpoint(eager = true)
+          funnel += ((batch.count(), novel.count(), quality.count(), adm.count()))
+          graft.ops.SignatureStore.append(
+            sigsB.join(adm.select("doc_id"), Seq("doc_id"), "left_semi"), store)
+          adm.write.mode("append").parquet(curated)
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    // batch 2: a near-copy of batch 1's ADMISSION (dedup vs the grown
+    // store), a new good doc, and the benchmark copy again (the decon
+    // gate holds steady across batches)
+    Seq((20L, nearA), (21L, goodB), (22L, evalText))
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    q.processAllAvailable()
+    q.stop()
+
+    // each gate bit exactly where designed
+    assert(funnel.toSeq == Seq((3L, 3L, 2L, 1L), (3L, 2L, 2L, 1L)),
+      s"per-batch funnel (arrived, novel, quality, admitted): $funnel")
+    // funnel additivity across batches: the curated spool and the store
+    // growth both equal the summed per-batch admissions
+    val curatedIds = spark.read.parquet(curated).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(curatedIds == Set(10L, 21L), s"curated: $curatedIds")
+    assert(funnel.map(_._4).sum == curatedIds.size.toLong)
+    val storeIds = spark.read.parquet(store).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(storeIds == Set(1L, 10L, 21L),
+      s"store must grow ONLY by admitted docs: $storeIds")
+
+    // the curated spool feeds the TrainStore; shards hold exactly the
+    // admitted docs in reproducible training order
+    val shards = s"$root/shards"
+    graft.ops.TrainStore.writeShards(
+      spark.read.parquet(curated), "doc_id", nShards = 2, shards, Seq("text"))
+    val shardIds = (0L until 2L).flatMap(sh =>
+      graft.ops.TrainStore.readShard(spark, shards, sh)
+        .select("doc_id").collect().map(_.getLong(0)))
+    assert(shardIds.toSet == curatedIds,
+      s"TrainStore must hold exactly the admitted docs: $shardIds")
+  }
 }
