@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -127,6 +127,30 @@ object Graft {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, nTables: Int = 3, bitsPerTable: Int = 6): DataFrame =
     Extensions3.multiTableSignTopK(corpus, queries, idCol, vecCol, k, nTables, bitsPerTable)
+
+  /** Train a product-quantization codebook (per-subspace k-means, exact
+    * integer arithmetic, deterministic seeding) — the ANN compression
+    * layer: 64 floats → 32 4-bit codes. Compose with [[ivfTopK]] for
+    * IVF-PQ.
+    */
+  def pqTrain(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = Extensions27.CodebookK, iters: Int = 4): Array[Array[Array[Long]]] =
+    Extensions27.pqTrain(vectors, idCol, vecCol, k, iters)
+
+  /** Encode vectors to PQ codes (map-only; codebook rides as literals). */
+  def pqEncode(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Long]]]): DataFrame =
+    Extensions27.pqEncode(vectors, idCol, vecCol, codebook)
+
+  /** ADC top-k over PQ codes: per-query distance tables broadcast-joined
+    * to the compressed corpus — the PQ serving path.
+    */
+  def pqAdcTopK(
+      codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Long]]], k: Int = 5): DataFrame =
+    Extensions27.pqAdcTopK(codes, queries, idCol, vecCol, codebook, k)
 
   /** Native backward-inclusive left-outer as-of join (custom logical node +
     * Strategy + physical exec): each left row picks the latest right row of
