@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -773,6 +773,22 @@ object Graft {
       prev: DataFrame, next: DataFrame, valueCol: String,
       nBuckets: Int = 10): DataFrame =
     Extensions25.psiDrift(prev, next, valueCol, nBuckets)
+
+  /** Integer-deterministic PageRank over an edge list (fixed power
+    * iterations, micro-unit ranks) — the canonical iterative-join graph
+    * workload; edges+degrees materialize once, rank table stays O(nodes).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 8): DataFrame =
+    Extensions28.pageRank(edges, srcCol, dstCol, iters)
+
+  /** CUPED A/B readout (Deng et al. 2013): pre-period covariate
+    * adjustment computed entirely from exact integer sufficient
+    * statistics — one aggregation pass regardless of user count.
+    */
+  def cupedReadout(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitTs: String): DataFrame =
+    Extensions28.cupedReadout(events, userCol, tsCol, valueCol, splitTs)
 
   // ---- similarity join (record linkage) -------------------------------------
 
