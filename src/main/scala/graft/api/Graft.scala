@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -789,6 +789,22 @@ object Graft {
   def cupedReadout(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, splitTs: String): DataFrame =
     Extensions28.cupedReadout(events, userCol, tsCol, valueCol, splitTs)
+
+  /** MMR diverse top-k (Carbonell & Goldstein 1998): greedy relevance-
+    * vs-redundancy selection over a candidate shortlist — the dedup pass
+    * for retrieval results. Integer-exact, k sequential map+top-1 rounds.
+    */
+  def mmrSelect(
+      vectors: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int = 8, lambdaTenths: Int = 7): DataFrame =
+    Extensions29.mmrSelect(vectors, idCol, vecCol, queryId, k, lambdaTenths)
+
+  /** Per-node triangle counts over an undirected edge list (ordered
+    * a<b<c join-join — each triangle counted once, never neighborhood
+    * enumeration).
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    Extensions29.triangleCounts(edges, aCol, bCol)
 
   // ---- similarity join (record linkage) -------------------------------------
 
