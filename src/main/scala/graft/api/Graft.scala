@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -805,6 +805,21 @@ object Graft {
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame =
     Extensions29.triangleCounts(edges, aCol, bCol)
+
+  /** Label-propagation communities (fixed synchronous rounds, self-votes,
+    * smallest-label ties) — deterministic cheap clustering over an edge
+    * list; the market-segmentation sibling of [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 5): DataFrame =
+    Extensions30.labelPropagation(edges, aCol, bCol, iters)
+
+  /** One-pass embedding health report per label: mean squared norm, mean
+    * pairwise dot (via the sum-vector identity — no pair enumeration),
+    * anisotropy (collapse detector). The gate before any ANN/dedup stage.
+    */
+  def embeddingHealth(vectors: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    Extensions30.embeddingHealth(vectors, labelCol, vecCol)
 
   // ---- similarity join (record linkage) -------------------------------------
 
