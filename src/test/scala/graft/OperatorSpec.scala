@@ -32,9 +32,9 @@ class OperatorSpec extends SparkSpec {
     // to appear — a new operator without its COVERAGE row fails here.
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("COVERAGE.md")), java.nio.charset.StandardCharsets.UTF_8)
-    val listed = "\\b[qx]\\d{2}\\b".r.findAllIn(text).toSet
+    val listed = "\\b[qx]\\d{2,3}\\b".r.findAllIn(text).toSet
     // expand compressed ranges like "q16-q20" into their members
-    val expanded = "\\b([qx])(\\d{2})[-–]\\1?(\\d{2})\\b".r.findAllMatchIn(text).flatMap { m =>
+    val expanded = "\\b([qx])(\\d{2,3})[-–]\\1?(\\d{2,3})\\b".r.findAllMatchIn(text).flatMap { m =>
       (m.group(2).toInt to m.group(3).toInt).map(i => f"${m.group(1)}$i%02d")
     }.toSet
     val missing = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_')) -- listed -- expanded
