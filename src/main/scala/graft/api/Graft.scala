@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -789,6 +789,28 @@ object Graft {
   def cupedReadout(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, splitTs: String): DataFrame =
     Extensions28.cupedReadout(events, userCol, tsCol, valueCol, splitTs)
+
+  /** IVF-PQ composed serving (the FAISS IVFADC layout as a Spark plan):
+    * route each query to its best cells, ADC-rank only those cells'
+    * codes — no raw vectors, no full scan in the serving path.
+    */
+  def ivfPqTopK(
+      vectors: DataFrame, idCol: String, vecCol: String, queries: DataFrame,
+      codebook: Array[Array[Array[Long]]], k: Int = 5): DataFrame =
+    Extensions31.ivfPqTopK(vectors, idCol, vecCol, queries, codebook, k)
+
+  /** Per-group theta (KMV) distinct sketches — mergeable, and unlike HLL
+    * they intersect: pair with [[thetaOverlap]].
+    */
+  def thetaSketches(rel: DataFrame, groupCol: String, valueCol: String,
+      k: Int = Extensions31.ThetaK): DataFrame =
+    Extensions31.thetaSketches(rel, groupCol, valueCol, k)
+
+  /** Pairwise distinct/intersection estimates from theta sketches —
+    * "how much does A's vocabulary overlap B's" without a token join.
+    */
+  def thetaOverlap(sketches: DataFrame, k: Int = Extensions31.ThetaK): DataFrame =
+    Extensions31.thetaOverlap(sketches, k)
 
   /** MMR diverse top-k (Carbonell & Goldstein 1998): greedy relevance-
     * vs-redundancy selection over a candidate shortlist — the dedup pass

@@ -1,0 +1,283 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Thirty-first extension batch — the composed ANN serving path and
+  * mergeable set sketches:
+  *
+  *  - IVF-PQ (x102): the billion-scale ANN layout (Jégou et al. 2011
+  *    §IV): IVF routes a query to a few cells, PQ codes answer ADC
+  *    inside them — scan work = probed cells only, per-candidate work =
+  *    M table lookups, raw vectors nowhere in the serving path. x16
+  *    (IVF, exact rerank), x95 (PQ, full scan) are the parts; this is
+  *    the composition actually deployed.
+  *  - theta sketches (x103): KMV/theta distinct sketches (Beyer et al.
+  *    2007) — the k smallest hash values of a set. Unlike HLL (x12),
+  *    theta sketches support INTERSECTION estimates, which is what
+  *    release engineering actually asks ("how much does src A's vocab
+  *    overlap src B's?") without a pairwise token join. Deterministic:
+  *    the "random" hash is the portable md5-60; the sketch of a set is
+  *    a pure function of its members.
+  */
+object Extensions31 {
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- x102: IVF-PQ composed serving -----------------------------------------
+
+  val IvfPqCells = 8
+  val IvfPqProbes = 2
+
+  private def quantized(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol).as("vec_id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * 10000.0d, 0).cast("long")).as("qv"))
+
+  private def distTo(vec: Seq[Long]): Column =
+    aggregate(
+      zip_with(col("qv"), array(vec.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** argmin cell over literal centroids — map-side, struct-ordering
+    * tie-break (dist asc, cell asc), the x95 assignment shape.
+    */
+  private def cellExpr(cents: Seq[Seq[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(distTo(c).as("d"), lit(i).as("cell"))
+    }: _*)).getField("cell")
+
+  /** x102: IVF-PQ top-5. Coarse quantizer = the first `IvfPqCells`
+    * quantized vectors (the x16 deterministic-seeding convention); PQ
+    * codebook = [[Extensions27.pqTrain]] on the corpus; queries (vec_id
+    * < 10) probe their `IvfPqProbes` best cells and ADC-rank ONLY those
+    * cells' codes.
+    *
+    * Scale: the serving read is (probed cells' codes) ⋈ (broadcast
+    * per-query distance tables) — no raw vectors, no full-corpus scan;
+    * cell routing and encoding are map-side literal arithmetic. This is
+    * the FAISS IVFADC layout as a Spark plan; the persisted sibling
+    * stores codes partitionBy(cell) like IvfStore and prunes the scan
+    * to the probed directories.
+    */
+  def ivfPqTopK(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, codebook: Array[Array[Array[Long]]],
+      k: Int = 5): DataFrame = {
+    val qv = Extensions.materialized(quantized(vectors, idCol, vecCol))
+    val cents = qv.orderBy(col("vec_id")).limit(IvfPqCells).collect()
+      .map(_.getSeq[Long](1)).toSeq
+    val assigned = qv.select(col("vec_id"), cellExpr(cents).as("cell"))
+    val codes = Extensions27.pqEncode(vectors, idCol, vecCol, codebook)
+    // queries probe their best cells: explode per-cell distances, rank
+    val qq = Extensions.materialized(quantized(queries, idCol, vecCol))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("cell"))
+    val probed = qq.select(col("vec_id").as("q_id"),
+        explode(array(cents.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("cell"), distTo(c).as("cd"))
+        }: _*)).as("p"))
+      .select(col("q_id"), col("p.cell").as("cell"), col("p.cd").as("cd"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= IvfPqProbes)
+      .select(col("q_id"), col("cell"))
+    val dtab = qq.select(col("vec_id").as("q_id"),
+        explode(array((for (m <- codebook.indices; kk <- codebook(m).indices) yield
+          struct(lit(m).as("m"), lit(kk).as("k"),
+            (0 until codebook(m)(kk).length).map { i =>
+              val d = element_at(col("qv"), m * codebook(m)(kk).length + i + 1) -
+                lit(codebook(m)(kk)(i))
+              d * d
+            }.reduce(_ + _).as("d"))): _*)).as("t"))
+      .select(col("q_id"), col("t.m").as("m"), col("t.k").as("k"), col("t.d").as("d"))
+    val candidates = probed.join(assigned, Seq("cell"))
+      .select(col("q_id"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("c_id"))
+    candidates.join(codes, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("q_id", "m", "k"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("adc_dist"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** x102: IVF-PQ over the fixture embeddings (codebook trained by
+    * [[Extensions27.pqTrain]], queries = vec_id < 10).
+    */
+  def x102IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val vectors = table(s, dir, "embeddings")
+    val codebook = Extensions27.pqTrain(vectors, "vec_id", "embedding")
+    ivfPqTopK(vectors, "vec_id", "embedding",
+        vectors.filter(col("vec_id") < 10), codebook)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val x102OracleSql: String = {
+    val sd = Extensions27.SubDim
+    val dist = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a.qv[i] - $b.qv[i]) * ($a.qv[i] - $b.qv[i]))) AS BIGINT)"
+    Extensions27.pqOracleChain(4) + s""",
+    cents AS MATERIALIZED (
+      SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM qv ORDER BY vec_id LIMIT $IvfPqCells),
+    cellof AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY ${dist("v", "c")}, c.cell) AS rk
+        FROM qv v CROSS JOIN cents c)
+      WHERE rk = 1),
+    probed AS (
+      SELECT q_id, cell FROM (
+        SELECT v.vec_id AS q_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY ${dist("v", "c")}, c.cell) AS rk
+        FROM qv v CROSS JOIN cents c WHERE v.vec_id < 10)
+      WHERE rk <= $IvfPqProbes),
+    qd AS (SELECT v.vec_id AS q_id, c.m, c.k,
+                  list_sum(list_transform(generate_series(1, $sd),
+                    i -> (v.qv[c.m*$sd+i] - c.c[i]) * (v.qv[c.m*$sd+i] - c.c[i]))) AS d
+           FROM qv v CROSS JOIN c4 c WHERE v.vec_id < 10),
+    adc AS (SELECT p.q_id, af.vec_id AS c_id, CAST(sum(qd.d) AS BIGINT) AS adc_dist
+            FROM probed p
+            JOIN cellof co ON co.cell = p.cell
+            JOIN af ON af.vec_id = co.vec_id
+            JOIN qd ON qd.q_id = p.q_id AND qd.m = af.m AND qd.k = af.k
+            GROUP BY 1, 2)
+    SELECT q_id, c_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT q_id, c_id, adc_dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, c_id) AS rk
+      FROM adc WHERE c_id <> q_id)
+    WHERE rk <= 5
+    ORDER BY q_id, rk"""
+  }
+
+  // ---- x103: theta sketch set operations -------------------------------------
+
+  val ThetaK = 16
+
+  /** Per-group theta (KMV) sketches over a value column: the `k`
+    * smallest md5-60 hash values of the group's DISTINCT values, plus
+    * the threshold T (= the k-th smallest when the sketch is full, else
+    * 2^60 — the "θ = 1, sketch is exact" convention). Distinct estimate
+    * = (k−1)·2^60/T when full, the exact count when not.
+    *
+    * Scale note: the k-smallest-per-group step is a window over the
+    * distinct (group, hash) table here; at vocabulary scale the upgrade
+    * path is a typed Aggregator holding a k-bounded heap (same
+    * contract, partial-merging — the sketch is mergeable by
+    * construction, which is the point: per-shard sketches union by
+    * keeping the k smallest of the union).
+    */
+  def thetaSketches(
+      rel: DataFrame, groupCol: String, valueCol: String,
+      k: Int = ThetaK): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val sk = Extensions.materialized(
+      rel.select(col(groupCol).as("g"), col(valueCol).as("value"))
+        .distinct()
+        .select(col("g"),
+          graft.functions.HashFunctions.md5_bucket60(col("value").cast("string"))
+            .as("v"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k))
+    sk.groupBy(col("g")).agg(count(lit(1)).as("cnt"), max(col("v")).as("maxv"))
+      .select(col("g"),
+        when(col("cnt") < k, lit(1L << 60)).otherwise(col("maxv"))
+          .as("T"),
+        col("cnt"))
+      .join(sk.select(col("g"), col("v")), Seq("g"))
+      .select(col("g"), col("T"), col("cnt"), col("v"))
+  }
+
+  /** Pairwise overlap report from theta sketches: for every group pair
+    * (a < b), the distinct-count estimates and the intersection
+    * estimate |sketch_a ∩ sketch_b ∩ [0, T*)| / θ* with T* = min(Ta,
+    * Tb) — the standard theta intersection. Estimates round to 4dp; the
+    * hash-value compare is pure integers.
+    */
+  def thetaOverlap(sketches: DataFrame, k: Int = ThetaK): DataFrame = {
+    val th = sketches.select(col("g"), col("T"), col("cnt")).distinct()
+    val twoPow60 = 1.152921504606846976e18d
+    def estD(t: Column, c: Column) =
+      when(c < k, c.cast("double"))
+        .otherwise(lit((k - 1).toDouble) / (t / lit(twoPow60)))
+    val common = sketches.select(col("g").as("ga"), col("v"))
+      .join(sketches.select(col("g").as("gb"), col("v")), Seq("v"))
+      .filter(col("ga") < col("gb"))
+    val pairs = th.select(col("g").as("ga"), col("T").as("ta"), col("cnt").as("ca"))
+      .join(th.select(col("g").as("gb"), col("T").as("tb"), col("cnt").as("cb")),
+        col("ga") < col("gb"))
+    val minT = least(col("ta"), col("tb"))
+    pairs.join(
+        common.join(pairs.select(col("ga"), col("gb"), minT.as("tstar")),
+            Seq("ga", "gb"))
+          .filter(col("v") < col("tstar"))
+          .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("ncommon")),
+        Seq("ga", "gb"), "left_outer")
+      .na.fill(0L, Seq("ncommon"))
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        round(estD(col("ta"), col("ca")), 4).as("est_distinct_a"),
+        round(estD(col("tb"), col("cb")), 4).as("est_distinct_b"),
+        round(col("ncommon") / (minT / lit(twoPow60)), 4).as("est_intersection"))
+  }
+
+  /** x103: per-source token-vocabulary theta sketches + all pairwise
+    * intersection estimates over the documents fixture.
+    */
+  def x103ThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    thetaOverlap(thetaSketches(toks, "source", "tok"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val x103OracleSql: String = s"""
+      WITH dt AS (SELECT DISTINCT source AS g, tok FROM (
+                    SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+                    FROM documents)
+                  WHERE tok <> ''),
+      hv AS (SELECT g, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS v FROM dt),
+      sk AS MATERIALIZED (SELECT g, v FROM (
+              SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+              FROM hv)
+            WHERE rk <= $ThetaK),
+      th AS (SELECT g, count(*) AS cnt,
+                    CASE WHEN count(*) < $ThetaK THEN CAST(1152921504606846976 AS BIGINT)
+                         ELSE max(v) END AS T
+             FROM sk GROUP BY g),
+      pairs AS (SELECT a.g AS ga, a.T AS ta, a.cnt AS ca,
+                       b.g AS gb, b.T AS tb, b.cnt AS cb
+                FROM th a JOIN th b ON a.g < b.g),
+      common AS (SELECT p.ga, p.gb, count(*) AS ncommon
+                 FROM pairs p
+                 JOIN sk sa ON sa.g = p.ga
+                 JOIN sk sb ON sb.g = p.gb AND sb.v = sa.v
+                 WHERE sa.v < least(p.ta, p.tb)
+                 GROUP BY p.ga, p.gb)
+      SELECT p.ga AS source_a, p.gb AS source_b,
+             round(CASE WHEN p.ca < $ThetaK THEN p.ca * 1.0
+                        ELSE ${ThetaK - 1}.0 / (p.ta / 1152921504606846976.0) END, 4)
+               AS est_distinct_a,
+             round(CASE WHEN p.cb < $ThetaK THEN p.cb * 1.0
+                        ELSE ${ThetaK - 1}.0 / (p.tb / 1152921504606846976.0) END, 4)
+               AS est_distinct_b,
+             round(COALESCE(c.ncommon, 0) / (least(p.ta, p.tb) / 1152921504606846976.0), 4)
+               AS est_intersection
+      FROM pairs p LEFT JOIN common c ON c.ga = p.ga AND c.gb = p.gb
+      ORDER BY source_a, source_b"""
+
+  val oracles: Map[String, String] = Map(
+    "x102_ivfpq" -> x102OracleSql,
+    "x103_theta_overlap" -> x103OracleSql)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x102_ivfpq" -> (x102IvfPq _),
+    "x103_theta_overlap" -> (x103ThetaOverlap _))
+}
