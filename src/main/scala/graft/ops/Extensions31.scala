@@ -33,22 +33,20 @@ object Extensions31 {
   val IvfPqProbes = 2
 
   private def quantized(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vectors.select(col(idCol).as("vec_id"),
-      transform(col(vecCol).cast("array<double>"),
-        x => round(x * 10000.0d, 0).cast("long")).as("qv"))
+    Extensions27.quantized(vectors, idCol, vecCol)
 
-  private def distTo(vec: Seq[Long]): Column =
-    aggregate(
-      zip_with(col("qv"), array(vec.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
-  /** argmin cell over literal centroids — map-side, struct-ordering
-    * tie-break (dist asc, cell asc), the x95 assignment shape.
+  /** The coarse centroids as ONE nested array literal (the x95 cbLit
+    * plan-size discipline: data, not expression tree).
     */
-  private def cellExpr(cents: Seq[Seq[Long]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(distTo(c).as("d"), lit(i).as("cell"))
-    }: _*)).getField("cell")
+  private def centsLit(cents: Seq[Seq[Long]]): Column = typedlit(cents)
+
+  /** argmin cell against the centroid literal — map-side, struct-
+    * ordering tie-break (dist asc, cell asc), data-driven HOF loop.
+    */
+  private def cellExpr(cl: Column, nCells: Int): Column =
+    array_min(transform(sequence(lit(0), lit(nCells - 1)), c =>
+      struct(Extensions27.sqd(col("qv"), element_at(cl, c + 1)).as("d"),
+        c.as("cell")))).getField("cell")
 
   /** x102: IVF-PQ top-5. Coarse quantizer = the first `IvfPqCells`
     * quantized vectors (the x16 deterministic-seeding convention); PQ
@@ -70,28 +68,28 @@ object Extensions31 {
     val qv = Extensions.materialized(quantized(vectors, idCol, vecCol))
     val cents = qv.orderBy(col("vec_id")).limit(IvfPqCells).collect()
       .map(_.getSeq[Long](1)).toSeq
-    val assigned = qv.select(col("vec_id"), cellExpr(cents).as("cell"))
+    val cl = centsLit(cents)
+    val assigned = qv.select(col("vec_id"), cellExpr(cl, IvfPqCells).as("cell"))
     val codes = Extensions27.pqEncode(vectors, idCol, vecCol, codebook)
     // queries probe their best cells: explode per-cell distances, rank
     val qq = Extensions.materialized(quantized(queries, idCol, vecCol))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("cell"))
     val probed = qq.select(col("vec_id").as("q_id"),
-        explode(array(cents.zipWithIndex.map { case (c, i) =>
-          struct(lit(i).as("cell"), distTo(c).as("cd"))
-        }: _*)).as("p"))
+        explode(transform(sequence(lit(0), lit(IvfPqCells - 1)), c =>
+          struct(c.as("cell"),
+            Extensions27.sqd(col("qv"), element_at(cl, c + 1)).as("cd")))).as("p"))
       .select(col("q_id"), col("p.cell").as("cell"), col("p.cd").as("cd"))
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= IvfPqProbes)
       .select(col("q_id"), col("cell"))
-    val dtab = qq.select(col("vec_id").as("q_id"),
-        explode(array((for (m <- codebook.indices; kk <- codebook(m).indices) yield
-          struct(lit(m).as("m"), lit(kk).as("k"),
-            (0 until codebook(m)(kk).length).map { i =>
-              val d = element_at(col("qv"), m * codebook(m)(kk).length + i + 1) -
-                lit(codebook(m)(kk)(i))
-              d * d
-            }.reduce(_ + _).as("d"))): _*)).as("t"))
-      .select(col("q_id"), col("t.m").as("m"), col("t.k").as("k"), col("t.d").as("d"))
+    val cb = Extensions27.cbLit(codebook)
+    val dtab = Extensions27.subRows(qq)
+      .select(col("vec_id").as("q_id"), col("m"),
+        explode(transform(sequence(lit(0), lit(codebook.head.length - 1)), kk =>
+          struct(kk.as("k"),
+            Extensions27.sqd(col("sub"),
+              element_at(element_at(cb, col("m") + 1), kk + 1)).as("d")))).as("t"))
+      .select(col("q_id"), col("m"), col("t.k").as("k"), col("t.d").as("d"))
     val candidates = probed.join(assigned, Seq("cell"))
       .select(col("q_id"), col("vec_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("c_id"))
@@ -111,7 +109,7 @@ object Extensions31 {
     */
   def x102IvfPq(s: SparkSession, dir: String): DataFrame = {
     val vectors = table(s, dir, "embeddings")
-    val codebook = Extensions27.pqTrain(vectors, "vec_id", "embedding")
+    val codebook = Extensions27.fixtureCodebook(s, dir)
     ivfPqTopK(vectors, "vec_id", "embedding",
         vectors.filter(col("vec_id") < 10), codebook)
       .orderBy(col("q_id"), col("rk"))
