@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -352,6 +352,22 @@ object Graft {
   /** Mann–Whitney rank AUC of a scored table against binary labels. */
   def rankAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame =
     Extensions26.rankAuc(scored, scoreCol, labelCol)
+
+  /** Per-group BPE tokenizer-fit report: subwords-per-word and single-
+    * symbol fraction under a given merge list — the go/no-go table for a
+    * tokenizer trained on a mixture.
+    */
+  def bpeFitReport(corpus: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    Extensions32.bpeFitReport(corpus, groupCol, textCol, merges)
+
+  /** Precision-targeted keep-threshold calibration over scored+labeled
+    * rows: the maximum-recall operating point at the precision target —
+    * turns [[trainAndScoreQuality]]'s margins into a deployable gate.
+    */
+  def calibrateThreshold(scored: DataFrame, marginCol: String,
+      labelCol: String, targetPermille: Int = 900): DataFrame =
+    Extensions32.calibrateThreshold(scored, marginCol, labelCol, targetPermille)
 
   /** Per-doc cross-entropy under an interpolated corpus bigram LM —
     * catches locally-incoherent text a unigram model scores as normal.
