@@ -212,6 +212,23 @@ object Extensions16 {
     merges.toSeq.toDF("rank", "left", "right", "pair_n")
   }
 
+  /** Fixture-keyed 12-merge cache (the x95 codebook-cache discipline):
+    * training is deterministic, so caching the collected merge rows per
+    * fixture dir is value-transparent — x69 repeats and the two
+    * consumers of the same tokenizer (x73 encode, x104 fit report)
+    * skip re-running the merge loop.
+    */
+  private val mergesCache =
+    scala.collection.concurrent.TrieMap[String, Seq[(Long, String, String, Long)]]()
+
+  private[ops] def fixtureMerges(
+      s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    mergesCache.getOrElseUpdate(dir,
+      trainBpe(docs(s, dir), "text", numMerges = 12)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+
   /** x69: the first 12 BPE merges over the documents fixture, with a
     * GENERATED chained-CTE DuckDB oracle (the x67 generated-SQL
     * discipline): the merge count is fixed and each step deterministic,
@@ -219,9 +236,11 @@ object Extensions16 {
     * triples — see [[bpeOracleChain]]. Values are additionally pinned by
     * Extensions16Spec against an independent reference implementation.
     */
-  def x69BpeMerges(s: SparkSession, dir: String): DataFrame =
-    trainBpe(docs(s, dir), "text", numMerges = 12)
+  def x69BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fixtureMerges(s, dir).toDF("rank", "left", "right", "pair_n")
       .orderBy(col("rank"))
+  }
 
   /** The DuckDB replay of [[trainBpe]]'s merge loop, generated for a
     * fixed merge count. Key trick: each word's symbol array is encoded

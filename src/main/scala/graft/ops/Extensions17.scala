@@ -229,9 +229,7 @@ object Extensions17 {
     */
   def x73BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val merges = Extensions16.trainBpe(d, "text", numMerges = 12)
-      .orderBy("rank").collect()
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val merges = Extensions16.fixtureMerges(s, dir).map(m => (m._2, m._3))
     applyBpe(d, "doc_id", "text", merges)
       .orderBy(col("doc_id"))
   }

@@ -73,9 +73,7 @@ object Extensions32 {
     */
   def x104TokenizerFit(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val merges = Extensions16.trainBpe(d, "text", numMerges = 12)
-      .orderBy("rank").collect()
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val merges = Extensions16.fixtureMerges(s, dir).map(m => (m._2, m._3))
     bpeFitReport(d, "source", "text", merges)
       .orderBy(col("source"))
   }
@@ -143,14 +141,9 @@ object Extensions32 {
     * precision on the fixture. Oracle = the x94 training replay + the
     * same running-precision walk.
     */
-  def x105Calibrate(s: SparkSession, dir: String): DataFrame = {
-    val labeled = Extensions20.gopherRuleCard(
-        docs(s, dir), "doc_id", "text", carryCols = Seq("text"))
-      .select(col("doc_id"), col("text"), col("keep"))
-    calibrateThreshold(
-      Extensions26.trainAndScore(labeled, "doc_id", "text", "keep"),
+  def x105Calibrate(s: SparkSession, dir: String): DataFrame =
+    calibrateThreshold(Extensions26.fixtureScored(s, dir),
       "margin_micro", "label", targetPermille = 900)
-  }
 
   private val x105OracleSql: String = {
     val F1 = Extensions26.NumBuckets + 1
