@@ -114,4 +114,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(parquetScanCount("x68_strip_dup_spans") == 2L,
       "x68 must be exactly two corpus scans (gram index + rewrite)")
   }
+
+  // ---- round-6 shapes ---------------------------------------------------------
+
+  test("x94 scoring pass: map-only serving — no join, no window (the model is literals)") {
+    val plan = planOf("x94_quality_logreg")
+    assert(!plan.contains("Join"), s"serving must not join a weight table:\n$plan")
+    assert(!plan.contains("Window"), s"serving has no window:\n$plan")
+  }
+
+  test("x97 CUPED: sufficient statistics only — no window, no per-user float agg shape") {
+    val plan = planOf("x97_cuped")
+    assert(!plan.contains("Window"),
+      s"CUPED readout is hash-aggs over exact sums, never a window:\n$plan")
+  }
+
+  test("x101 embedding health: one aggregation pass, no joins, no pair machinery") {
+    val plan = planOf("x101_embedding_health")
+    assert(!plan.contains("Join"),
+      s"the pairwise dot must come from the sum-vector identity, not a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x95 / x102 ADC: the distance tables broadcast; nothing goes cartesian") {
+    Seq("x95_pq_topk", "x102_ivfpq").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: per-query distance tables must broadcast-join the codes:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q must not go all-pairs:\n$plan")
+    }
+  }
+
+  test("x99 triangles: ordered equi-joins only — never a cartesian wedge explosion") {
+    val plan = planOf("x99_triangles")
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle enumeration must stay equi-join:\n$plan")
+  }
+
+  test("x105 calibration: the precision walk's window runs over the aggregated margin grid") {
+    val plan = planOf("x105_calibrate_gate")
+    // HashAggregate (distinct margins) must appear BELOW the Window in
+    // the plan tree (i.e. later in the printed plan = earlier in
+    // execution), so the window never sees raw scored rows
+    val lines = plan.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"expected the walk window:\n$plan")
+    assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      s"the window must consume the aggregated margin grid:\n$plan")
+  }
 }
