@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, IvfStore, Multimodal, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -877,6 +877,15 @@ object Graft {
       df: DataFrame, stratumCol: String, keyCol: String,
       rates: Map[String, Double], default: Double): DataFrame =
     Extensions2.stratifiedSample(df, stratumCol, keyCol, rates, default)
+
+  // ---- privacy audit -------------------------------------------------------
+
+  /** One-row k-anonymity report through quasi-identifier columns: rows
+    * in classes smaller than k, risk fraction, and the table's actual
+    * k-anonymity level — one aggregation pass at any scale.
+    */
+  def kAnonymityReport(rel: DataFrame, quasiCols: Seq[String], k: Int = 5): DataFrame =
+    Extensions33.kAnonymityReport(rel, quasiCols, k)
 
   // ---- multimodal columns --------------------------------------------------
 
