@@ -54,6 +54,27 @@ object Extensions {
     p.toString
   }
 
+  /** Cache key for the JVM-lifetime fixture model caches (BPE merges,
+    * logreg weights, PQ codebooks, fixture stores): the fixture dir PLUS
+    * a cheap content fingerprint (file length + mtime; directories sum
+    * their children). A regenerated fixture in the same dir therefore
+    * misses the cache and retrains (fail-safe) instead of silently
+    * serving a stale model — the documented failure mode of keying on
+    * the dir alone.
+    */
+  private[ops] def fixtureKey(s: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sig =
+      if (!fs.exists(p)) "absent"
+      else {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) s"${st.getLen}:${st.getModificationTime}"
+        else fs.listStatus(p).map(c => c.getLen + c.getModificationTime).sum.toString
+      }
+    s"$dir#$table#$sig"
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =

@@ -29,7 +29,8 @@ object Extensions16 {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  // x70's per-fixture-dir IVF store (built once, served many — see below)
+  // x70's per-fixture IVF store (built once, served many — see below);
+  // keyed on Extensions.fixtureKey so a regenerated fixture rebuilds it
   private val storeCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // ---- X23/x68: span-level duplicate-substring removal -----------------------
@@ -213,17 +214,19 @@ object Extensions16 {
   }
 
   /** Fixture-keyed 12-merge cache (the x95 codebook-cache discipline):
-    * training is deterministic, so caching the collected merge rows per
-    * fixture dir is value-transparent — x69 repeats and the two
-    * consumers of the same tokenizer (x73 encode, x104 fit report)
-    * skip re-running the merge loop.
+    * training is deterministic, so caching the collected merge rows is
+    * value-transparent — x69 repeats and the two consumers of the same
+    * tokenizer (x73 encode, x104 fit report) skip re-running the merge
+    * loop. Keyed on [[Extensions.fixtureKey]] (dir + file
+    * length/mtime), so a fixture regenerated in-place within one JVM
+    * retrains instead of silently serving stale merges.
     */
   private val mergesCache =
     scala.collection.concurrent.TrieMap[String, Seq[(Long, String, String, Long)]]()
 
   private[ops] def fixtureMerges(
       s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
-    mergesCache.getOrElseUpdate(dir,
+    mergesCache.getOrElseUpdate(Extensions.fixtureKey(s, dir, "documents"),
       trainBpe(docs(s, dir), "text", numMerges = 12)
         .orderBy(col("rank")).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
@@ -244,17 +247,26 @@ object Extensions16 {
 
   /** The DuckDB replay of [[trainBpe]]'s merge loop, generated for a
     * fixed merge count. Key trick: each word's symbol array is encoded
-    * as a STRING with every symbol prefixed by chr(31) (a marker that
-    * cannot appear in the fixture text), so DuckDB's left-to-right
-    * non-overlapping `replace(enc, M||l||M||r, M||l||r)` IS the greedy
-    * BPE fuse — the prefix marker makes symbol boundaries unambiguous
-    * (no suffix/prefix cross-matches) and, because the pattern carries
-    * no trailing marker, back-to-back occurrences fuse exactly like the
-    * scan ([a,a,a,a] → [aa,aa]). Each merge round is three CTEs:
-    * lateral-unnest pair counts, a LIMIT 1 argmax with the Spark side's
-    * (n DESC, l, r) tie-break, and the replace rewrite. CTEs are
-    * MATERIALIZED — without it DuckDB inlines the doubly-referenced
-    * chain and the plan blows up 2^merges.
+    * as a STRING with every symbol written as chr(31)||length||':'||sym
+    * (chr(31) cannot appear in the fixture text), so DuckDB's
+    * left-to-right non-overlapping `replace` of the two encoded symbols
+    * with their encoded fusion IS the greedy BPE scan. The LENGTH
+    * prefix is what makes the match exact-symbol: a bare
+    * `M||l||M||r` pattern also fires when the following symbol merely
+    * STARTS with r (symbols [l, "rX"]) — the round-6 ADVICE latent
+    * divergence — while `M1:l M1:r` cannot match inside `M1:l M2:rX`
+    * because the length field disagrees. (A lookahead anchor is not an
+    * option: DuckDB's RE2 regex silently ignores `(?=...)`, and a
+    * consumed trailing-marker guard breaks back-to-back fusions
+    * [a,a,a,a] → [aa,aa], which the prefix form handles exactly.)
+    * Each merge round is three CTEs: lateral-unnest pair counts (symbols
+    * parsed by stripping the `len:` prefix), a LIMIT 1 argmax with the
+    * Spark side's (n DESC, l, r) tie-break, and the replace rewrite.
+    * CTEs are MATERIALIZED — without it DuckDB inlines the
+    * doubly-referenced chain and the plan blows up 2^merges. Marker
+    * count per symbol stays exactly 1, so downstream `len(enc) -
+    * len(replace(enc, chr(31), ''))` symbol counts (x73/x104) are
+    * unchanged.
     */
   private[ops] def bpeOracleChain(numMerges: Int): String = {
     val head = """WITH tok AS (
@@ -262,19 +274,22 @@ object Extensions16 {
         SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w FROM documents)
       WHERE w <> ''),
     w0 AS MATERIALIZED (
-      SELECT w, regexp_replace(w, '(.)', chr(31) || '\1', 'g') AS enc, count(*) AS wn
+      SELECT w, regexp_replace(w, '(.)', chr(31) || '1:\1', 'g') AS enc, count(*) AS wn
       FROM tok GROUP BY 1, 2)"""
     val rounds = (1 to numMerges).map { i =>
       s"""
     p$i AS (
       SELECT s.syms[u.j] AS l, s.syms[u.j + 1] AS r, sum(s.wn) AS n
-      FROM (SELECT list_filter(str_split(enc, chr(31)), x -> x <> '') AS syms, wn
+      FROM (SELECT list_transform(list_filter(str_split(enc, chr(31)), x -> x <> ''),
+                     x -> substr(x, length(split_part(x, ':', 1)) + 2)) AS syms, wn
             FROM w${i - 1}) s,
            LATERAL unnest(generate_series(1, len(s.syms) - 1)) AS u(j)
       GROUP BY 1, 2),
     t$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
     w$i AS MATERIALIZED (
-      SELECT w, replace(enc, chr(31)||t.l||chr(31)||t.r, chr(31)||t.l||t.r) AS enc, wn
+      SELECT w, replace(enc,
+               chr(31)||length(t.l)||':'||t.l||chr(31)||length(t.r)||':'||t.r,
+               chr(31)||length(t.l||t.r)||':'||t.l||t.r) AS enc, wn
       FROM w${i - 1}, t$i t)"""
     }
     head + rounds.mkString(",", ",", "")
@@ -305,7 +320,7 @@ object Extensions16 {
     // the store builds ONCE per fixture dir (x76's storeCache discipline):
     // repeated invocations — bench repeats especially — measure the
     // partition-pruned SERVING path, not a fresh index build each run
-    val path = storeCache.computeIfAbsent(dir, { _ =>
+    val path = storeCache.computeIfAbsent(Extensions.fixtureKey(s, dir, "embeddings"), { _ =>
       val p = Extensions.tempStoreDir("graft-ivfstore-x70")
       IvfStore.writeIndex(base, "vec_id", "embedding", cents, p)
       p

@@ -221,15 +221,18 @@ object Extensions26 {
 
   /** Fixture-keyed trained-weight cache (the x95 codebook-cache
     * discipline): training is deterministic, so caching the weight
-    * vector per fixture dir is value-transparent — x94 repeats and
-    * x105 (which calibrates the same model) measure the scoring /
-    * calibration path instead of re-running 8 training rounds each.
+    * vector is value-transparent — x94 repeats and x105 (which
+    * calibrates the same model) measure the scoring / calibration path
+    * instead of re-running 8 training rounds each. Keyed on
+    * [[Extensions.fixtureKey]] (dir + file length/mtime), so a fixture
+    * regenerated in-place within one JVM retrains instead of silently
+    * serving stale weights.
     */
   private val weightsCache =
     scala.collection.concurrent.TrieMap[String, Array[Long]]()
 
   private[ops] def fixtureWeights(s: SparkSession, dir: String): Array[Long] =
-    weightsCache.getOrElseUpdate(dir,
+    weightsCache.getOrElseUpdate(Extensions.fixtureKey(s, dir, "documents"),
       trainFromText(gopherLabeled(s, dir), "doc_id", "text", "keep"))
 
   /** Fixture x94/x105 shared scoring pass over the cached model. */

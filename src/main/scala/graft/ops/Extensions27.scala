@@ -174,17 +174,19 @@ object Extensions27 {
 
   /** Fixture-keyed codebook cache (the x70/x76 storeCache discipline):
     * the codebook is the offline artifact of this pipeline — training
-    * it once per fixture dir lets bench repeats (and x102, which
-    * shares it) measure the SERVING path, not 4 re-trainings of the
-    * same model. Deterministic training makes the cache value-
-    * transparent.
+    * it once per fixture lets bench repeats (and x102, which shares
+    * it) measure the SERVING path, not 4 re-trainings of the same
+    * model. Deterministic training makes the cache value-transparent;
+    * keying on [[Extensions.fixtureKey]] (dir + file length/mtime)
+    * makes it fail-safe when a fixture is regenerated in-place within
+    * one JVM.
     */
   private val codebookCache =
     scala.collection.concurrent.TrieMap[String, Array[Array[Array[Long]]]]()
 
   private[ops] def fixtureCodebook(
       s: SparkSession, dir: String): Array[Array[Array[Long]]] =
-    codebookCache.getOrElseUpdate(dir,
+    codebookCache.getOrElseUpdate(Extensions.fixtureKey(s, dir, "embeddings"),
       pqTrain(emb(s, dir), "vec_id", "embedding"))
 
   /** x95: train (4 Lloyd rounds), encode the fixture embeddings, and

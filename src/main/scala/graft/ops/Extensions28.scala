@@ -32,36 +32,81 @@ object Extensions28 {
     * of the edge set (integer rounding loses O(1) micro per edge of
     * mass; documented, deterministic, identical in SQL).
     *
+    * GENERAL directed-graph contract (round-6 ADVICE/VERDICT fix): the
+    * node set is src ∪ dst and is carried through every round — a node
+    * that receives no contribution in a round keeps the teleport base
+    * instead of vanishing, and SINK nodes' mass (nodes with no
+    * out-edges) is redistributed uniformly each round (the standard
+    * dangling-node treatment), so chains/DAGs/stars rank correctly and
+    * total mass is conserved up to integer rounding. On a sink-free
+    * graph where every node has in-edges (e.g. x96's bidirectional
+    * purchase graph) the dangling share and the keep-base fallback are
+    * exact no-ops, so results are bit-identical to the pre-fix
+    * operator and the generated oracle replays unchanged.
+    *
     * Scale shape: the canonical iterative join. Edges (+ precomputed
     * out-degree) are materialized ONCE; each iteration is one
-    * rank⋈edges equi-join on src and one hash-agg by dst — the rank
-    * table is O(nodes), always the small side, and the edge table's
-    * partitioning is reused across iterations (AQE; on a real cluster,
-    * pre-bucket edges by src so every iteration's join is co-located).
-    * Lineage is cut per round (materialized) — an unbounded iterative
-    * plan is the classic driver OOM at scale.
+    * rank⋈edges equi-join on src, one hash-agg by dst, one O(1)-row
+    * dangling-mass agg (broadcast back), and one nodes⋈contrib left
+    * join — every per-round table except edges is O(nodes). The edge
+    * table's partitioning is reused across iterations (AQE; on a real
+    * cluster, pre-bucket edges by src — [[GraphStore]] — so every
+    * iteration's join is co-located). `saltBuckets > 1` routes the
+    * rank⋈edges join through [[Scale.saltedJoin]] for power-law hub
+    * keys: the hot src key spreads over `saltBuckets` reducers while
+    * the O(nodes) rank side replicates `saltBuckets`×. Lineage is cut
+    * per round (materialized) — an unbounded iterative plan is the
+    * classic driver OOM at scale.
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 8): DataFrame = {
+      iters: Int = 8, saltBuckets: Int = 1): DataFrame = {
     val e = Extensions.materialized(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val ed = Extensions.materialized(e.join(deg, Seq("src")))
-    val n = ed.select(col("src")).distinct().count()
+    pageRankLoop(ed, iters, saltBuckets)
+  }
+
+  /** The power iteration over a prepared (src, dst, d) edge relation —
+    * shared by [[pageRank]] (in-memory, materialized) and
+    * [[GraphStore.pageRankFromTable]] (bucketed scan — deliberately NOT
+    * re-materialized here, so the co-located bucket layout survives
+    * into every round's join).
+    */
+  private[ops] def pageRankLoop(
+      ed: DataFrame, iters: Int, saltBuckets: Int = 1): DataFrame = {
+    val nodes = Extensions.materialized(
+      ed.select(col("src").as("node"))
+        .union(ed.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     def halfAway(num: String, den: String) = s"(($num) * 2 + ($den)) DIV (2 * ($den))"
     val base = (2L * 150000L + n) / (2L * n)   // halfAway(0.15e6, N)
     val r0 = (2L * 1000000L + n) / (2L * n)    // halfAway(1e6, N)
-    var ranks = Extensions.materialized(
-      ed.select(col("src").as("node")).distinct().withColumn("r", lit(r0)))
+    val outSrc = ed.select(col("src")).distinct()
+    var ranks = Extensions.materialized(nodes.withColumn("r", lit(r0)))
     for (_ <- 1 to iters) {
+      val renamed = ranks.withColumnRenamed("node", "src")
+      val joined =
+        if (saltBuckets > 1)
+          Scale.saltedJoin(ed, renamed, "src", saltBuckets, col("dst"))
+        else ed.join(renamed, Seq("src"))
+      val contrib = joined
+        .select(col("dst"), expr(halfAway("r", "d")).as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      // sink mass this round: ranks of nodes with no out-edges (one
+      // O(nodes) anti-join folding to a single broadcast row)
+      val dangling = ranks
+        .join(outSrc, ranks("node") === outSrc("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dg"))
       ranks = Extensions.materialized(
-        ed.join(ranks, col("src") === col("node"))
-          .select(col("dst"), expr(halfAway("r", "d")).as("contrib"))
-          .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-          .select(col("dst").as("node"),
-            (lit(base) + expr(halfAway("85 * s", "100"))).as("r")))
+        nodes.join(contrib, col("node") === col("dst"), "left_outer")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"),
+            (lit(base) + expr(halfAway(
+              s"85 * (coalesce(s, 0) + ${halfAway("dg", n.toString)})", "100")))
+              .as("r")))
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
@@ -165,19 +210,29 @@ object Extensions28 {
     val pooled = stats.agg(
       sum(col("n")).as("n"), sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
       sum(col("sxx")).as("sxx"), sum(col("sxy")).as("sxy"))
-    // sample cov/var from exact sums; θ rounded to 4dp before use
+    // sample cov/var from the sufficient sums. The arm-level CROSS
+    // products (sx·sy, sx², sy²) are formed in DOUBLE, not BIGINT: at
+    // the docstring's 10^9-user scale the sums reach ~1e13 cents and a
+    // long×long product would silently wrap in non-ANSI Spark,
+    // corrupting θ and both variances (round-6 ADVICE). The oracle
+    // casts the same factor, so both engines run the identical IEEE
+    // double expression. (The sxx/syy/sxy ACCUMULATORS stay exact
+    // longs — deterministic partial-sum order — with headroom
+    // ~9e18/x̄² users per arm; beyond that, widen those three sums to
+    // DecimalType(38,0), the embeddingHealth discipline.) θ rounds to
+    // 4dp before use.
     val thetaC = round(
-      (col("sxy") - col("sx") * col("sy") / col("n")) /
-        (col("sxx") - col("sx") * col("sx") / col("n")), 4).as("theta")
+      (col("sxy") - col("sx").cast("double") * col("sy") / col("n")) /
+        (col("sxx") - col("sx").cast("double") * col("sx") / col("n")), 4).as("theta")
     def variance(s2: String, s1: String) =
-      (col(s2) - col(s1) * col(s1) / col("n")) / (col("n") - 1)
+      (col(s2) - col(s1).cast("double") * col(s1) / col("n")) / (col("n") - 1)
     stats.crossJoin(broadcast(pooled.select(thetaC)))
       .select(col("arm"), col("n").as("n_users"),
         round(col("sx") / col("n") / 100.0d, 4).as("mean_pre"),
         round(col("sy") / col("n") / 100.0d, 4).as("mean_post"),
         round(variance("syy", "sy") / 10000.0d, 4).as("var_post"),
         round((variance("syy", "sy")
-          - lit(2.0d) * col("theta") * ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          - lit(2.0d) * col("theta") * ((col("sxy") - col("sx").cast("double") * col("sy") / col("n")) / (col("n") - 1))
           + col("theta") * col("theta") * variance("sxx", "sx")) / 10000.0d, 4)
           .as("var_adj"),
         col("theta"))
@@ -211,14 +266,14 @@ object Extensions28 {
                     CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxx) AS BIGINT) AS sxx,
                     CAST(sum(sxy) AS BIGINT) AS sxy
              FROM st),
-      th AS (SELECT round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS theta FROM pl)
+      th AS (SELECT round((sxy - CAST(sx AS DOUBLE) * sy / n) / (sxx - CAST(sx AS DOUBLE) * sx / n), 4) AS theta FROM pl)
       SELECT arm, n AS n_users,
              round(sx / n / 100.0, 4) AS mean_pre,
              round(sy / n / 100.0, 4) AS mean_post,
-             round((syy - sy * sy / n) / (n - 1) / 10000.0, 4) AS var_post,
-             round(((syy - sy * sy / n) / (n - 1)
-                    - 2.0 * theta * ((sxy - sx * sy / n) / (n - 1))
-                    + theta * theta * ((sxx - sx * sx / n) / (n - 1))) / 10000.0, 4) AS var_adj,
+             round((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1) / 10000.0, 4) AS var_post,
+             round(((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+                    - 2.0 * theta * ((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+                    + theta * theta * ((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))) / 10000.0, 4) AS var_adj,
              theta
       FROM st CROSS JOIN th
       ORDER BY arm"""

@@ -41,18 +41,38 @@ object Extensions30 {
     * hash-agg, and one per-node argmax via min(struct(-cnt, label)) —
     * lexicographic struct ordering is the tie-break, no window, no
     * sort. Lineage cut per round (the x96 iterative-join discipline).
+    * `saltBuckets > 1` routes the per-round join through
+    * [[Scale.saltedJoin]] (hub-key mitigation, same contract as
+    * [[Extensions28.pageRank]]).
     */
   def labelPropagation(
-      edges: DataFrame, aCol: String, bCol: String, iters: Int = 5): DataFrame = {
+      edges: DataFrame, aCol: String, bCol: String, iters: Int = 5,
+      saltBuckets: Int = 1): DataFrame = {
     val e = Extensions.materialized(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
         .filter(col("src") =!= col("dst")).distinct())
+    labelPropagationLoop(e, iters, saltBuckets)
+  }
+
+  /** The synchronous vote loop over an ALREADY-SYMMETRIZED (src, dst)
+    * edge relation — shared by [[labelPropagation]] (in-memory,
+    * materialized) and [[GraphStore.labelPropagationFromTable]]
+    * (bucketed scan, NOT re-materialized so the co-located layout
+    * survives into every round's join).
+    */
+  private[ops] def labelPropagationLoop(
+      e: DataFrame, iters: Int, saltBuckets: Int = 1): DataFrame = {
     var labels = Extensions.materialized(
       e.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")))
     for (_ <- 1 to iters) {
-      val votes = e.join(labels, col("src") === col("node"))
+      val renamed = labels.withColumnRenamed("node", "src")
+      val joined =
+        if (saltBuckets > 1)
+          Scale.saltedJoin(e, renamed, "src", saltBuckets, col("dst"))
+        else e.join(renamed, Seq("src"))
+      val votes = joined
         .select(col("dst").as("n"), col("label"))
         .union(labels.select(col("node").as("n"), col("label")))
       labels = Extensions.materialized(votes
@@ -125,10 +145,29 @@ object Extensions30 {
     * ‖Σv‖² terms square a per-dimension sum (≤ n·10⁴·|v̄|) — beyond
     * ~10⁸ vectors per label, switch the two sums to DecimalType(38,0)
     * (same plan, wider accumulator).
+    *
+    * `dim`: the fixed vector width the per-dimension sums unroll over.
+    * Pass it when known; the default (≤ 0) DERIVES it with a
+    * min/max(size) precheck and requires the table rectangular — wider
+    * vectors would otherwise silently drop dims from the ‖Σv‖² term
+    * while ssq used all of them, skewing the anisotropy (round-6
+    * ADVICE). The precheck costs one scan of the vector column; known-
+    * width callers skip it.
     */
   def embeddingHealth(
-      vectors: DataFrame, labelCol: String, vecCol: String): DataFrame = {
-    val dim = 64
+      vectors: DataFrame, labelCol: String, vecCol: String,
+      dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else {
+      val r = vectors
+        .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"))
+        .head()
+      require(!r.isNullAt(0), "embeddingHealth: empty input")
+      require(r.getInt(0) == r.getInt(1),
+        s"embeddingHealth: ragged vector widths (${r.getInt(0)}..${r.getInt(1)}) — " +
+          "pad or filter to one width, or pass dim explicitly")
+      r.getInt(0)
+    }
+    require(d >= 1, s"embeddingHealth: dim must be positive, got $d")
     val qv = col("qv")
     val quant = vectors.select(col(labelCol).as("label"),
         transform(col(vecCol).cast("array<double>"),
@@ -136,9 +175,9 @@ object Extensions30 {
       .select(col("label"), qv,
         aggregate(qv, lit(0L), (a, x) => a + x * x).as("sq"))
     val aggCols = count(lit(1)).as("n") +: sum(col("sq")).as("ssq") +:
-      (0 until dim).map(i => sum(element_at(qv, i + 1)).as(s"d$i"))
+      (0 until d).map(i => sum(element_at(qv, i + 1)).as(s"d$i"))
     val sums = quant.groupBy(col("label")).agg(aggCols.head, aggCols.tail: _*)
-    val normOfSum = (0 until dim).map(i => col(s"d$i") * col(s"d$i")).reduce(_ + _)
+    val normOfSum = (0 until d).map(i => col(s"d$i") * col(s"d$i")).reduce(_ + _)
     sums
       .withColumn("nos", normOfSum)
       .select(col("label"), col("n"),

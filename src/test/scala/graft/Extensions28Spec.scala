@@ -38,6 +38,77 @@ class Extensions28Spec extends SparkSpec {
     assert(r1 == r2, "integer PageRank is partitioning-independent")
   }
 
+  /** Reference simulator mirroring pageRank's exact integer arithmetic
+    * (half-away division, dangling redistribution, keep-base fallback) —
+    * the sink-graph contract is asserted against it value-for-value.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toLong
+    def ha(num: Long, den: Long): Long = (num * 2 + den) / (2 * den)
+    val base = ha(150000L, n)
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> ha(1000000L, n)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      e.foreach { case (s0, d0) => contrib(d0) += ha(r(s0), deg(s0)) }
+      val dangling = nodes.filterNot(deg.contains).map(r).sum
+      val share = ha(dangling, n)
+      r = nodes.map(nd => nd -> (base + ha(85L * (contrib(nd) + share), 100L))).toMap
+    }
+    r
+  }
+
+  test("x96 directed graph with sinks: no node vanishes, dangling mass is redistributed, values match the reference") {
+    import spark.implicits._
+    // a DAG: chain 1→2→3 plus 1→3 — node 3 is a sink, node 1 receives
+    // nothing; the pre-fix operator dropped 1 after round 1 and leaked
+    // 3's mass out of the system entirely
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = Extensions28.pageRank(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"all nodes must survive: ${got.keySet}")
+    assert(got == refPageRank(Seq((1L, 2L), (2L, 3L), (1L, 3L)), 8),
+      s"sink-graph values must match the integer reference: $got")
+    // sink 3 receives from both others; source 1 only keeps teleport+share
+    assert(got(3L) > got(2L) && got(2L) > got(1L), s"rank order on the chain: $got")
+    val total = got.values.sum
+    assert(math.abs(total - 1000000L) < 2000L,
+      s"mass conservation with sinks within rounding: $total")
+  }
+
+  test("x96 star-with-sink-spokes: matches reference; mass conserved") {
+    import spark.implicits._
+    // hub 0 points at 12 spokes, spokes point nowhere (all sinks)
+    val e = (1L to 12L).map(i => (0L, i))
+    val got = Extensions28.pageRank(e.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(e, 8))
+    assert(math.abs(got.values.sum - 1000000L) < 2000L)
+  }
+
+  test("x96 salted iteration (hub mitigation) is value-identical to the plain join") {
+    import spark.implicits._
+    // planted hub: node 0 has 200 out-edges (the skewed src key), plus a tail
+    val e = (1L to 200L).map(i => (0L, i)) ++ (1L to 40L).map(i => (i, (i % 5) + 300L))
+    val plain = Extensions28.pageRank(e.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val salted = Extensions28.pageRank(e.toDF("src", "dst"), "src", "dst",
+        saltBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(plain == salted, "salting must not change any rank")
+    // the mitigation itself: the hot key's rows spread across salt buckets,
+    // so the max per-(key,salt) group shrinks ~4x vs the unsalted single group
+    val perSalt = e.toDF("src", "dst")
+      .withColumn("__salt", pmod(hash(col("dst")), lit(4)))
+      .groupBy(col("src"), col("__salt")).agg(count(lit(1)).as("n"))
+      .filter(col("src") === 0L)
+      .collect().map(_.getAs[Long]("n"))
+    assert(perSalt.length == 4 && perSalt.max < 200L,
+      s"hub rows must spread over salt buckets: ${perSalt.toSeq}")
+  }
+
   test("x97 planted covariate: CUPED slashes variance when post tracks pre; theta recovers the slope") {
     import spark.implicits._
     // 60 users, two events each: pre value v_u, post value v_u + small
