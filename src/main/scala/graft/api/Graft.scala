@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, IvfStore, Multimodal, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -553,6 +553,52 @@ object Graft {
       newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit =
     IvfStore.appendToIndex(newVecs, idCol, vecCol, path)
 
+  /** Write the IVF-PQ index: PQ codes partitioned by coarse cell with
+    * centroid + codebook sidecars — 16 bytes/vector at rest, the
+    * billion-scale ANN serving layout ([[ivfPqTopK]] persisted).
+    */
+  def writePqIndex(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Long]]], path: String): Unit =
+    PqStore.writeIndex(vectors, idCol, vecCol, codebook, path)
+
+  /** ADC top-k from a written PQ index, reading only the probed cell
+    * directories' codes (never raw vectors); equals [[ivfPqTopK]].
+    */
+  def pqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5): DataFrame =
+    PqStore.topKFromIndex(spark, path, queries, idCol, vecCol, k)
+
+  /** Append vectors to a written PQ index (stored codebook + centroids
+    * keep old and new rows on one geometry).
+    */
+  def appendToPqIndex(
+      newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    PqStore.appendToIndex(newVecs, idCol, vecCol, path)
+
+  /** Compact removed vectors out of a written PQ index: only their cells
+    * are read and rewritten; emptied cell dirs are deleted.
+    */
+  def compactPqIndex(
+      removeVecs: DataFrame, idCol: String, vecCol: String, path: String): Set[Int] =
+    PqStore.compactIndex(removeVecs, idCol, vecCol, path)
+
+  /** Persist / load trained model artifacts (logreg weights, BPE merge
+    * tables, PQ codebooks) as config-carrying parquet: a load under a
+    * mismatched training configuration fails loudly. See [[graft.ops.ModelStore]]
+    * for the per-artifact writers/loaders; exposed here as the facade
+    * entry point.
+    */
+  def modelStore: ModelStore.type = ModelStore
+
+  /** Bucketed edge store for iterative graph operators: write edges
+    * bucketed by src once, and every [[pageRank]]/[[labelPropagation]]
+    * iteration joins against the co-located scan with no edge-side
+    * exchange. See [[graft.ops.GraphStore]].
+    */
+  def graphStore: GraphStore.type = GraphStore
+
   /** Deterministic exhaustive train/val/test split (integer permille,
     * md5 bucket — no RNG, map-only, stratification by hash uniformity).
     */
@@ -793,10 +839,13 @@ object Graft {
   /** Integer-deterministic PageRank over an edge list (fixed power
     * iterations, micro-unit ranks) — the canonical iterative-join graph
     * workload; edges+degrees materialize once, rank table stays O(nodes).
+    * General directed-graph contract: sink mass redistributes uniformly,
+    * no-inflow nodes keep the teleport base (nothing vanishes).
+    * `saltBuckets > 1` salts the per-round join for hub-skewed graphs.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 8): DataFrame =
-    Extensions28.pageRank(edges, srcCol, dstCol, iters)
+      iters: Int = 8, saltBuckets: Int = 1): DataFrame =
+    Extensions28.pageRank(edges, srcCol, dstCol, iters, saltBuckets)
 
   /** CUPED A/B readout (Deng et al. 2013): pre-period covariate
     * adjustment computed entirely from exact integer sufficient
@@ -849,15 +898,16 @@ object Graft {
     * list; the market-segmentation sibling of [[pageRank]].
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-      iters: Int = 5): DataFrame =
-    Extensions30.labelPropagation(edges, aCol, bCol, iters)
+      iters: Int = 5, saltBuckets: Int = 1): DataFrame =
+    Extensions30.labelPropagation(edges, aCol, bCol, iters, saltBuckets)
 
   /** One-pass embedding health report per label: mean squared norm, mean
     * pairwise dot (via the sum-vector identity — no pair enumeration),
     * anisotropy (collapse detector). The gate before any ANN/dedup stage.
     */
-  def embeddingHealth(vectors: DataFrame, labelCol: String, vecCol: String): DataFrame =
-    Extensions30.embeddingHealth(vectors, labelCol, vecCol)
+  def embeddingHealth(vectors: DataFrame, labelCol: String, vecCol: String,
+      dim: Int = 0): DataFrame =
+    Extensions30.embeddingHealth(vectors, labelCol, vecCol, dim)
 
   // ---- similarity join (record linkage) -------------------------------------
 
@@ -886,6 +936,16 @@ object Graft {
     */
   def kAnonymityReport(rel: DataFrame, quasiCols: Seq[String], k: Int = 5): DataFrame =
     Extensions33.kAnonymityReport(rel, quasiCols, k)
+
+  /** k-anonymization by generalization + suppression: rows climb the
+    * supplied coarsening ladder level by level until their class reaches
+    * k; leftovers come back starred (level = ladder length) for the
+    * audit trail. The release (level < ladder length) is k-anonymous by
+    * construction — [[kAnonymityReport]] on it reads risk_frac 0.
+    */
+  def kAnonymize(rel: DataFrame, idCol: String,
+      levels: Seq[Seq[(String, org.apache.spark.sql.Column)]], k: Int): DataFrame =
+    Extensions35.kAnonymize(rel, idCol, levels, k)
 
   // ---- multimodal columns --------------------------------------------------
 

@@ -36,14 +36,15 @@ object Extensions31 {
     Extensions27.quantized(vectors, idCol, vecCol)
 
   /** The coarse centroids as ONE nested array literal (the x95 cbLit
-    * plan-size discipline: data, not expression tree).
+    * plan-size discipline: data, not expression tree). Shared with
+    * [[PqStore]], whose serving path must route identically.
     */
-  private def centsLit(cents: Seq[Seq[Long]]): Column = typedlit(cents)
+  private[ops] def centsLit(cents: Seq[Seq[Long]]): Column = typedlit(cents)
 
   /** argmin cell against the centroid literal — map-side, struct-
     * ordering tie-break (dist asc, cell asc), data-driven HOF loop.
     */
-  private def cellExpr(cl: Column, nCells: Int): Column =
+  private[ops] def cellExpr(cl: Column, nCells: Int): Column =
     array_min(transform(sequence(lit(0), lit(nCells - 1)), c =>
       struct(Extensions27.sqd(col("qv"), element_at(cl, c + 1)).as("d"),
         c.as("cell")))).getField("cell")
@@ -61,6 +62,60 @@ object Extensions31 {
     * stores codes partitionBy(cell) like IvfStore and prunes the scan
     * to the probed directories.
     */
+  /** Per-query probed cell list from a quantized query table `qq`:
+    * explode per-cell distances against the centroid literal, keep the
+    * `probes` best (dist asc, cell asc). Shared by [[ivfPqTopK]] and
+    * [[PqStore.topKFromIndex]] so the two serving paths route
+    * identically by construction.
+    */
+  private[ops] def probeCells(
+      qq: DataFrame, cl: Column, nCells: Int, probes: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("cell"))
+    qq.select(col("vec_id").as("q_id"),
+        explode(transform(sequence(lit(0), lit(nCells - 1)), c =>
+          struct(c.as("cell"),
+            Extensions27.sqd(col("qv"), element_at(cl, c + 1)).as("cd")))).as("p"))
+      .select(col("q_id"), col("p.cell").as("cell"), col("p.cd").as("cd"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= probes)
+      .select(col("q_id"), col("cell"))
+  }
+
+  /** Per-query ADC distance tables (M·K exact long distances per query)
+    * from a quantized query table — the broadcast side of every ADC
+    * join. Shared by [[ivfPqTopK]] and [[PqStore.topKFromIndex]].
+    */
+  private[ops] def adcDistTable(
+      qq: DataFrame, codebook: Array[Array[Array[Long]]]): DataFrame = {
+    val cb = Extensions27.cbLit(codebook)
+    Extensions27.subRows(qq)
+      .select(col("vec_id").as("q_id"), col("m"),
+        explode(transform(sequence(lit(0), lit(codebook.head.length - 1)), kk =>
+          struct(kk.as("k"),
+            Extensions27.sqd(col("sub"),
+              element_at(element_at(cb, col("m") + 1), kk + 1)).as("d")))).as("t"))
+      .select(col("q_id"), col("m"), col("t.k").as("k"), col("t.d").as("d"))
+  }
+
+  /** Rank the ADC-joined candidate codes: sum the M lookups per
+    * (query, candidate), drop self-matches, keep top-k (dist asc, id
+    * asc). `withCodes` must carry (q_id, vec_id, m, k). Shared tail of
+    * both serving paths.
+    */
+  private[ops] def adcRank(
+      withCodes: DataFrame, dtab: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("c_id"))
+    withCodes
+      .join(broadcast(dtab), Seq("q_id", "m", "k"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("adc_dist"),
+        col("rk").cast("long").as("rk"))
+  }
+
   def ivfPqTopK(
       vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, codebook: Array[Array[Array[Long]]],
@@ -71,37 +126,11 @@ object Extensions31 {
     val cl = centsLit(cents)
     val assigned = qv.select(col("vec_id"), cellExpr(cl, IvfPqCells).as("cell"))
     val codes = Extensions27.pqEncode(vectors, idCol, vecCol, codebook)
-    // queries probe their best cells: explode per-cell distances, rank
     val qq = Extensions.materialized(quantized(queries, idCol, vecCol))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("cell"))
-    val probed = qq.select(col("vec_id").as("q_id"),
-        explode(transform(sequence(lit(0), lit(IvfPqCells - 1)), c =>
-          struct(c.as("cell"),
-            Extensions27.sqd(col("qv"), element_at(cl, c + 1)).as("cd")))).as("p"))
-      .select(col("q_id"), col("p.cell").as("cell"), col("p.cd").as("cd"))
-      .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= IvfPqProbes)
-      .select(col("q_id"), col("cell"))
-    val cb = Extensions27.cbLit(codebook)
-    val dtab = Extensions27.subRows(qq)
-      .select(col("vec_id").as("q_id"), col("m"),
-        explode(transform(sequence(lit(0), lit(codebook.head.length - 1)), kk =>
-          struct(kk.as("k"),
-            Extensions27.sqd(col("sub"),
-              element_at(element_at(cb, col("m") + 1), kk + 1)).as("d")))).as("t"))
-      .select(col("q_id"), col("m"), col("t.k").as("k"), col("t.d").as("d"))
+    val probed = probeCells(qq, cl, IvfPqCells, IvfPqProbes)
     val candidates = probed.join(assigned, Seq("cell"))
       .select(col("q_id"), col("vec_id"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("c_id"))
-    candidates.join(codes, Seq("vec_id"))
-      .join(broadcast(dtab), Seq("q_id", "m", "k"))
-      .groupBy(col("q_id"), col("vec_id").as("c_id"))
-      .agg(sum(col("d")).as("adc_dist"))
-      .filter(col("c_id") =!= col("q_id"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("c_id"), col("adc_dist"),
-        col("rk").cast("long").as("rk"))
+    adcRank(candidates.join(codes, Seq("vec_id")), adcDistTable(qq, codebook), k)
   }
 
   /** x102: IVF-PQ over the fixture embeddings (codebook trained by
@@ -115,10 +144,20 @@ object Extensions31 {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  private val x102OracleSql: String = {
+  /** Exact integer squared L2 over two full 64-dim quantized vectors —
+    * the oracle-side distance kernel.
+    */
+  private[ops] def oracleDist(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a.qv[i] - $b.qv[i]) * ($a.qv[i] - $b.qv[i]))) AS BIGINT)"
+
+  /** The shared oracle core of the IVF-PQ serving path (x102 and the
+    * store-served x107): PQ training replay + coarse assignment +
+    * probing + ADC, ending in a `ranked` CTE of (q_id, c_id, adc_dist,
+    * rk). Store-served and in-memory paths are plan-for-plan the same
+    * computation, so one replay covers both.
+    */
+  private[ops] def ivfPqOracleChain: String = {
     val sd = Extensions27.SubDim
-    val dist = (a: String, b: String) =>
-      s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a.qv[i] - $b.qv[i]) * ($a.qv[i] - $b.qv[i]))) AS BIGINT)"
     Extensions27.pqOracleChain(4) + s""",
     cents AS MATERIALIZED (
       SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS cell
@@ -127,14 +166,14 @@ object Extensions31 {
       SELECT vec_id, cell FROM (
         SELECT v.vec_id, c.cell,
                row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY ${dist("v", "c")}, c.cell) AS rk
+                                  ORDER BY ${oracleDist("v", "c")}, c.cell) AS rk
         FROM qv v CROSS JOIN cents c)
       WHERE rk = 1),
     probed AS (
       SELECT q_id, cell FROM (
         SELECT v.vec_id AS q_id, c.cell,
                row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY ${dist("v", "c")}, c.cell) AS rk
+                                  ORDER BY ${oracleDist("v", "c")}, c.cell) AS rk
         FROM qv v CROSS JOIN cents c WHERE v.vec_id < 10)
       WHERE rk <= $IvfPqProbes),
     qd AS (SELECT v.vec_id AS q_id, c.m, c.k,
@@ -146,14 +185,17 @@ object Extensions31 {
             JOIN cellof co ON co.cell = p.cell
             JOIN af ON af.vec_id = co.vec_id
             JOIN qd ON qd.q_id = p.q_id AND qd.m = af.m AND qd.k = af.k
-            GROUP BY 1, 2)
-    SELECT q_id, c_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
+            GROUP BY 1, 2),
+    ranked AS (
       SELECT q_id, c_id, adc_dist,
              row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, c_id) AS rk
-      FROM adc WHERE c_id <> q_id)
+      FROM adc WHERE c_id <> q_id)"""
+  }
+
+  private val x102OracleSql: String = ivfPqOracleChain + """
+    SELECT q_id, c_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM ranked
     WHERE rk <= 5
     ORDER BY q_id, rk"""
-  }
 
   // ---- x103: theta sketch set operations -------------------------------------
 
