@@ -353,6 +353,16 @@ object Graft {
   def rankAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame =
     Extensions26.rankAuc(scored, scoreCol, labelCol)
 
+  /** Label-free serving scorer: exact micro-margins for an unlabeled
+    * corpus under a given weight vector (the per-micro-batch crawl gate,
+    * fed by [[modelStore]]-loaded weights + a [[calibrateThreshold]]
+    * cutoff).
+    */
+  def scoreText(rel: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long],
+      numBuckets: Int = Extensions26.NumBuckets): DataFrame =
+    Extensions26.scoreText(rel, idCol, textCol, weights, numBuckets)
+
   /** Per-group BPE tokenizer-fit report: subwords-per-word and single-
     * symbol fraction under a given merge list — the go/no-go table for a
     * tokenizer trained on a mixture.

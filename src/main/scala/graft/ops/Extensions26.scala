@@ -211,6 +211,28 @@ object Extensions26 {
       .withColumn("pred_keep", col("margin_micro") > 0L)
   }
 
+  /** Label-free serving: exact micro-margins for an UNLABELED corpus —
+    * the deployed form of [[scoreWithWeights]] (same O(tokens) fold,
+    * the model rides as literals; no label column required). This is
+    * what a crawl gate calls per micro-batch with [[ModelStore]]-loaded
+    * weights.
+    */
+  def scoreText(
+      rel: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long], numBuckets: Int = NumBuckets): DataFrame = {
+    val wLit = array(weights.map(lit(_)): _*)
+    val bks = col("bks")
+    rel
+      .select(col(idCol).as("doc_id"),
+        transform(split(lower(col(textCol)), " "),
+          t => pmod(graft.functions.HashFunctions.md5_bucket60(t),
+            lit(numBuckets.toLong))).as("bks"))
+      .select(col("doc_id"),
+        aggregate(bks, lit(weights.last),
+          (acc, b) => acc + element_at(wLit, (b + 1L).cast("int")))
+          .as("margin_micro"))
+  }
+
   /** The fixture's Gopher-labeled corpus (label derivation fused
     * map-side via the rule card's carry-through — no label join).
     */

@@ -488,4 +488,114 @@ class StreamingSpec extends SparkSpec {
     assert(shardIds.toSet == curatedIds,
       s"TrainStore must hold exactly the admitted docs: $shardIds")
   }
+
+  test("streaming crawl with the TRAINED gate: persisted x94 weights + x105 threshold score each micro-batch; batch≡stream scores; additive funnel") {
+    import spark.implicits._
+    // Round-6 VERDICT item #7: the production crawl with the trained
+    // tier in the loop — dedup vs the signature store, then a quality
+    // gate that is NOT a rule card but the persisted x94 logreg scored
+    // at the x105-calibrated threshold, then decontamination, then the
+    // store appends. The model is trained OFFLINE, shipped through
+    // ModelStore, and loaded by the (conceptually separate) serving job.
+    val root = tmpDir("trainedcrawl")
+    val spool = s"$root/spool"; val store = s"$root/store"
+    val curated = s"$root/curated"; val ckpt = s"$root/ckpt"
+    val modelPath = s"$root/model/logreg"
+
+    // --- offline: train, calibrate, persist --------------------------------
+    // good docs: 60-token runs over a shared pt* pool (every pool token
+    // seen in training); bad docs: one junk token repeated 60x — the
+    // spiked-bucket signature the classifier must learn to reject
+    def run(off: Int): String = (off until off + 60).map(i => s"pt${i % 200}").mkString(" ")
+    val trainDocs =
+      (0 until 30).map(i => (100L + i, run(i * 7), true)) ++
+      (0 until 8).map(i => (200L + i, Seq.fill(60)(s"junk$i").mkString(" "), false))
+    val labeled = trainDocs.toDF("doc_id", "text", "keep")
+    val w = graft.ops.Extensions26.trainFromText(labeled, "doc_id", "text", "keep", iters = 4)
+    graft.ops.ModelStore.writeLogreg(spark, modelPath, w, iters = 4)
+    // 990 permille: at 900 the walk deliberately admits up to 10% junk
+    // (the max-recall contract), which would let the spiked docs through —
+    // a strict crawl gate calibrates tight
+    val threshold = graft.api.Graft.calibrateThreshold(
+        graft.ops.Extensions26.scoreWithWeights(labeled, "doc_id", "text", "keep", w),
+        "margin_micro", "label", targetPermille = 990)
+      .head().getAs[Long]("threshold_micro")
+
+    // --- serving: the stream job loads the SHIPPED model -------------------
+    val servedW = graft.ops.ModelStore.loadLogreg(spark, modelPath, iters = 4)
+    assert(servedW.toSeq == w.toSeq)
+    val goodA = run(0)                                     // admitted batch 1
+    val nearA = run(0).split(" ").dropRight(1).mkString(" ") + " ptx"  // near-dup of goodA
+    val goodB = run(70)                                    // admitted batch 2
+    val badDoc = Seq.fill(60)("junk5").mkString(" ")       // trained gate drops it
+    val evalText = run(140)                                // benchmark doc -> decon drops it
+    val evalSet = Seq((9000L, evalText)).toDF("doc_id", "text")
+    graft.ops.SignatureStore.write(
+      graft.ops.Extensions15.minhashSignatures(
+        Seq((1L, (0 until 60).map(i => s"seed$i").mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text"), store)
+
+    val funnel = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val streamScores = scala.collection.mutable.Map[Long, Long]()
+    Seq((10L, goodA), (11L, badDoc), (12L, evalText))
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(spool)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sigsB = graft.ops.Extensions15.minhashSignatures(batch, "doc_id", "text")
+          val novel = batch.join(
+            graft.ops.SignatureStore.dedupAgainstStore(spark, store, sigsB)
+              .filter(col("keep")).select(col("b_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          // the TRAINED gate: label-free serving fold + calibrated cutoff
+          val scored = graft.ops.Extensions26.scoreText(novel, "doc_id", "text", servedW)
+          scored.collect().foreach(r => streamScores(r.getLong(0)) = r.getLong(1))
+          val quality = novel.join(
+            scored.filter(col("margin_micro") > threshold).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          val admitted = quality.join(
+            graft.ops.Extensions19.decontaminate(
+                quality, evalSet, "doc_id", "text", minOverlap = 0.3)
+              .filter(col("keep")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          val adm = admitted.localCheckpoint(eager = true)
+          funnel += ((batch.count(), novel.count(), quality.count(), adm.count()))
+          graft.ops.SignatureStore.append(
+            sigsB.join(adm.select("doc_id"), Seq("doc_id"), "left_semi"), store)
+          adm.write.mode("append").parquet(curated)
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    Seq((20L, nearA), (21L, goodB), (22L, evalText))
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    q.processAllAvailable()
+    q.stop()
+
+    // every gate bit exactly once: batch 1 loses 11 (trained gate) and
+    // 12 (decon); batch 2 loses 20 (dedup vs batch-1 admission) and 22
+    assert(funnel.toSeq == Seq((3L, 3L, 2L, 1L), (3L, 2L, 2L, 1L)),
+      s"per-batch funnel (arrived, novel, trained-gate, admitted): $funnel")
+    val curatedIds = spark.read.parquet(curated).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(curatedIds == Set(10L, 21L), s"curated: $curatedIds")
+    assert(funnel.map(_._4).sum == curatedIds.size.toLong,
+      "admissions must be additive across micro-batches")
+
+    // batch ≡ stream: scoring the whole spool in ONE batch job with the
+    // same persisted weights reproduces every micro-batch margin exactly
+    val batchScores = graft.ops.Extensions26.scoreText(
+        spark.read.parquet(spool), "doc_id", "text", servedW)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamScores.foreach { case (id, m) =>
+      assert(batchScores(id) == m,
+        s"doc $id: stream margin $m != batch margin ${batchScores(id)}")
+    }
+    // and the gate separated the planted classes with real margin
+    assert(streamScores(10L) > threshold && streamScores(21L) > threshold)
+    assert(streamScores(11L) <= threshold,
+      s"junk doc must fall below the calibrated threshold: ${streamScores(11L)} vs $threshold")
+  }
 }
