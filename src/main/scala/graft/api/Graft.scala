@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -946,6 +946,36 @@ object Graft {
     */
   def kAnonymityReport(rel: DataFrame, quasiCols: Seq[String], k: Int = 5): DataFrame =
     Extensions33.kAnonymityReport(rel, quasiCols, k)
+
+  /** nDCG@k of a ranking table against graded relevance — the graded
+    * retrieval metric ([[rankingAgreement]]'s order-aware sibling);
+    * pure eval, costs nothing next to the retrieval it scores.
+    */
+  def ndcgAtK(ranking: DataFrame, grades: DataFrame, k: Int): DataFrame =
+    Extensions37.ndcgAtK(ranking, grades, k)
+
+  /** Kaplan–Meier product-limit survival over right-censored subject
+    * lifetimes (first→last event, horizon-censored) — retention with
+    * the censoring handled correctly.
+    */
+  def kaplanMeier(events: DataFrame, subjectCol: String, tsCol: String): DataFrame =
+    Extensions37.kaplanMeier(events, subjectCol, tsCol)
+
+  /** Regex-family PII scrub over a text column (emails, dashed phones,
+    * long digit runs → typed placeholders) with per-category redaction
+    * counts — map-only; the free-text sibling of [[kAnonymize]].
+    */
+  def piiScrub(rel: DataFrame, idCol: String, textCol: String): DataFrame =
+    Extensions36.piiScrub(rel, idCol, textCol)
+
+  /** Always-valid mSPRT two-sample readout (Johari et al. 2017): peek
+    * any time — one aggregation pass over exact integer sufficient
+    * statistics, log-form likelihood ratio, p = min(1, e^{−logΛ}).
+    */
+  def msprtReadout(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitTs: String,
+      tauSqCents2: Double = 1.0e8d): DataFrame =
+    Extensions36.msprtReadout(events, userCol, tsCol, valueCol, splitTs, tauSqCents2)
 
   /** k-anonymization by generalization + suppression: rows climb the
     * supplied coarsening ladder level by level until their class reaches
