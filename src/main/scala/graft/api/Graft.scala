@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -808,6 +808,15 @@ object Graft {
       log: DataFrame, userCol: String, typeCol: String, tsCol: String,
       ordCol: String): DataFrame =
     Extensions23.markovTransitions(log, userCol, typeCol, tsCol, ordCol)
+
+  /** Multi-touch conversion attribution (first/last/linear) over an
+    * event log: exact micro-unit credit per (model, touch type) — one
+    * user-key exchange, no self-joins of the log.
+    */
+  def attribution(log: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, ordCol: String, convType: String,
+      touchTypes: Seq[String]): DataFrame =
+    Extensions38.attribution(log, userCol, typeCol, tsCol, ordCol, convType, touchTypes)
 
   /** RFM tercile segmentation over a conversion log (recency inverted). */
   def rfmSegments(

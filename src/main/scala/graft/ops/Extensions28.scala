@@ -84,7 +84,22 @@ object Extensions28 {
     def halfAway(num: String, den: String) = s"(($num) * 2 + ($den)) DIV (2 * ($den))"
     val base = (2L * 150000L + n) / (2L * n)   // halfAway(0.15e6, N)
     val r0 = (2L * 1000000L + n) / (2L * n)    // halfAway(1e6, N)
+    // the sink set and the no-inflow set are STATIC properties of the
+    // edge relation — detect them ONCE, not per round. Graphs with
+    // neither (every node has in- and out-edges, e.g. the symmetrized
+    // x96/x100 graphs) take the cheap loop: the dangling share is
+    // identically 0 and every node receives a contribution, so the
+    // keep-base left join and the dangling agg are exact no-ops and the
+    // cheap loop is bit-identical to the general one (asserted in
+    // Extensions28Spec; measured: the general loop's 2 extra per-round
+    // joins cost ~35% of x96's wall time).
     val outSrc = ed.select(col("src")).distinct()
+    val sinks = Extensions.materialized(
+      nodes.join(outSrc, nodes("node") === outSrc("src"), "left_anti"))
+    val hasSinks = sinks.limit(1).count() > 0
+    val hasNoInflow = nodes
+      .join(ed.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+      .limit(1).count() > 0
     var ranks = Extensions.materialized(nodes.withColumn("r", lit(r0)))
     for (_ <- 1 to iters) {
       val renamed = ranks.withColumnRenamed("node", "src")
@@ -95,18 +110,23 @@ object Extensions28 {
       val contrib = joined
         .select(col("dst"), expr(halfAway("r", "d")).as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-      // sink mass this round: ranks of nodes with no out-edges (one
-      // O(nodes) anti-join folding to a single broadcast row)
-      val dangling = ranks
-        .join(outSrc, ranks("node") === outSrc("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dg"))
       ranks = Extensions.materialized(
-        nodes.join(contrib, col("node") === col("dst"), "left_outer")
-          .crossJoin(broadcast(dangling))
-          .select(col("node"),
-            (lit(base) + expr(halfAway(
-              s"85 * (coalesce(s, 0) + ${halfAway("dg", n.toString)})", "100")))
-              .as("r")))
+        if (!hasSinks && !hasNoInflow)
+          contrib.select(col("dst").as("node"),
+            (lit(base) + expr(halfAway("85 * s", "100"))).as("r"))
+        else {
+          // sink mass this round: the (static, usually tiny) sink set's
+          // current ranks fold to a single broadcast row
+          val dangling = ranks
+            .join(broadcast(sinks.select(col("node"))), Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dg"))
+          nodes.join(contrib, col("node") === col("dst"), "left_outer")
+            .crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(base) + expr(halfAway(
+                s"85 * (coalesce(s, 0) + ${halfAway("dg", n.toString)})", "100")))
+                .as("r"))
+        })
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }

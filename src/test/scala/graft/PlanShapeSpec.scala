@@ -162,4 +162,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
       s"the window must consume the aggregated margin grid:\n$plan")
   }
+
+  test("x109 PII scrub: map-only — no join, no window, no exchange beyond the scan") {
+    val plan = planOf("x109_pii_scrub")
+    assert(!plan.contains("Join"), s"scrub must not join:\n$plan")
+    assert(!plan.contains("Window"), s"scrub has no window:\n$plan")
+  }
+
+  test("x110 mSPRT: sufficient statistics only — no window, no cartesian") {
+    val plan = planOf("x110_msprt")
+    assert(!plan.contains("Window"),
+      s"the monitor is hash-aggs over exact sums, never a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x108 k-anonymize: class-level joins only — no window over the corpus") {
+    val plan = planOf("x108_k_anonymize")
+    assert(!plan.contains("Window"),
+      s"ladder decisions are class-size aggs + semi/anti joins, never a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x112 survival: windows run over the aggregated lifetime grid, not the event log") {
+    val plan = planOf("x112_survival")
+    val lines = plan.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"expected the cumulative-product window:\n$plan")
+    assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      s"the window must consume the per-lifetime aggregate, not raw events:\n$plan")
+  }
 }
