@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -360,6 +360,14 @@ object Graft {
   def raterAgreement(a: DataFrame, b: DataFrame, idCol: String,
       aKeepCol: String, bKeepCol: String): DataFrame =
     Extensions39.raterAgreement(a, b, idCol, aKeepCol, bKeepCol)
+
+  /** Batch-means 95% CI for the mean of an integer per-row metric:
+    * deterministic md5 batches, exact integer sums, t-interval from the
+    * micro-quantized batch means — error bars in one aggregation.
+    */
+  def batchMeansCi(rel: DataFrame, keyCol: String,
+      metric: Column, s: Int = 20): DataFrame =
+    Extensions40.batchMeansCi(rel, keyCol, metric, s)
 
   /** Mann–Whitney rank AUC of a scored table against binary labels. */
   def rankAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame =
