@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -348,6 +348,14 @@ object Graft {
       labeled: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame =
     Extensions26.trainAndScore(labeled, idCol, textCol, labelCol)
+
+  /** T5-style span-corruption (input, target) pair generation with
+    * deterministic md5 span selection — reproducible denoising data
+    * with no RNG state; fixed blocks keep spans non-overlapping with
+    * no sequential scan. */
+  def spanCorruptionPairs(corpus: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3, maskPermille: Int = 150): DataFrame =
+    Extensions41.spanCorruptionPairs(corpus, idCol, textCol, spanLen, maskPermille)
 
   /** Top-k PMI word collocations (ln-sum form — corpus-scale counts
     * never multiply; rounded before ranking). */
