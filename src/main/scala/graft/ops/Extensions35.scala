@@ -54,6 +54,9 @@ object Extensions35 {
       "kAnonymize: every ladder level must emit the same quasi columns")
     require(!qNames.contains("level") && !(qNames :+ "level").contains(idCol),
       "kAnonymize: quasi columns must not collide with the id/level output")
+    require(qNames.intersect(rel.columns.toSeq).isEmpty,
+      s"kAnonymize: quasi output names ${qNames.mkString(",")} must not shadow " +
+        "input columns — later ladder levels read the originals")
     val qCols = qNames.map(col)
     var remaining = Extensions.materialized(rel)
     var released: Option[DataFrame] = None
