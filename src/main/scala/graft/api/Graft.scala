@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -41,6 +41,15 @@ object Graft {
       corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleSize: Int = 5): DataFrame =
     Extensions.jaccardPairs(corpus, idCol, textCol, threshold, shingleSize)
+
+  /** Expected-recall table for every (bands x rows) LSH geometry of a
+    * signature budget, measured over THIS corpus's observed near-dup
+    * pair mass — price the miss rate before committing a signing run.
+    */
+  def lshRecallPlanner(corpus: DataFrame, idCol: String, textCol: String,
+      nPerms: Int = 32, pairThreshold: Double = 0.3,
+      shingleSize: Int = 5): DataFrame =
+    Extensions42.lshRecallPlanner(corpus, idCol, textCol, nPerms, pairThreshold, shingleSize)
 
   /** MinHash+LSH near-duplicate pairs (banded signatures for candidates,
     * exact Jaccard verification). Same contract as [[jaccardNearDupPairs]]
