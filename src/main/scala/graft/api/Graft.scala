@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -41,6 +41,15 @@ object Graft {
       corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleSize: Int = 5): DataFrame =
     Extensions.jaccardPairs(corpus, idCol, textCol, threshold, shingleSize)
+
+  /** Hard-negative mining for contrastive training: BM25's top
+    * candidates with the near-duplicate positives anti-joined away —
+    * the lexically-confusable non-matches that actually teach.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, candK: Int = 10,
+      dupThreshold: Double = 0.3, shingleSize: Int = 5): DataFrame =
+    Extensions43.hardNegatives(corpus, queries, idCol, textCol, k, candK, dupThreshold, shingleSize)
 
   /** Expected-recall table for every (bands x rows) LSH geometry of a
     * signature budget, measured over THIS corpus's observed near-dup
