@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -424,6 +424,24 @@ object Graft {
   def calibrateThreshold(scored: DataFrame, marginCol: String,
       labelCol: String, targetPermille: Int = 900): DataFrame =
     Extensions32.calibrateThreshold(scored, marginCol, labelCol, targetPermille)
+
+  /** Reliability table + expected calibration error over scored+labeled
+    * rows (equal-width confidence bins): does "0.9 keep-probability"
+    * actually keep 90% right? The companion diagnostic to
+    * [[calibrateThreshold]] before trusting scores as probabilities.
+    */
+  def calibrationReport(scored: DataFrame, marginCol: String,
+      labelCol: String, bins: Int = 10): DataFrame =
+    Extensions44.calibrationReport(scored, marginCol, labelCol, bins)
+
+  /** Bradley–Terry strengths from pairwise comparison counts (fixed MM
+    * rounds, ghost-game regularization) — the preference model behind
+    * RLHF reward data and arena-style leaderboards. `games` has one row
+    * per ordered (player, opponent) with games played and games won.
+    */
+  def bradleyTerry(games: DataFrame, playerCol: String, oppCol: String,
+      nCol: String, wCol: String, iters: Int = 6): DataFrame =
+    Extensions44.bradleyTerry(games, playerCol, oppCol, nCol, wCol, iters)
 
   /** Per-doc cross-entropy under an interpolated corpus bigram LM —
     * catches locally-incoherent text a unigram model scores as normal.
