@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -984,6 +984,14 @@ object Graft {
       iters: Int = 5, saltBuckets: Int = 1): DataFrame =
     Extensions30.labelPropagation(edges, aCol, bCol, iters, saltBuckets)
 
+  /** k-core of an undirected edge list (iterative degree peeling,
+    * Seidman 1983): surviving (node, within-core degree). The dense-
+    * backbone extractor — size `iters` to the expected peel depth.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int = 3,
+      iters: Int = 6): DataFrame =
+    Extensions45.kCore(edges, aCol, bCol, k, iters)
+
   /** One-pass embedding health report per label: mean squared norm, mean
     * pairwise dot (via the sum-vector identity — no pair enumeration),
     * anisotropy (collapse detector). The gate before any ANN/dedup stage.
@@ -1049,6 +1057,22 @@ object Graft {
       valueCol: String, splitTs: String,
       tauSqCents2: Double = 1.0e8d): DataFrame =
     Extensions36.msprtReadout(events, userCol, tsCol, valueCol, splitTs, tauSqCents2)
+
+  /** Sample-ratio-mismatch gate: chi-square of observed arm counts
+    * against the design permilles — run it before ANY readout
+    * ([[cupedReadout]]/[[msprtReadout]] are invalid under SRM).
+    */
+  def srmCheck(assignments: DataFrame, armCol: String,
+      design: Seq[(String, Int)], critMicro: Long = 3841459L): DataFrame =
+    Extensions45.srmCheck(assignments, armCol, design, critMicro)
+
+  /** Benford first-digit audit of a positive amount column: per-digit
+    * observed vs log10(1+1/d) expectation + chi-square flag — the
+    * synthetic/corrupt-feed forensic.
+    */
+  def benfordAudit(rel: DataFrame, amountCol: String,
+      critMicro: Long = 15507313L): DataFrame =
+    Extensions45.benfordAudit(rel, amountCol, critMicro)
 
   /** k-anonymization by generalization + suppression: rows climb the
     * supplied coarsening ladder level by level until their class reaches
