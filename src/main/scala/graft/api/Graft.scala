@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -1057,6 +1057,23 @@ object Graft {
       valueCol: String, splitTs: String,
       tauSqCents2: Double = 1.0e8d): DataFrame =
     Extensions36.msprtReadout(events, userCol, tsCol, valueCol, splitTs, tauSqCents2)
+
+  /** Confusion-matrix model card (tp/fp/fn/tn, accuracy, precision,
+    * recall, F1) of scored+labeled rows at a [[calibrateThreshold]]
+    * gate row — the card a deployed filter ships with; composes
+    * train → calibrate → evaluate into one plan.
+    */
+  def classifierReport(scored: DataFrame, marginCol: String,
+      labelCol: String, gate: DataFrame): DataFrame =
+    Extensions46.classifierReport(scored, marginCol, labelCol, gate)
+
+  /** Difference-in-differences readout: effect = Δtreatment − Δcontrol
+    * of per-unit (post − pre) value, with two-sample se and t — the
+    * pre/post causal estimate when assignment isn't randomized.
+    */
+  def didReadout(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitTs: String): DataFrame =
+    Extensions46.didReadout(events, userCol, tsCol, valueCol, splitTs)
 
   /** Sample-ratio-mismatch gate: chi-square of observed arm counts
     * against the design permilles — run it before ANY readout
