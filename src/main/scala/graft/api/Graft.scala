@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -999,6 +999,16 @@ object Graft {
   def embeddingHealth(vectors: DataFrame, labelCol: String, vecCol: String,
       dim: Int = 0): DataFrame =
     Extensions30.embeddingHealth(vectors, labelCol, vecCol, dim)
+
+  /** Dominant direction of the embedding second-moment matrix via
+    * matrix-free power iteration (C·w as one aggregation per round —
+    * no d×d matrix, no vector shuffle): the anisotropy axis to project
+    * out before cosine retrieval, with its variance share. Quantifies
+    * the collapse [[embeddingHealth]] detects.
+    */
+  def pcaPowerIteration(vectors: DataFrame, vecCol: String,
+      dim: Int = Extensions47.Dim, iters: Int = 6): DataFrame =
+    Extensions47.pcaPowerIteration(vectors, vecCol, dim, iters)
 
   // ---- similarity join (record linkage) -------------------------------------
 
