@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -1009,6 +1009,15 @@ object Graft {
   def pcaPowerIteration(vectors: DataFrame, vecCol: String,
       dim: Int = Extensions47.Dim, iters: Int = 6): DataFrame =
     Extensions47.pcaPowerIteration(vectors, vecCol, dim, iters)
+
+  /** All-but-the-top correction (Mu & Viswanath 2018): every vector
+    * with the [[pcaPowerIteration]] direction projected out, in exact
+    * micro units — the post-processing that sharpens cosine retrieval
+    * on anisotropic embeddings. Map-only after the iteration.
+    */
+  def allButTop(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int = Extensions47.Dim, iters: Int = 6): DataFrame =
+    Extensions48.allButTop(vectors, idCol, vecCol, dim, iters)
 
   // ---- similarity join (record linkage) -------------------------------------
 
