@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -1109,6 +1109,21 @@ object Graft {
   def benfordAudit(rel: DataFrame, amountCol: String,
       critMicro: Long = 15507313L): DataFrame =
     Extensions45.benfordAudit(rel, amountCol, critMicro)
+
+  /** Heaps-law vocabulary-growth fit V ≈ K·T^β over id-order corpus
+    * prefixes — the tokenizer-vocab / dedup-rate planning constant.
+    * One corpus pass; every checkpoint is a conditional count.
+    */
+  def heapsFit(corpus: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 10): DataFrame =
+    Extensions49.heapsFit(corpus, idCol, textCol, checkpoints)
+
+  /** Cumulative revenue per signup cohort by month/week offset, per
+    * cohort member — the pricing sibling of cohort retention.
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, granularity: String = "month"): DataFrame =
+    Extensions49.cohortLtv(events, userCol, tsCol, valueCol, granularity)
 
   /** k-anonymization by generalization + suppression: rows climb the
     * supplied coarsening ladder level by level until their class reaches
