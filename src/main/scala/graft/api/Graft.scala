@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -50,6 +50,14 @@ object Graft {
       textCol: String, k: Int = 5, candK: Int = 10,
       dupThreshold: Double = 0.3, shingleSize: Int = 5): DataFrame =
     Extensions43.hardNegatives(corpus, queries, idCol, textCol, k, candK, dupThreshold, shingleSize)
+
+  /** Top-weighted ranking agreement (RBO_EXT) between two (q_id, c_id,
+    * rk) rankings of the same queries — identical lists read 1.0,
+    * rank-1 disagreement costs most.
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int = 5,
+      p: Double = 0.9): DataFrame =
+    Extensions50.rankBiasedOverlap(a, b, k, p)
 
   /** Expected-recall table for every (bands x rows) LSH geometry of a
     * signature budget, measured over THIS corpus's observed near-dup
@@ -991,6 +999,21 @@ object Graft {
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int = 3,
       iters: Int = 6): DataFrame =
     Extensions45.kCore(edges, aCol, bCol, k, iters)
+
+  /** Newman degree-assortativity coefficient of an undirected edge
+    * list: r > 0 hubs-with-hubs, r < 0 hubs-with-leaves — the shape
+    * prior that predicts whether hub-salting will matter.
+    */
+  def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    Extensions50.assortativity(edges, aCol, bCol)
+
+  /** Modularity + per-community conductance of a labeled partition —
+    * the "are these communities real" eval for [[labelPropagation]]
+    * output.
+    */
+  def communityMetrics(edges: DataFrame, labels: DataFrame, aCol: String,
+      bCol: String, nodeCol: String, commCol: String): DataFrame =
+    Extensions50.communityMetrics(edges, labels, aCol, bCol, nodeCol, commCol)
 
   /** One-pass embedding health report per label: mean squared norm, mean
     * pairwise dot (via the sum-vector identity — no pair enumeration),

@@ -101,8 +101,12 @@ object Extensions30 {
       .orderBy(col("node"))
   }
 
-  private val x100OracleSql: String = {
-    val rounds = (1 to 5).map { t =>
+  /** The x100 replay chain (purchase graph + `iters` vote rounds,
+    * final labels in `l{iters}`) — shared with the community-metrics
+    * oracle (x133).
+    */
+  private[ops] def lpOracleChain(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
       s"""
     v$t AS (SELECT e.dst AS n, l.label FROM e JOIN l${t - 1} l ON e.src = l.node
             UNION ALL SELECT node AS n, label FROM l${t - 1}),
@@ -120,13 +124,15 @@ object Extensions30 {
     e AS MATERIALIZED (
       SELECT cust AS src, supp AS dst FROM pairs
       UNION SELECT supp AS src, cust AS dst FROM pairs),
-    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),$rounds
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),$rounds"""
+  }
+
+  private val x100OracleSql: String = lpOracleChain(5) + s"""
     SELECT l.node, l.label AS community, s.community_size
     FROM l5 l JOIN (SELECT label AS community, count(*) AS community_size
                     FROM l5 GROUP BY label) s
       ON l.label = s.community
     ORDER BY l.node"""
-  }
 
   // ---- x101: embedding health report -----------------------------------------
 
