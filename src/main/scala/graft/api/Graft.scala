@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -1116,6 +1116,30 @@ object Graft {
   def didReadout(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, splitTs: String): DataFrame =
     Extensions46.didReadout(events, userCol, tsCol, valueCol, splitTs)
+
+  /** The x110 always-valid monitor per metric group (e.g. per event
+    * type) in one plan: (group, n_control, n_treatment, delta,
+    * p_always_valid). Feed into [[bhCorrect]].
+    */
+  def msprtByGroup(events: DataFrame, groupCol: String, userCol: String,
+      tsCol: String, valueCol: String, splitTs: String,
+      tauSqCents2: Double = 1.0e8d): DataFrame =
+    Extensions51.msprtByGroup(events, groupCol, userCol, tsCol, valueCol,
+      splitTs, tauSqCents2)
+
+  /** Benjamini–Hochberg step-up FDR control over a (key, p) hypothesis
+    * table — the correction a multi-metric readout owes its reader.
+    */
+  def bhCorrect(pvals: DataFrame, keyCol: String, pCol: String,
+      alphaPermille: Int = 50): DataFrame =
+    Extensions51.bhCorrect(pvals, keyCol, pCol, alphaPermille)
+
+  /** Per-decile treatment effect of the outcome distribution — the
+    * distributional readout a mean effect can hide.
+    */
+  def quantileTreatmentEffects(events: DataFrame, userCol: String,
+      tsCol: String, valueCol: String, splitTs: String): DataFrame =
+    Extensions51.quantileTreatmentEffects(events, userCol, tsCol, valueCol, splitTs)
 
   /** Sample-ratio-mismatch gate: chi-square of observed arm counts
     * against the design permilles — run it before ANY readout
