@@ -72,4 +72,35 @@ object GraphStore {
       spark: SparkSession, table: String, iters: Int = 5,
       saltBuckets: Int = 1): DataFrame =
     Extensions30.labelPropagationLoop(spark.table(table), iters, saltBuckets)
+
+  /** k-core peel over a [[writeSymmetrizedEdges]] table. On the
+    * symmetric relation the per-round degree is `groupBy(src)` alone
+    * (no two-direction union), so the bucketed layout makes EVERY
+    * round's degree aggregation exchange-free; the shrinking edge set
+    * stays a filter chain over the bucketed scan (semi-joins against
+    * the broadcast O(surviving-nodes) kept set — only that tiny set is
+    * ever materialized per round, so bucketing survives all rounds).
+    * Round r re-evaluates r broadcast filters over one scan —
+    * O(iters) scans of the stored table total, zero edge shuffles;
+    * results are value-identical to [[Extensions45.kCore]]
+    * (GraphStoreSpec asserts both).
+    */
+  def kCoreFromTable(
+      spark: SparkSession, table: String, k: Int = 3,
+      iters: Int = 6): DataFrame = {
+    var e = spark.table(table).select(col("src"), col("dst"))
+    for (_ <- 1 to iters) {
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val kept = Extensions.materialized(
+        deg.filter(col("dg") >= k).select(col("src").as("node")))
+      e = e.join(broadcast(kept.select(col("node").as("src"))),
+          Seq("src"), "left_semi")
+        .join(broadcast(kept.select(col("node").as("dst"))),
+          Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+      .orderBy(col("node"))
+  }
 }

@@ -67,4 +67,29 @@ class GraphStoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("kCoreFromTable is value-identical to the in-memory peel") {
+    import spark.implicits._
+    // triangle + 2-node tail: the tail peels over TWO rounds (cascade)
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    GraphStore.writeSymmetrizedEdges(g, "a", "b", "gs_kcore_edges", buckets = 4)
+    val a = graft.ops.Extensions45.kCore(g, "a", "b", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = GraphStore.kCoreFromTable(spark, "gs_kcore_edges", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, s"store peel must match in-memory: $a vs $b")
+  }
+
+  test("k-core degree aggregation over the bucketed table is exchange-free") {
+    import spark.implicits._
+    GraphStore.writeSymmetrizedEdges(edges30, "src", "dst", "gs_kcore_plan",
+      buckets = 4)
+    val deg = spark.table("gs_kcore_plan").groupBy("src")
+      .agg(count(lit(1)).as("dg"))
+    deg.count()
+    val n = deg.queryExecution.executedPlan.toString.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(n == 0, s"bucketed degree agg must not exchange, got $n")
+  }
 }
