@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -1156,6 +1156,21 @@ object Graft {
   def benfordAudit(rel: DataFrame, amountCol: String,
       critMicro: Long = 15507313L): DataFrame =
     Extensions45.benfordAudit(rel, amountCol, critMicro)
+
+  /** CUSUM changepoint: WHERE the level of a value stream shifted —
+    * the follow-up to [[psiDrift]]'s "something drifted" alarm.
+    */
+  def cusumChangepoint(events: DataFrame, tsCol: String, valueCol: String,
+      granularity: String = "day"): DataFrame =
+    Extensions52.cusumChangepoint(events, tsCol, valueCol, granularity)
+
+  /** Code/markup/template residue audit of a text corpus — per pattern
+    * family: documents hit, hit rate, total matches. One corpus pass
+    * for all families.
+    */
+  def contaminationScan(corpus: DataFrame, textCol: String,
+      patterns: Seq[(String, String)] = Extensions52.ContaminationPatterns): DataFrame =
+    Extensions52.contaminationScan(corpus, textCol, patterns)
 
   /** Heaps-law vocabulary-growth fit V ≈ K·T^β over id-order corpus
     * prefixes — the tokenizer-vocab / dedup-rate planning constant.
