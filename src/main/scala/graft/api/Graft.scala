@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -1171,6 +1171,41 @@ object Graft {
   def contaminationScan(corpus: DataFrame, textCol: String,
       patterns: Seq[(String, String)] = Extensions52.ContaminationPatterns): DataFrame =
     Extensions52.contaminationScan(corpus, textCol, patterns)
+
+  /** Isotonic (PAV) calibration map from an exact micro-margin score to
+    * P(label=1) — the operator that FIXES what [[classifierReport]]'s
+    * ECE measures. Closed-form minimax over the aggregated score grid;
+    * iso_rate is monotone non-decreasing by construction.
+    */
+  def isotonicCalibrate(scored: DataFrame, marginCol: String,
+      labelCol: String): DataFrame =
+    Extensions54.isotonicCalibrate(scored, marginCol, labelCol)
+
+  /** Top-k tokens by 2×2 chi-square association with a boolean document
+    * label — the feature audit behind a hashed bag-of-words classifier:
+    * if the top tokens are markup residue, the model learned the
+    * extractor, not the language.
+    */
+  def chiSquareTokens(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, topK: Int = 50, minDf: Long = 5L): DataFrame =
+    Extensions54.chiSquareTokens(labeled, idCol, textCol, labelCol, topK, minDf)
+
+  /** Additive seasonal decomposition of a daily metric: centered 7-day
+    * trend, day-of-week seasonal index, residual, and a |r| > 3·mean|r|
+    * anomaly flag — tells [[cusumChangepoint]]'s "it shifted" apart
+    * from "that's just Saturday".
+    */
+  def seasonalDecompose(events: DataFrame, tsCol: String,
+      valueCol: String): DataFrame =
+    Extensions53.seasonalDecompose(events, tsCol, valueCol)
+
+  /** Per-group robust outlier report: median/MAD modified z-scores
+    * (Iglewicz–Hoaglin 3.5 gate) — the outlier count a single billing
+    * glitch cannot drag toward itself the way mean/stddev can.
+    */
+  def robustOutliers(rel: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    Extensions53.robustOutliers(rel, groupCol, valueCol)
 
   /** Heaps-law vocabulary-growth fit V ≈ K·T^β over id-order corpus
     * prefixes — the tokenizer-vocab / dedup-rate planning constant.
