@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -1171,6 +1171,23 @@ object Graft {
   def contaminationScan(corpus: DataFrame, textCol: String,
       patterns: Seq[(String, String)] = Extensions52.ContaminationPatterns): DataFrame =
     Extensions52.contaminationScan(corpus, textCol, patterns)
+
+  /** TextRank keywords: PageRank over the ±2-window word co-occurrence
+    * graph — unsupervised keyword extraction, ranks in the same
+    * micro-unit longs as [[pageRank]].
+    */
+  def textRankKeywords(corpus: DataFrame, idCol: String, textCol: String,
+      topK: Int = 30, minLen: Int = 4): DataFrame =
+    Extensions55.textRankKeywords(corpus, idCol, textCol, topK, minLen)
+
+  /** Declarative data-quality audit: not-null / unique / range /
+    * accepted-values / referential integrity, one row per check —
+    * scalar checks share ONE aggregation pass; each FK is one broadcast
+    * anti-join. The gate a pipeline runs before it trusts a drop.
+    */
+  def expectationsAudit(rel: DataFrame,
+      checks: Seq[Extensions55.Expectation]): DataFrame =
+    Extensions55.expectationsAudit(rel, checks)
 
   /** Isotonic (PAV) calibration map from an exact micro-margin score to
     * P(label=1) — the operator that FIXES what [[classifierReport]]'s
