@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -1171,6 +1171,22 @@ object Graft {
   def contaminationScan(corpus: DataFrame, textCol: String,
       patterns: Seq[(String, String)] = Extensions52.ContaminationPatterns): DataFrame =
     Extensions52.contaminationScan(corpus, textCol, patterns)
+
+  /** Per-query MAP@k / MRR against a binary relevance set — the
+    * [[ndcgAtK]] sibling for ungraded relevance; AP numerators are
+    * exact integers over the lcm(1..k) common denominator.
+    */
+  def mapMrrAtK(ranking: DataFrame, rel: DataFrame, k: Int): DataFrame =
+    Extensions56.mapMrrAtK(ranking, rel, k)
+
+  /** Split-conformal prediction sets for a binary scored table:
+    * distribution-free coverage calibrated on an md5-split holdout,
+    * reported as empirical coverage + average set size per target
+    * level — the finite-sample guarantee point calibration can't give.
+    */
+  def conformalGate(scored: DataFrame, idCol: String, marginCol: String,
+      labelCol: String, levels: Seq[Int] = Seq(900, 950, 990)): DataFrame =
+    Extensions56.conformalGate(scored, idCol, marginCol, labelCol, levels)
 
   /** TextRank keywords: PageRank over the ±2-window word co-occurrence
     * graph — unsupervised keyword extraction, ranks in the same

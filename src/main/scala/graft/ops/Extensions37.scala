@@ -65,7 +65,7 @@ object Extensions37 {
   /** Distinct lowercase word n-gram strings per doc (bound token array
     * before the HOF lambda — the PLANS.md discipline).
     */
-  private def gramTable(docs: DataFrame, idCol: String, textCol: String,
+  private[ops] def gramTable(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val tk = col("tk")
     docs.select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("tk"))
@@ -79,7 +79,7 @@ object Extensions37 {
     * grams ⋈ corpus grams — never corpus×corpus), similarity rounded
     * 4dp BEFORE ranking, ties to c_id.
     */
-  private def jaccardRanking(
+  private[ops] def jaccardRanking(
       docs: DataFrame, qMax: Long, n: Int, k: Int): DataFrame = {
     val grams = Extensions.materialized(gramTable(docs, "doc_id", "text", n))
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -116,7 +116,7 @@ object Extensions37 {
   /** Unigram-Jaccard grades for all (query ≤ qMax, candidate) pairs
     * with any token overlap — grade = floor(4·round(jac, 4)).
     */
-  private def jaccardLike(d: DataFrame, qMax: Long): DataFrame = {
+  private[ops] def jaccardLike(d: DataFrame, qMax: Long): DataFrame = {
     val grams = Extensions.materialized(gramTable(d, "doc_id", "text", 1))
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     grams.filter(col("doc_id") <= qMax)
