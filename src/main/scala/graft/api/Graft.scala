@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -1171,6 +1171,21 @@ object Graft {
   def contaminationScan(corpus: DataFrame, textCol: String,
       patterns: Seq[(String, String)] = Extensions52.ContaminationPatterns): DataFrame =
     Extensions52.contaminationScan(corpus, textCol, patterns)
+
+  /** Simple Good–Turing count-of-counts: adjusted counts r* and the
+    * unseen probability mass N_1/N — prices the vocabulary tail that
+    * [[zipfFit]] and [[heapsFit]] only chart.
+    */
+  def goodTuring(corpus: DataFrame, textCol: String): DataFrame =
+    Extensions58.goodTuring(corpus, textCol)
+
+  /** Cochran-Mantel-Haenszel stratified odds ratio: per-stratum 2x2
+    * tables + the MH-pooled estimate a confounded marginal table
+    * (Simpson's paradox) gets wrong.
+    */
+  def cmhOddsRatio(subjects: DataFrame, stratumCol: String,
+      exposedCol: String, outcomeCol: String): DataFrame =
+    Extensions58.cmhOddsRatio(subjects, stratumCol, exposedCol, outcomeCol)
 
   /** "Customers who bought this also bought": top-k cosine-normalized
     * basket co-occurrence per item — pairs enumerate per basket, never
