@@ -175,9 +175,11 @@ object Extensions55 {
     import spark.implicits._
     val aggs = scalar.map { case (_, i, c) => c.as(s"v$i") } :+
       count(lit(1)).as("n")
-    val wide =
+    // materialized: the 1-row wide aggregate feeds both the scalar spine
+    // and every FK row — without this the audited table re-scans per use
+    val wide = Extensions.materialized(
       if (scalar.nonEmpty) rel.agg(aggs.head, aggs.tail: _*)
-      else rel.agg(count(lit(1)).as("n"))
+      else rel.agg(count(lit(1)).as("n")))
     val spine = scalar.map { case (name, i, _) => (name, i) }
       .toDF("check_name", "i")
     def pick = scalar.map { case (_, i, _) =>
