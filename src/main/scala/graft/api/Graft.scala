@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, GraphStore, IvfStore, ModelStore, Multimodal, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -1171,6 +1171,24 @@ object Graft {
   def contaminationScan(corpus: DataFrame, textCol: String,
       patterns: Seq[(String, String)] = Extensions52.ContaminationPatterns): DataFrame =
     Extensions52.contaminationScan(corpus, textCol, patterns)
+
+  /** Interrupted time series: pre-period OLS trend extrapolated as the
+    * counterfactual; effect = actual − predicted per day + cumulative.
+    * [[cusumChangepoint]] says WHERE the series shifted; this prices
+    * what the shift was worth.
+    */
+  def interruptedTimeSeries(events: DataFrame, tsCol: String,
+      valueCol: String, interventionDay: String): DataFrame =
+    Extensions62.interruptedTimeSeries(events, tsCol, valueCol,
+      interventionDay)
+
+  /** Mann-Whitney rank-sum A/B test off the value grid — exact ranks
+    * under ties with NO row-level rank window; the robust test that
+    * ignores the whale [[winsorizedReadout]] merely clamps.
+    */
+  def mannWhitney(events: DataFrame, userCol: String,
+      valueCol: String): DataFrame =
+    Extensions62.mannWhitney(events, userCol, valueCol)
 
   /** Cross-correlogram of daily value vs daily activity at every lag in
     * ±k days — does activity lead revenue, or follow it?
