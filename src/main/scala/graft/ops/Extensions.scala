@@ -663,7 +663,7 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
-  private val StopWords: Map[String, Seq[String]] = Map(
+  private[ops] val StopWords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "is", "a"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "la", "les", "et", "est"),
