@@ -1353,6 +1353,18 @@ object Graft {
       hotFactor: Long = 3L, topK: Int = 20): DataFrame =
     Extensions77.hotPartitionReport(log, keyCol, hotFactor, topK)
 
+  /** Measure-then-salt equi-join: the heat report's skew arithmetic
+    * (one per-key agg + a 1-row reduction) picks the salt-bucket
+    * count — 1 (plain join) when no key exceeds hotFactor× the mean
+    * share, else enough buckets to flatten the hottest key to ~mean
+    * load — and routes through the salted join. Result identical to
+    * the plain join; only the shuffle layout changes.
+    */
+  def autoSalted(large: DataFrame, small: DataFrame, key: String,
+      saltSource: Column, hotFactor: Long = 3L,
+      maxBuckets: Int = 64): DataFrame =
+    graft.ops.Scale.autoSalted(large, small, key, saltSource, hotFactor, maxBuckets)
+
   /** Top token-share movers between two corpus releases — what the
     * release did to the LANGUAGE, next to [[corpusDiff]]'s which-docs.
     */
@@ -1629,11 +1641,14 @@ object Graft {
     Extensions60.woeIv(labeled, featureCol, labelCol, nBuckets)
 
   /** Dataset card: one row per column — null/distinct counts, min/max,
-    * 4dp-quantized mean — in ONE aggregation pass; the input
-    * [[expectationsAudit]] contracts get written from.
+    * 4dp-quantized mean; the input [[expectationsAudit]] contracts get
+    * written from. Default distinct counts are HLL
+    * (`approx_count_distinct`, one pass, no Expand amplification — the
+    * 100 TB shape); `exactDistinct = true` runs one column-pruned
+    * exact pass per column instead.
     */
-  def tableProfile(rel: DataFrame): DataFrame =
-    Extensions59.tableProfile(rel)
+  def tableProfile(rel: DataFrame, exactDistinct: Boolean = false): DataFrame =
+    Extensions59.tableProfile(rel, exactDistinct)
 
   /** Winsorized A/B readout: per-arm [p01,p99] clamps before the mean,
     * so one whale cannot buy a significant lift.

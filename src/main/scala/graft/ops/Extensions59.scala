@@ -9,10 +9,10 @@ import graft.functions.HashFunctions
 /** Fifty-ninth extension batch — know the table, trust the mean:
   *
   *  - table profile (x150): the dataset card — one row per column with
-  *    null count, exact distinct count, min/max, and a 4dp-quantized
-  *    mean for numerics, computed in ONE aggregation pass over the
-  *    table. The first thing a pipeline prints about a drop it has
-  *    never seen (and the input x143's expectations get written from).
+  *    null count, distinct count (HLL by default, exact on demand),
+  *    min/max, and a 4dp-quantized mean for numerics. The first thing
+  *    a pipeline prints about a drop it has never seen (and the input
+  *    x143's expectations get written from).
   *  - winsorized readout (x151): the robust A/B mean — clamp each
   *    user's metric to the arm's [p01, p99] before averaging (Tukey's
   *    winsorization; standard heavy-tail practice), so one whale
@@ -35,16 +35,30 @@ object Extensions59 {
     * Numeric columns fill min_num/max_num/mean (mean = 4dp-quantized:
     * per-row round(1e4·x) summed as longs, one half-away division);
     * strings and timestamps fill min_str/max_str (timestamps as
-    * 'yyyy-MM-dd HH:mm:ss' UTC). Distinct counts are EXACT.
+    * 'yyyy-MM-dd HH:mm:ss' UTC).
     *
-    * Scale: ONE aggregation pass computes every column's statistics as
-    * parallel aggregate expressions (the distinct counts expand to the
-    * standard multi-count-distinct plan); the per-column rows come from
-    * a broadcast spine over the single wide result — column count never
-    * multiplies table scans. Headroom: a numeric column sums ~1e4·|x|
-    * per row — exact to ~9e14 row-value mass.
+    * Distinct counts: the DEFAULT card uses `approx_count_distinct`
+    * (HLL++, 2% rsd) — a regular mergeable aggregate that rides the
+    * single profile pass with zero plan amplification; this is the
+    * 100 TB shape. `exactDistinct = true` keeps EXACT counts for
+    * audit/oracle parity — but NOT via the multi-count-distinct
+    * Aggregate, which compiles to an Expand node replicating every
+    * input row once per distinct-aggregated column (a ~#columns×
+    * shuffle amplification of the full row width). Instead each
+    * column's exact distinct count runs as its OWN column-pruned
+    * aggregation (scan reads ONE column; shuffle carries distinct
+    * values only) and the 1-row results broadcast back onto the wide
+    * row. Total bytes scanned ≈ one full-table pass either way;
+    * shuffled bytes collapse from #cols × full rows to Σ per-column
+    * distinct values.
+    *
+    * Scale: every other statistic is a parallel aggregate expression in
+    * ONE pass; the per-column rows come from a broadcast spine over the
+    * single wide result — column count never multiplies full-width
+    * table scans. Headroom: a numeric column sums ~1e4·|x| per row —
+    * exact to ~9e14 row-value mass.
     */
-  def tableProfile(rel: DataFrame): DataFrame = {
+  def tableProfile(rel: DataFrame, exactDistinct: Boolean = false): DataFrame = {
     val fields = rel.schema.fields.toSeq.sortBy(_.name)
     require(fields.nonEmpty)
     def isNum(t: DataType) = t match {
@@ -54,9 +68,11 @@ object Extensions59 {
     }
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f.name)
-      val base = Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn$i"),
-        count_distinct(c).as(s"nd$i"))
+      val base =
+        if (exactDistinct) Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn$i"))
+        else Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn$i"),
+          approx_count_distinct(c, rsd = 0.02).as(s"nd$i"))
       val typed = f.dataType match {
         case t if isNum(t) => Seq(
           min(c.cast("double")).as(s"mn$i"), max(c.cast("double")).as(s"mx$i"),
@@ -71,7 +87,15 @@ object Extensions59 {
       }
       base ++ typed
     } :+ count(lit(1)).as("n")
-    val wide = Extensions.materialized(rel.agg(aggs.head, aggs.tail: _*))
+    val base = rel.agg(aggs.head, aggs.tail: _*)
+    val wide = Extensions.materialized(
+      if (!exactDistinct) base
+      else fields.zipWithIndex.foldLeft(base) { case (acc, (f, i)) =>
+        // one column-pruned pass per column: no Expand, distinct-value
+        // shuffle only; 1-row result broadcasts onto the wide row
+        acc.crossJoin(broadcast(
+          rel.agg(count_distinct(col(f.name)).as(s"nd$i"))))
+      })
     val spark = rel.sparkSession
     import spark.implicits._
     // NTZ vs instant timestamps are a parquet-encoding accident of the
@@ -110,9 +134,12 @@ object Extensions59 {
       .orderBy(col("column"))
   }
 
-  /** x150: dataset card of the orders fixture. */
+  /** x150: dataset card of the orders fixture — the EXACT variant, for
+    * oracle parity (DuckDB replays exact count(DISTINCT)); the default
+    * approx card is spec-verified against it within HLL tolerance.
+    */
   def x150Profile(s: SparkSession, dir: String): DataFrame =
-    tableProfile(Tables.load(s, dir, "orders"))
+    tableProfile(Tables.load(s, dir, "orders"), exactDistinct = true)
 
   private val x150OracleSql: String = """
       WITH w AS (SELECT count(*) AS n,

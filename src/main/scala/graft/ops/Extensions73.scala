@@ -29,22 +29,36 @@ object Extensions73 {
 
   // ---- x178: churn-rate fit ----------------------------------------------------
 
-  /** Geometric churn fit: r_k = users active in week k after their
-    * first event / total users, for k = 1..`maxK`; OLS of micro-
+  /** Geometric churn fit: r_k = cohort users active in week k after
+    * their first event / cohort size, for k = 1..`maxK`; OLS of micro-
     * quantized ln(r_k) on k gives slope = ln(1−churn). Output one row:
     * (n_points, r_1, slope, weekly_churn, r2) — churn = 1 − e^slope,
     * NULL when fewer than 2 non-zero points survive.
     *
-    * Scale: one user hash-agg pins first events; one (user, offset)
-    * distinct + offset hash-agg builds the K-row retention vector; the
-    * OLS touches K rows.
+    * Censoring: the cohort is restricted to users whose first event is
+    * at least `maxK` weeks before the end of the log — a user whose
+    * history is right-censored at week j < k CANNOT appear in week k,
+    * so counting them in the denominator biases every r_k (and the
+    * fitted churn) upward. Every r_k therefore divides by users fully
+    * observable through week maxK.
+    *
+    * Scale: one user hash-agg pins first events; a 1-row max-ts agg
+    * broadcast gates the cohort; one (user, offset) distinct + offset
+    * hash-agg builds the K-row retention vector; the OLS touches K
+    * rows.
     */
   def churnRateFit(
       events: DataFrame, userCol: String, tsCol: String,
       maxK: Int = 3): DataFrame = {
     require(maxK >= 2)
+    val weekUs = 604800000000L
+    val maxTs = events.agg(max(unix_micros(col(tsCol))).as("end_us"))
     val firstTs = events.groupBy(col(userCol).as("u"))
       .agg(min(col(tsCol)).as("first_ts"))
+      .crossJoin(broadcast(maxTs))
+      .filter(unix_micros(col("first_ts")) <=
+        col("end_us") - lit(maxK.toLong * weekUs))
+      .select(col("u"), col("first_ts"))
     val nUsers = firstTs.agg(count(lit(1)).as("nu"))
     val active = events.select(col(userCol).as("u"), col(tsCol).as("ts"))
       .join(firstTs, Seq("u"))
@@ -80,13 +94,16 @@ object Extensions73 {
     churnRateFit(Tables.load(s, dir, "events"), "user_id", "ts")
 
   private val x178OracleSql: String = """
-      WITH ft AS (SELECT user_id AS u, min(ts) AS first_ts
-                  FROM events GROUP BY user_id),
-      nu AS (SELECT count(*) AS nu FROM ft),
+      WITH mx AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+      ft AS (SELECT user_id AS u, min(ts) AS first_ts
+             FROM events GROUP BY user_id),
+      coh AS (SELECT ft.u, ft.first_ts FROM ft, mx
+              WHERE epoch_us(ft.first_ts) <= mx.end_us - 3 * 604800000000),
+      nu AS (SELECT count(*) AS nu FROM coh),
       act AS (SELECT DISTINCT e.user_id AS u,
-                CAST(floor((epoch_us(e.ts) - epoch_us(ft.first_ts))
+                CAST(floor((epoch_us(e.ts) - epoch_us(coh.first_ts))
                   / 604800000000.0) AS BIGINT) AS k
-              FROM events e JOIN ft ON ft.u = e.user_id),
+              FROM events e JOIN coh ON coh.u = e.user_id),
       rk AS (SELECT k, count(*) AS a FROM act
              WHERE k >= 1 AND k <= 3 GROUP BY k),
       pts AS (SELECT k, a, nu.nu,
@@ -101,13 +118,16 @@ object Extensions73 {
                     THEN ((a * 10000 * 2 + nu) // (2 * nu)) / 10000.0 END) AS r1
               FROM pts)
       SELECT np AS n_points, r1 AS r_1,
-             round(CAST(np * skl - sk * sl AS DOUBLE) / (np * skk - sk * sk)
-                   / 1e6 * 10000.0, 0) / 10000.0 AS slope,
-             round((1.0 - exp(CAST(np * skl - sk * sl AS DOUBLE)
-                   / (np * skk - sk * sk) / 1e6)) * 10000.0, 0) / 10000.0 AS weekly_churn,
-             round((CAST(np * skl - sk * sl AS DOUBLE) * (np * skl - sk * sl))
-                   / (CAST(np * skk - sk * sk AS DOUBLE) * (np * sll - sl * sl))
-                   * 10000.0, 0) / 10000.0 AS r2
+             CASE WHEN np * skk - sk * sk <> 0 THEN
+               round(CAST(np * skl - sk * sl AS DOUBLE) / (np * skk - sk * sk)
+                     / 1e6 * 10000.0, 0) / 10000.0 END AS slope,
+             CASE WHEN np * skk - sk * sk <> 0 THEN
+               round((1.0 - exp(CAST(np * skl - sk * sl AS DOUBLE)
+                     / (np * skk - sk * sk) / 1e6)) * 10000.0, 0) / 10000.0 END AS weekly_churn,
+             CASE WHEN (np * skk - sk * sk) * (np * sll - sl * sl) <> 0 THEN
+               round((CAST(np * skl - sk * sl AS DOUBLE) * (np * skl - sk * sl))
+                     / (CAST(np * skk - sk * sk AS DOUBLE) * (np * sll - sl * sl))
+                     * 10000.0, 0) / 10000.0 END AS r2
       FROM mom"""
 
   // ---- x179: forecast baseline card --------------------------------------------

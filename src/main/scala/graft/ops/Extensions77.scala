@@ -102,21 +102,29 @@ object Extensions77 {
     * threshold. Output top-`topK` by (count desc, id):
     * (key, n_events, share, mean_share, hot).
     *
-    * Scale: one key hash-agg; totals from a window over the key table;
-    * TakeOrdered cut. The same number predicts shuffle skew for every
-    * join keyed on this column — feed the hot keys to
-    * [[Scale.saltedJoin]].
+    * Scale: one key hash-agg; totals from a SECOND 1-row aggregation of
+    * the key table, broadcast back via crossJoin — NOT a global window,
+    * which would move every per-key row (one per distinct id — billions
+    * at scale) through a single task; ironic failure mode for the
+    * operator that DETECTS hot partitions. TakeOrdered cut. The same
+    * number predicts shuffle skew for every join keyed on this column —
+    * feed the hot keys to [[Scale.saltedJoin]] (or let
+    * [[graft.api.Graft.autoSalted]] do it).
+    *
+    * Overflow headroom: `c * 10000 * 2` needs c ≤ 4.6e14 events on ONE
+    * key — a 100 TB log (~1e12 events) cannot reach it even if a single
+    * key owns the entire log.
     */
   def hotPartitionReport(
       log: DataFrame, keyCol: String, hotFactor: Long = 3L,
       topK: Int = 20): DataFrame = {
     val per = log.select(col(keyCol).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("c"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
+    val totals = per.agg(
+      sum(col("c")).cast("long").as("tot"),
+      count(lit(1)).as("nids"))
     per
-      .withColumn("tot", sum(col("c")).over(wAll))
-      .withColumn("nids", count(lit(1)).over(wAll))
+      .crossJoin(broadcast(totals))
       .select(col("k").as("key"), col("c").as("n_events"),
         expr("((c * 10000 * 2 + tot) DIV (2 * tot)) / 10000.0D").as("share"),
         expr("((10000 * 2 + nids) DIV (2 * nids)) / 10000.0D").as("mean_share"),

@@ -9,7 +9,9 @@ import graft.model.Tables
   * histogram:
   *
   *  - rolling z anomaly series (x201): each day scored against the
-  *    TRAILING w-day window (excluding itself) — the ops-dashboard
+  *    trailing window of the previous w OBSERVED days (excluding
+  *    itself; a ROWS frame, so calendar gaps are skipped, not
+  *    zero-filled) — the ops-dashboard
   *    alarm that needs no seasonal model and reacts on day one. x138
   *    explains anomalies (seasonal vs residual); this is the cheap
   *    monitor that pages first. The |z| > 3 flag is an EXACT integer
@@ -27,9 +29,14 @@ object Extensions85 {
 
   // ---- x201: rolling z anomaly series ------------------------------------------
 
-  /** Per day: x, trailing mean over the previous `window` days
-    * (requiring the full window), the z-score, and the exact |z| > 3
-    * flag. Output ordered: (period, value, trail_mean, z, is_alert).
+  /** Per day: x, trailing mean over the previous `window` OBSERVED
+    * days (ROWS frame — on a series with missing calendar days the
+    * baseline is the last w days that HAVE data, not the last w
+    * calendar days; a zero-activity day that never emits a row cannot
+    * drag the baseline. Densify the day spine upstream if
+    * calendar-window semantics are wanted), requiring the full window;
+    * the z-score; and the exact |z| > 3 flag. Output ordered:
+    * (period, value, trail_mean, z, is_alert).
     *
     * Exactness: trailing S/S2/n are exact longs (window sums); the
     * alert compares (n·x − S)²·(n−1) > 9·n·(n·S2 − S²) in long

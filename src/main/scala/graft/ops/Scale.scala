@@ -46,6 +46,51 @@ object Scale {
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Heat-driven salt-bucket decision for a join/aggregation key: ONE
+    * per-key count + a 1-row (max, sum, count) reduction of the key
+    * table — the [[Extensions77.hotPartitionReport]] arithmetic — and
+    * an O(1) driver read. Returns 1 when no key is hot (share ≤
+    * `hotFactor` × the mean share — the same integer comparison as the
+    * report's flag, no float threshold); otherwise
+    * min(`maxBuckets`, ceil(hottest key's share / mean share)), i.e.
+    * enough buckets to bring the hottest key's per-bucket load down to
+    * roughly the mean key's load.
+    *
+    * Scale: the measurement is one hash-agg (partial+final) over the
+    * large side plus a 1-row collect — the cheap pre-pass that saves
+    * the straggler task; at 100 TB the skewed join it prevents costs
+    * hours, the measurement costs one scan.
+    */
+  def saltDecision(large: DataFrame, key: String, hotFactor: Long = 3L,
+      maxBuckets: Int = 64): Int = {
+    val row = large.select(col(key).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).cast("long").as("tot"),
+        count(lit(1)).as("nids"))
+      .head()
+    if (row.isNullAt(0)) 1
+    else {
+      val (maxc, tot, nids) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      if (maxc * nids <= hotFactor * tot) 1
+      else math.min(maxBuckets.toLong, (maxc * nids + tot - 1L) / tot).toInt
+    }
+  }
+
+  /** Measure-then-salt equi-join: run [[saltDecision]] on the large
+    * side's key distribution; a plain join when no key is hot, a
+    * [[saltedJoin]] with the computed bucket count when one is — the
+    * heat report wired into the decision it exists to inform. The
+    * result is identical either way (ScaleSpec asserts it on a
+    * planted-hub fixture); only the shuffle layout changes.
+    */
+  def autoSalted(large: DataFrame, small: DataFrame, key: String,
+      saltSource: Column, hotFactor: Long = 3L,
+      maxBuckets: Int = 64): DataFrame = {
+    val buckets = saltDecision(large, key, hotFactor, maxBuckets)
+    if (buckets <= 1) large.join(small, Seq(key))
+    else saltedJoin(large, small, key, buckets, saltSource)
+  }
+
   /** Salted aggregation: two-phase (salt-local partial, then final) — the
     * pattern for a groupBy where one key dominates. Phase one reduces each
     * hot key to `saltBuckets` partials; phase two folds those.

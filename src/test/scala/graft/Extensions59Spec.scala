@@ -17,7 +17,7 @@ class Extensions59Spec extends SparkSpec {
       (Some(2L), None, None),
       (None, Some(5.0), Some("c")))
       .toDF("k", "v", "s")
-    val out = Extensions59.tableProfile(df).collect()
+    val out = Extensions59.tableProfile(df, exactDistinct = true).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(out.keySet == Set("k", "v", "s"))
     val k = out("k")
@@ -41,6 +41,25 @@ class Extensions59Spec extends SparkSpec {
       val stringy = !r.isNullAt(7)
       assert(numeric ^ stringy, s"exactly one slot family: $r")
       assert(r.getLong(3) == 0L, s"fixture has no nulls: $r")
+    }
+  }
+
+  test("x150 scale shapes: approx card is ONE pass with no Expand; exact path has no Expand either (per-column pruned passes); HLL distincts within 3x rsd of exact") {
+    val orders = graft.model.Tables.load(spark, sf0001, "orders")
+    val approx = Extensions59.tableProfile(orders)
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      s"approx card must not pay the multi-distinct Expand:\n$approxPlan")
+    val exact = Extensions59.tableProfile(orders, exactDistinct = true)
+    val exactPlan = exact.queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("Expand"),
+      s"exact path must run per-column pruned passes, not Expand:\n$exactPlan")
+    val ex = exact.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    approx.collect().foreach { r =>
+      val (c, nd) = (r.getString(0), r.getLong(4))
+      val e = ex(c)
+      assert(math.abs(nd - e) <= math.max(2L, (e * 0.06).toLong),
+        s"HLL estimate for $c drifted: $nd vs exact $e")
     }
   }
 

@@ -27,6 +27,56 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltDecision: cold keys -> 1 (plain join); planted hub -> buckets ~ share/mean, capped") {
+    import spark.implicits._
+    // uniform: 100 keys x 10 rows — nobody hot at factor 3
+    val uniform = (1 to 1000).map(i => (i % 100).toLong).toDF("k")
+    assert(Scale.saltDecision(uniform, "k") == 1)
+    // hub: key 0 owns 5000 of 5990 rows over 100 keys
+    //   share/mean = maxc*nids/tot = 5000*100/5990 = 83.4 -> ceil 84, cap 64
+    val hub = ((1 to 5000).map(_ => 0L) ++ (1 to 990).map(i => (i % 99 + 1).toLong)).toDF("k")
+    assert(Scale.saltDecision(hub, "k") == 64)
+    assert(Scale.saltDecision(hub, "k", maxBuckets = 16) == 16)
+    // empty input: no keys, no salting
+    assert(Scale.saltDecision(uniform.filter(col("k") < 0), "k") == 1)
+  }
+
+  test("autoSalted on a planted hub equals the plain join and flattens the hot key's per-task load") {
+    import spark.implicits._
+    val large = ((1 to 4000).map(i => (0L, i.toLong)) ++
+      (1 to 1000).map(i => ((i % 100 + 1).toLong, i.toLong)))
+      .toDF("k", "payload")
+    val small = (0 to 100).map(i => (i.toLong, s"dim_$i")).toDF("k", "attr")
+    val plain = large.join(small, Seq("k"))
+    val auto = graft.api.Graft.autoSalted(large, small, "k",
+      saltSource = col("payload"), maxBuckets = 8)
+    assert(auto.count() == plain.count())
+    assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty)
+    // the decision actually salted (hub share/mean >> 3), and the largest
+    // single shuffle-key load dropped by ~the bucket count: the hot key's
+    // 4000 rows split across 8 (k, salt) groups of ~500
+    val buckets = Scale.saltDecision(large, "k", maxBuckets = 8)
+    assert(buckets == 8)
+    val maxPlain = large.groupBy(col("k")).count()
+      .agg(max("count")).head().getLong(0)
+    val maxSalted = large
+      .withColumn("__salt", pmod(hash(col("payload")), lit(buckets)))
+      .groupBy(col("k"), col("__salt")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPlain == 4000L)
+    assert(maxSalted <= maxPlain / buckets + 200,
+      s"hot-key load should split ~evenly: $maxSalted vs $maxPlain/$buckets")
+  }
+
+  test("x187 hot-partition report: totals via 1-row agg broadcast, no Window node in the plan") {
+    val df = graft.ops.Extensions77.x187HotPartitions(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"totals must come from a broadcast 1-row agg, not a global window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected the totals row broadcast back:\n$plan")
+  }
+
   test("q48 is planned as SortMergeJoin (the at-scale join shape)") {
     val plan = Scale.q48SortMergeJoin(spark, sf0001)
       .queryExecution.executedPlan.toString

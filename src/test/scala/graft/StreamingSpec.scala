@@ -598,4 +598,113 @@ class StreamingSpec extends SparkSpec {
     assert(streamScores(11L) <= threshold,
       s"junk doc must fall below the calibrated threshold: ${streamScores(11L)} vs $threshold")
   }
+
+  test("streaming ANN maintenance: micro-batch appends + tombstone-triggered compaction on the PqStore; served path stays pruned mid-stream; final store ≡ from-scratch build; recall tracked per batch") {
+    import spark.implicits._
+    // Round-7 VERDICT item #3: the crawl loop composed with the
+    // persisted vector tier the way the trained-gate test composes it
+    // with the classifier — each micro-batch's embeddings append to the
+    // PqStore against the STORED geometry, deletions accumulate until a
+    // size trigger fires compactIndex, and recall@5 on the served path
+    // is scored after every batch. The contract: after N appends + a
+    // compaction, serving answers exactly like an index built from
+    // scratch over the surviving vectors.
+    val root = tmpDir("annstream")
+    val spool = s"$root/spool"; val ckpt = s"$root/ckpt"
+    val store = s"$root/pq"
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val codebook = graft.ops.Extensions27.pqTrain(emb, "vec_id", "embedding", iters = 2)
+
+    // bootstrap index: ids < 400 (coarse seeds 0..7 live here, so every
+    // later geometry decision is pinned by the store, not the stream)
+    graft.ops.PqStore.writeIndex(
+      emb.filter(col("vec_id") < 400), "vec_id", "embedding", codebook, store)
+
+    val queries = emb.filter(col("vec_id") < 5)
+    def servedSet(): Set[(Long, Long, Long, Long)] =
+      graft.ops.PqStore.topKFromIndex(spark, store, queries,
+          "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+    // stream payload: (vec_id, embedding, op) — adds and tombstones
+    val adds1 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+      .withColumn("op", lit("add"))
+    // batch 2 adds the rest and tombstones 10 of batch 1's vectors —
+    // enough to cross the compaction trigger (>= 8 pending deletes)
+    val adds2 = emb.filter(col("vec_id") >= 500)
+      .withColumn("op", lit("add"))
+    val dels2 = emb.filter(col("vec_id") >= 450 && col("vec_id") < 460)
+      .withColumn("op", lit("del"))
+
+    val recalls = scala.collection.mutable.ArrayBuffer[Double]()
+    val pendingDeletes = new java.util.concurrent.atomic.AtomicLong(0L)
+    var prunedMidStream = false
+    adds1.write.mode("append").parquet(spool)
+    val q = spark.readStream
+      .schema(adds1.schema)
+      .parquet(spool)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(eager = true)
+          val adds = b.filter(col("op") === "add").drop("op")
+          if (!adds.isEmpty)
+            graft.ops.PqStore.appendToIndex(adds, "vec_id", "embedding", store)
+          val dels = b.filter(col("op") === "del").drop("op")
+          val nDel = dels.count()
+          if (nDel > 0) {
+            // size-triggered compaction: only when enough tombstones pend
+            if (pendingDeletes.addAndGet(nDel) >= 8L) {
+              graft.ops.PqStore.compactIndex(dels, "vec_id", "embedding", store)
+              pendingDeletes.set(0L)
+            }
+          }
+          // served-path recall@5 after this batch, truth = brute force
+          // over what the index SHOULD currently hold
+          val servedDf = graft.ops.PqStore.topKFromIndex(spark, store, queries,
+            "vec_id", "embedding", k = 5)
+          servedDf.collect()
+          val plan = servedDf.queryExecution.executedPlan.toString
+          prunedMidStream |= plan.contains(" IN (") && plan.contains("PartitionFilters")
+          val liveIds = spark.read.parquet(s"$store/codes").select("vec_id")
+          val truth = graft.ops.Extensions27.bruteTopK(
+              emb.join(liveIds, Seq("vec_id"), "left_semi"), queries,
+              "vec_id", "embedding", k = 5)
+            .select(col("q_id"), col("c_id"))
+          val r = graft.ops.Extensions4.recallAtK(servedDf, truth)
+            .agg(sum("n_hit").cast("double") / sum("n_truth")).head().getDouble(0)
+          recalls += r
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    adds2.unionByName(dels2).write.mode("append").parquet(spool)
+    q.processAllAvailable()
+    q.stop()
+
+    // pruning held while the stream was live
+    assert(prunedMidStream, "mid-stream serving must still partition-prune on cell")
+    // recall was scored after every micro-batch and stayed real
+    assert(recalls.size == 2, s"one recall point per batch: $recalls")
+    assert(recalls.forall(_ >= 0.2), s"served-path recall collapsed: $recalls")
+
+    // the grown+compacted store answers EXACTLY like a from-scratch
+    // build over the surviving vectors (same codebook, same seeds)
+    val survivors = emb.filter(!(col("vec_id") >= 450 && col("vec_id") < 460))
+    val fresh = s"$root/pq_fresh"
+    graft.ops.PqStore.writeIndex(survivors, "vec_id", "embedding", codebook, fresh)
+    val grown = servedSet()
+    val rebuilt = graft.ops.PqStore.topKFromIndex(spark, fresh, queries,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(grown == rebuilt,
+      s"maintained store diverged from rebuild: only-grown=${grown -- rebuilt}, only-rebuilt=${rebuilt -- grown}")
+    // and the tombstoned vectors are really unservable
+    val servedIds = grown.map(_._2)
+    assert(servedIds.forall(id => !(id >= 450L && id < 460L)),
+      s"compacted vectors must not serve: $servedIds")
+  }
 }
