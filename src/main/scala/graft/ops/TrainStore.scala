@@ -33,6 +33,70 @@ object TrainStore {
       .write.partitionBy("shard").mode("overwrite").parquet(path)
   }
 
+  /** Materialize PACKED shard directories from written shards: each
+    * shard's documents concatenate in `ord` order and split into fixed
+    * `ctxLen`-token chunks — the batches a trainer actually feeds, laid
+    * down as `partitionBy(shard)` dirs with rows chunk-ordered, so the
+    * read side does zero packing and zero sorting. `chunk_ord` is the
+    * resume cursor at BATCH granularity (skip chunks <= checkpoint
+    * after a restart; TrainStoreSpec proves byte-equal batches across
+    * a simulated restart). Every chunk except each shard's last holds
+    * exactly `ctxLen` tokens (the x23 packing semantics at token
+    * granularity: a document split across a chunk boundary contributes
+    * its head to one chunk and its tail to the next — no padding, no
+    * token dropped).
+    *
+    * Scale: one per-shard cumsum window over the ordered shard (the
+    * same exchange the order assignment paid), a bounded explode —
+    * each doc lands in ⌈len/ctx⌉+1 ≤ chunks it overlaps, never token
+    * rows — a map-side slice, and ONE (shard, chunk) hash-agg that
+    * reassembles pieces in doc order. [[Extensions20.packingCurve]] is
+    * the planning view of the same cumsum; this is the materialization.
+    */
+  def packShards(
+      spark: SparkSession, shardsPath: String, ctxLen: Int,
+      outPath: String, textCol: String = "text"): Unit = {
+    require(ctxLen > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = spark.read.parquet(shardsPath)
+      .select(col("shard"), col("ord"), split(col(textCol), " ").as("tk"))
+      .withColumn("len", size(col("tk")).cast("long"))
+      .withColumn("start", coalesce(sum(col("len")).over(w), lit(0L)))
+    val pieces = base
+      .select(col("shard"), col("ord"), col("tk"), col("len"), col("start"),
+        explode(sequence(floor(col("start") / ctxLen),
+          floor((col("start") + col("len") - 1L) / ctxLen))).as("chunk_ord"))
+      .select(col("shard"), col("chunk_ord"), col("ord"),
+        slice(col("tk"),
+          (greatest(col("chunk_ord") * ctxLen - col("start"), lit(0L)) + 1L).cast("int"),
+          (least((col("chunk_ord") + 1L) * ctxLen - col("start"), col("len")) -
+            greatest(col("chunk_ord") * ctxLen - col("start"), lit(0L))).cast("int"))
+          .as("piece"))
+    pieces
+      .groupBy(col("shard"), col("chunk_ord"))
+      .agg(
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("ord"), col("piece")))),
+          s => s.getField("piece"))), " ").as("chunk_text"),
+        sum(size(col("piece"))).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("chunk_ord"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outPath)
+  }
+
+  /** Read one packed shard's batches in training order, resuming after
+    * `afterChunk` (the persisted cursor; -1 = from the start).
+    */
+  def readPackedShard(
+      spark: SparkSession, path: String, shard: Long,
+      afterChunk: Long = -1L): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("shard") === shard && col("chunk_ord") > afterChunk)
+      .orderBy(col("chunk_ord"))
+
   /** Read one shard in training order. Files carry rows ord-sorted, but
     * a multi-file shard (appends, or file splits at read time)
     * interleaves across read partitions — the trainer's contract is the

@@ -29,4 +29,45 @@ class TrainStoreSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), s"shard read must prune:\n$plan")
   }
+
+  test("packed shards: ctx-length batches, lossless token stream, byte-equal batches across a simulated restart") {
+    val ctx = 128
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val root = tmpDir("trainpack")
+    val shards = s"$root/shards"; val packed = s"$root/packed"
+    TrainStore.writeShards(docs, "doc_id", nShards = 3, shards, Seq("text"))
+    TrainStore.packShards(spark, shards, ctx, packed)
+    (0L until 3L).foreach { shard =>
+      val batches = TrainStore.readPackedShard(spark, packed, shard).collect()
+      // every batch except the last is exactly ctx tokens; none empty
+      batches.dropRight(1).foreach(b =>
+        assert(b.getAs[Long]("n_tokens") == ctx.toLong,
+          s"non-final chunk must fill the context: $b"))
+      assert(batches.last.getAs[Long]("n_tokens") <= ctx.toLong)
+      assert(batches.forall(_.getAs[Long]("n_tokens") > 0L))
+      // chunk_ord is dense from 0 (the cursor can't skip)
+      assert(batches.map(_.getAs[Long]("chunk_ord")).toSeq ==
+        (0L until batches.length.toLong))
+      // LOSSLESS: the concatenated batches equal the shard's documents
+      // concatenated in training order — no token dropped or reordered
+      val packedStream = batches.map(_.getAs[String]("chunk_text")).mkString(" ")
+      val docStream = TrainStore.readShard(spark, shards, shard)
+        .collect().map(_.getAs[String]("text")).mkString(" ")
+      assert(packedStream == docStream, s"shard $shard token stream diverged")
+      // RESUME CURSOR: stop after chunk c, restart with afterChunk = c —
+      // head + tail reads are byte-equal to the uninterrupted read
+      val c = batches.length / 2 - 1
+      val head = TrainStore.readPackedShard(spark, packed, shard)
+        .filter(col("chunk_ord") <= c).collect()
+      val tail = TrainStore.readPackedShard(spark, packed, shard, afterChunk = c)
+        .collect()
+      assert((head ++ tail).map(_.getAs[String]("chunk_text")).toSeq ==
+        batches.map(_.getAs[String]("chunk_text")).toSeq,
+        s"shard $shard: restart at cursor $c must replay byte-equal batches")
+    }
+    // packed reads prune to the shard directory like the raw store
+    val plan = TrainStore.readPackedShard(spark, packed, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"packed read must prune:\n$plan")
+  }
 }
