@@ -34,9 +34,14 @@ object Extensions65 {
     * Output top-`topK` by (lift desc, antecedent, consequent):
     * (antecedent, consequent, n_both, support, confidence, lift).
     *
-    * Exactness: all three ratios render by half-away integer division
-    * (lift's numerator n_AB·N·10⁴ stays in long range to ~1e5·1e6·10⁴
-    * basket-item mass), so the ranking and the top-k cut cannot drift.
+    * Exactness: all three ratios render by half-away integer division,
+    * so the ranking and the top-k cut cannot drift. Overflow headroom:
+    * support/confidence numerators are counts ×2e4 (safe to 4.6e14
+    * co-occurrences); lift's n_AB·N·10⁴ is a product of two
+    * corpus-scale counts, which a long CANNOT hold at 100 TB (1e12
+    * baskets × 1e6 pair support already wraps) — it runs in 128-bit
+    * integer arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle),
+    * exact to 1e28, and only the ≤1e4·lift quotient returns to long.
     *
     * Scale: the same basket-keyed self-join as x146 (Σ basket² — never
     * item×item), one pair hash-agg, item counts broadcast back, and a
@@ -61,7 +66,7 @@ object Extensions65 {
         col("c").as("n_both"),
         expr("((c * 10000 * 2 + nn) DIV (2 * nn)) / 10000.0D").as("support"),
         expr("((c * 10000 * 2 + na) DIV (2 * na)) / 10000.0D").as("confidence"),
-        expr("((c * nn * 10000 * 2 + na * nb) DIV (2 * na * nb)) / 10000.0D")
+        expr("((CAST(c AS DECIMAL(38,0)) * nn * 10000 * 2 + CAST(na AS DECIMAL(38,0)) * nb) DIV (2 * CAST(na AS DECIMAL(38,0)) * nb)) / 10000.0D")
           .as("lift"))
       .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
       .limit(topK)
@@ -84,7 +89,7 @@ object Extensions65 {
       sc AS (SELECT pr.i AS antecedent, pr.j AS consequent, pr.c AS n_both,
                ((pr.c * 10000 * 2 + nb.nn) // (2 * nb.nn)) / 10000.0 AS support,
                ((pr.c * 10000 * 2 + sa.n) // (2 * sa.n)) / 10000.0 AS confidence,
-               ((pr.c * nb.nn * 10000 * 2 + sa.n * sb.n) // (2 * sa.n * sb.n)) / 10000.0 AS lift
+               ((CAST(pr.c AS HUGEINT) * nb.nn * 10000 * 2 + CAST(sa.n AS HUGEINT) * sb.n) // (2 * CAST(sa.n AS HUGEINT) * sb.n)) / 10000.0 AS lift
              FROM pr
              JOIN sz sa ON sa.i = pr.i
              JOIN sz sb ON sb.i = pr.j

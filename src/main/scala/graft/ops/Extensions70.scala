@@ -147,8 +147,11 @@ object Extensions70 {
       sum(col("in1") * col("in2")).as("n_both"),
       count(lit(1)).as("actual_total"))
       .select(col("n_first"), col("n_second"), col("n_both"),
-        expr("""((((n_first + 1) * (n_second + 1) - (n_both + 1)) * 10000 * 2
-              + (n_both + 1)) DIV (2 * (n_both + 1))) / 10000.0D""")
+        // (n1+1)(n2+1) is a product of two corpus-scale counts — 3e9
+        // users a window wraps a long before the ×2e4 render even
+        // starts. 128-bit (DECIMAL(38,0) / HUGEINT): same values
+        expr("""(((CAST(n_first + 1 AS DECIMAL(38,0)) * (n_second + 1) - (n_both + 1)) * 10000 * 2
+              + (n_both + 1)) DIV (2 * CAST(n_both + 1 AS DECIMAL(38,0)))) / 10000.0D""")
           .as("est_total"),
         col("actual_total"))
   }
@@ -177,8 +180,8 @@ object Extensions70 {
                      count(*) AS actual_total
               FROM per)
       SELECT n_first, n_second, n_both,
-             ((((n_first + 1) * (n_second + 1) - (n_both + 1)) * 10000 * 2
-               + (n_both + 1)) // (2 * (n_both + 1))) / 10000.0 AS est_total,
+             (((CAST(n_first + 1 AS HUGEINT) * (n_second + 1) - (n_both + 1)) * 10000 * 2
+               + (n_both + 1)) // (2 * CAST(n_both + 1 AS HUGEINT))) / 10000.0 AS est_total,
              actual_total
       FROM agg"""
 

@@ -152,17 +152,24 @@ object Extensions73 {
       .withColumn("l1", lag(col("x"), 1).over(w))
       .withColumn("l7", lag(col("x"), 7).over(w))
       .filter(col("l1").isNotNull && col("l7").isNotNull)
+    // overflow guard (x209 discipline): ss*20000 wraps once the summed
+    // |daily delta| cents pass 4.6e14 — and unlike a per-cell share
+    // this numerator GROWS with eval-range length, so a multi-year
+    // planet-scale series can actually get there. sc floors both
+    // operands identically: 1 below the bound (bit-identical
+    // arithmetic, same oracle hash), O(sc/sn) ~ 1e-14 error above it.
     lagged.agg(
       count(lit(1)).as("n_eval_days"),
       sum(abs(col("x") - col("l1"))).as("sn"),
       sum(abs(col("x") - col("l7"))).as("ss"))
+      .withColumn("sc", expr("greatest(ss, sn) DIV 460000000000000 + 1"))
       .select(col("n_eval_days"),
         expr("((sn * 100 * 2 + n_eval_days) DIV (2 * n_eval_days)) / 10000.0D")
           .as("mae_naive"),
         expr("((ss * 100 * 2 + n_eval_days) DIV (2 * n_eval_days)) / 10000.0D")
           .as("mae_snaive7"),
         when(col("sn") > 0L,
-          expr("((ss * 10000 * 2 + sn) DIV (2 * sn)) / 10000.0D")).as("mase"),
+          expr("(((ss DIV sc) * 10000 * 2 + (sn DIV sc)) DIV (2 * (sn DIV sc))) / 10000.0D")).as("mase"),
         (col("ss") < col("sn")).as("seasonal_better"))
   }
 
@@ -183,13 +190,14 @@ object Extensions73 {
       agg AS (SELECT count(*) AS n,
                 CAST(sum(abs(x - l1)) AS BIGINT) AS sn,
                 CAST(sum(abs(x - l7)) AS BIGINT) AS ss
-              FROM ev)
+              FROM ev),
+      g AS (SELECT *, greatest(ss, sn) // 460000000000000 + 1 AS sc FROM agg)
       SELECT n AS n_eval_days,
              ((sn * 100 * 2 + n) // (2 * n)) / 10000.0 AS mae_naive,
              ((ss * 100 * 2 + n) // (2 * n)) / 10000.0 AS mae_snaive7,
-             CASE WHEN sn > 0 THEN ((ss * 10000 * 2 + sn) // (2 * sn)) / 10000.0 END AS mase,
+             CASE WHEN sn > 0 THEN (((ss // sc) * 10000 * 2 + (sn // sc)) // (2 * (sn // sc))) / 10000.0 END AS mase,
              ss < sn AS seasonal_better
-      FROM agg"""
+      FROM g"""
 
   val oracles: Map[String, String] = Map(
     "x178_churn_fit" -> x178OracleSql,

@@ -59,14 +59,19 @@ object Extensions75 {
       .withColumn("cb", sum(col("b")).over(wCum))
       .withColumn("n1", sum(col("a")).over(wAll))
       .withColumn("n2", sum(col("b")).over(wAll))
-      .withColumn("gap", abs(col("ca") * col("n2") - col("cb") * col("n1")))
+      // overflow headroom: ca·n2 and n1·n2 are PRODUCTS of per-arm user
+      // counts — 3e9 users a side wraps a long (9e18). The gap/argmax
+      // and the D render run in 128-bit integers (DECIMAL(38,0) here,
+      // HUGEINT in the oracle): same values, exact to 1e38
+      .withColumn("gap",
+        expr("abs(CAST(ca AS DECIMAL(38,0)) * n2 - CAST(cb AS DECIMAL(38,0)) * n1)"))
     cum
       .withColumn("gmax", max(col("gap")).over(wAll))
       .withColumn("vbest",
         min(when(col("gap") === col("gmax"), col("y"))).over(wAll))
       .filter(col("y") === col("vbest"))
       .select(col("n1").as("n_control"), col("n2").as("n_treatment"),
-        expr("((gmax * 10000 * 2 + (n1 * n2)) DIV (2 * (n1 * n2))) / 10000.0D")
+        expr("((CAST(gmax AS DECIMAL(38,0)) * 10000 * 2 + CAST(n1 AS DECIMAL(38,0)) * n2) DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2)) / 10000.0D")
           .as("d_stat"),
         (col("y") / lit(100.0d)).as("d_at_value"),
         when(col("n1") > 0L && col("n2") > 0L, Extensions.round4o(
@@ -96,11 +101,11 @@ object Extensions75 {
                 CAST(sum(a) OVER () AS BIGINT) AS n1,
                 CAST(sum(b) OVER () AS BIGINT) AS n2
               FROM grid),
-      g AS (SELECT *, abs(ca * n2 - cb * n1) AS gap FROM cum),
+      g AS (SELECT *, abs(CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1) AS gap FROM cum),
       m AS (SELECT *, max(gap) OVER () AS gmax FROM g),
       f AS (SELECT *, min(CASE WHEN gap = gmax THEN y END) OVER () AS vbest FROM m)
       SELECT n1 AS n_control, n2 AS n_treatment,
-             ((gmax * 10000 * 2 + (n1 * n2)) // (2 * (n1 * n2))) / 10000.0 AS d_stat,
+             ((CAST(gmax AS HUGEINT) * 10000 * 2 + CAST(n1 AS HUGEINT) * n2) // (2 * CAST(n1 AS HUGEINT) * n2)) / 10000.0 AS d_stat,
              y / 100.0 AS d_at_value,
              CASE WHEN n1 > 0 AND n2 > 0 THEN
                round((CAST(gmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))

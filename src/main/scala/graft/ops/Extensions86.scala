@@ -38,12 +38,17 @@ object Extensions86 {
       .agg(sum(col("v")).as("rev"),
         sum(when(col("m") === col("fm"), col("v")).otherwise(0L)).as("rev_new"))
       .withColumn("rev_rep", col("rev") - col("rev_new"))
+      // overflow guard (x209 discipline): abs(rev_rep)*20000 wraps past
+      // 4.6e14 cents in one month; sc floors both operands identically —
+      // 1 below the bound (bit-identical, same oracle hash), O(1e-14)
+      // flooring error at planet scale, far under the 1e-4 render
+      .withColumn("sc", expr("abs(rev) DIV 460000000000000 + 1"))
       .select(date_format(col("m"), "yyyy-MM").as("month"),
         (col("rev") / lit(100.0d)).as("revenue"),
         (col("rev_new") / lit(100.0d)).as("revenue_new"),
         (col("rev_rep") / lit(100.0d)).as("revenue_repeat"),
         when(col("rev") =!= 0L, expr(
-          "(CAST(sign(rev_rep) AS BIGINT) * ((abs(rev_rep) * 10000 * 2 + abs(rev)) DIV (2 * abs(rev)))) / 10000.0D"))
+          "(CAST(sign(rev_rep) AS BIGINT) * (((abs(rev_rep) DIV sc) * 10000 * 2 + (abs(rev) DIV sc)) DIV (2 * (abs(rev) DIV sc)))) / 10000.0D"))
           .as("repeat_share"))
       .orderBy(col("month"))
   }
@@ -63,14 +68,16 @@ object Extensions86 {
                 CAST(sum(CASE WHEN b.m = fm.fm THEN b.v ELSE 0 END) AS BIGINT) AS rev_new
               FROM base b JOIN fm ON fm.c = b.c
               GROUP BY b.m),
-      x AS (SELECT *, rev - rev_new AS rev_rep FROM agg)
+      x AS (SELECT *, rev - rev_new AS rev_rep,
+                   abs(rev) // 460000000000000 + 1 AS sc
+            FROM agg)
       SELECT strftime(m, '%Y-%m') AS month,
              rev / 100.0 AS revenue,
              rev_new / 100.0 AS revenue_new,
              rev_rep / 100.0 AS revenue_repeat,
              CASE WHEN rev <> 0 THEN
                (CAST(sign(rev_rep) AS BIGINT)
-                 * ((abs(rev_rep) * 10000 * 2 + abs(rev)) // (2 * abs(rev)))) / 10000.0
+                 * (((abs(rev_rep) // sc) * 10000 * 2 + (abs(rev) // sc)) // (2 * (abs(rev) // sc)))) / 10000.0
              END AS repeat_share
       FROM x
       ORDER BY month"""

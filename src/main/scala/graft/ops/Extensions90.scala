@@ -34,9 +34,15 @@ object Extensions90 {
     val wYear = Window.partitionBy(col("yr"))
     cells
       .withColumn("yt", sum(col("v")).over(wYear))
+      // overflow guard: v*20000 wraps past v = 4.6e14 cents ($4.6T in
+      // one segment-year). sc floors BOTH operands by the same factor —
+      // identically 1 below the bound (bit-identical arithmetic, same
+      // oracle hash), and at planet scale the flooring error is
+      // O(sc/yt) ~ 1e-14, far under the 1e-4 render.
+      .withColumn("sc", expr("yt DIV 460000000000000 + 1"))
       .select(col("yr").as("year"), col("segment"),
         (col("v") / lit(100.0d)).as("revenue"),
-        expr("((v * 10000 * 2 + yt) DIV (2 * yt)) / 10000.0D")
+        expr("(((v DIV sc) * 10000 * 2 + (yt DIV sc)) DIV (2 * (yt DIV sc))) / 10000.0D")
           .as("year_share"))
       .orderBy(col("year"), col("segment"))
   }
@@ -53,10 +59,11 @@ object Extensions90 {
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         GROUP BY 1, 2),
       w AS (SELECT *, CAST(sum(v) OVER (PARTITION BY yr) AS BIGINT) AS yt
-            FROM cells)
+            FROM cells),
+      g AS (SELECT *, yt // 460000000000000 + 1 AS sc FROM w)
       SELECT yr AS year, segment, v / 100.0 AS revenue,
-             ((v * 10000 * 2 + yt) // (2 * yt)) / 10000.0 AS year_share
-      FROM w
+             (((v // sc) * 10000 * 2 + (yt // sc)) // (2 * (yt // sc))) / 10000.0 AS year_share
+      FROM g
       ORDER BY year, segment"""
 
   val oracles: Map[String, String] = Map(
