@@ -210,6 +210,40 @@ object EventLog {
     touched
   }
 
+  /** Log compaction — the Kafka compacted-topic / Cassandra
+    * tombstone-GC analog the reference topology implies but never had
+    * to run (its query side replays the WHOLE topic from offset 0 on
+    * boot, `start_container.sh:94-96`; at 100 TB of history that cold
+    * start is the outage). Rewrite the log keeping, per aggregate id,
+    * ONLY the latest-version event after PK dedup; with
+    * `dropTombstones` the aggregates whose latest event is a delete
+    * (name ends `Deleted` — the playerState convention) vanish
+    * entirely (delete-retention). The read-model contract holds by
+    * construction — latestState(compacted) ≡ latestState(original),
+    * and playerState agrees row-for-row (EventLogSpec asserts both) —
+    * while replay cost drops from O(history) to O(live aggregates).
+    *
+    * Scale: one PK-dedup + one max_by hash-agg (partial+final — the
+    * same fold the read model runs), written back in the [[append]]
+    * layout (id-partitioned, (id, version)-sorted row groups).
+    * Returns (events before, events after).
+    */
+  def compact(
+      spark: SparkSession, path: String, outPath: String,
+      dropTombstones: Boolean = false): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val events = scan(spark, path)
+    val before = events.count()
+    val latest = graft.state.Materialize
+      .latestState(pkDedup(events.toDF()), "id", "version")
+    val kept =
+      if (dropTombstones) latest.filter(!col("name").endsWith("Deleted"))
+      else latest
+    append(kept.as[Event], outPath)
+    (before, scan(spark, outPath).count())
+  }
+
   /** M1: id assignment for create commands. The reference's command service
     * allocates the new aggregate id at POST time (PlayerResourceIT.java:
     * 123-128 — the Location header carries it); the engine analog assigns

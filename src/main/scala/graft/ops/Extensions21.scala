@@ -49,6 +49,16 @@ object Extensions21 {
     val idx = corpus
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("tk"))
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    alignChain(idx, q, m)
+  }
+
+  /** The (doc, alignment) agreement tail shared by [[phraseSearch]]
+    * (in-memory index) and [[PostingStore.phraseSearchFromIndex]]
+    * (bucket-pruned persisted index) — one body so the two serving
+    * paths cannot drift. `idx` = (doc_id, pos, tok) postings, `q` =
+    * (tok, qpos) query tokens, `m` = phrase length.
+    */
+  private[ops] def alignChain(idx: DataFrame, q: DataFrame, m: Int): DataFrame =
     idx.join(broadcast(q), Seq("tok"))
       .select(col("doc_id"), (col("pos") - col("qpos")).as("align"))
       // all m query tokens must land on the same alignment; a doc token
@@ -61,7 +71,6 @@ object Extensions21 {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"),
         (min(col("align")) + 1).cast("long").as("first_pos"))
-  }
 
   /** x82: [[phraseSearch]] for a 3-token phrase drawn from the fixture's
     * vocabulary ("batch batch batch" — repetition runs exist in the

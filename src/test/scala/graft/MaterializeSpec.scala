@@ -277,4 +277,36 @@ class MaterializeSpec extends SparkSpec {
     assert(first.values.toSet == Set(1L, 2L, 3L, 4L))
     assert(first("Delta") == 1L) // "Other" < "Same": orderCol still leads
   }
+
+  test("log compaction: latestState and playerState agree pre/post; tombstone drop removes dead aggregates; replay shrinks to O(live)") {
+    import spark.implicits._
+    val root = tmpDir("compaction")
+    val log = s"$root/log"; val out = s"$root/compacted"
+    val outDrop = s"$root/compacted_drop"
+    // 3 aggregates x deep histories + a deleted one + redeliveries
+    val history = (1L to 3L).flatMap { id =>
+      (0L to 9L).map(v => Event(id, if (v == 0) "PlayerCreated" else "PlayerUpdated",
+        v, ts(v), payload(s"F$id-$v", s"L$id-$v")))
+    } ++ Seq(
+      Event(4L, "PlayerCreated", 0, ts(0), payload("Dead", "Gone")),
+      Event(4L, "PlayerDeleted", 1, ts(1), "{}"),
+      // duplicate redelivery (PK dedup must collapse before the keep)
+      Event(1L, "PlayerUpdated", 9, ts(9), payload("F1-9", "L1-9")))
+    EventLog.append(history.toDS(), log)
+    val (before, after) = EventLog.compact(spark, log, out)
+    assert(before == history.length.toLong)
+    assert(after == 4L, s"one event per aggregate: $after")
+    // the read-model contract survives compaction exactly
+    val full = Materialize.findAll(EventLog.scan(spark, log).toDF()).collect().toSeq
+    val comp = Materialize.findAll(EventLog.scan(spark, out).toDF()).collect().toSeq
+    assert(comp == full, s"compaction changed the read model: $comp vs $full")
+    // tombstone retention drop: the dead aggregate vanishes from the log
+    val (_, afterDrop) = EventLog.compact(spark, log, outDrop, dropTombstones = true)
+    assert(afterDrop == 3L)
+    val ids = EventLog.scan(spark, outDrop).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L))
+    assert(Materialize.findAll(EventLog.scan(spark, outDrop).toDF())
+      .collect().toSeq == full)
+  }
 }
