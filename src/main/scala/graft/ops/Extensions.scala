@@ -378,10 +378,13 @@ object Extensions {
     *
     * Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming <= maxHamming.
     */
-  def simhashPairs(
-      corpus: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole join is only exact for hamming <= 3")
+  /** The 64-bit two-half SimHash signature (doc_id, sh_lo, sh_hi) —
+    * shared by [[simhashPairs]] (pigeonhole pair join) and the radius
+    * planner ([[Extensions96.simhashRadiusCurve]]), one body so the two
+    * cannot drift.
+    */
+  private[ops] def simhash64Of(
+      corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
     def half(c: Column, from: Int): Column =
       conv(substring(md5(c), from, 8), 16, 10).cast("long")
     val tok = rebalanced(corpus, idCol)
@@ -394,10 +397,17 @@ object Extensions {
     }
     def packed(bits: Range): Column =
       bits.map(b => when(col(s"b$b") > 0, lit(1L << (b % 32))).otherwise(0L)).reduce(_ + _)
-    val sig = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         packed(0 until 32).as("sh_lo"),
         packed(32 until 64).as("sh_hi"))
+  }
+
+  def simhashPairs(
+      corpus: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole join is only exact for hamming <= 3")
+    val sig = simhash64Of(corpus, idCol, textCol)
     val chunkCols = Seq(
       col("sh_lo").bitwiseAND(0xFFFF),
       shiftright(col("sh_lo"), 16).bitwiseAND(0xFFFF),
