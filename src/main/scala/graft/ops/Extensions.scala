@@ -513,7 +513,7 @@ object Extensions {
     * becomes a skew hotspot) or uses [[Extensions2.ivfTopK]] with real
     * k-means centroids — the preferred shape at 100 TB.
     */
-  private val SignBits = 6
+  private[ops] val SignBits = 6
 
   /** Quantizer width for a corpus of `corpusCount` vectors: enough sign
     * bits that an average cell holds ~`targetCellSize` candidates (the
