@@ -103,6 +103,23 @@ object Scale {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n"))
 
+  /** Measure-then-salt aggregation: [[saltDecision]] on the key
+    * distribution picks the bucket count; a plain count when no key is
+    * hot, the two-phase [[saltedCount]] when one is — [[autoSalted]]'s
+    * sibling for the skewed-groupBy case (note: for a plain COUNT
+    * Spark's partial aggregation already combines map-side, so salting
+    * buys little; the shape matters for holistic aggregates — distinct
+    * counts, percentile buffers, collect_list — where one hot key's
+    * final-stage buffer is the straggler. Counts keep the contract
+    * testable).
+    */
+  def autoSaltedCount(df: DataFrame, key: String, saltSource: Column,
+      hotFactor: Long = 3L, maxBuckets: Int = 64): DataFrame = {
+    val buckets = saltDecision(df, key, hotFactor, maxBuckets)
+    if (buckets <= 1) df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    else saltedCount(df, key, buckets, saltSource)
+  }
+
   /** S7-style DDL + bucketed layout: register the event log as a bucketed,
     * sorted table so downstream key joins/aggregations on `user_id` are
     * co-located (no exchange). Bucket count pins the join parallelism.

@@ -68,6 +68,22 @@ class ScaleSpec extends SparkSpec {
       s"hot-key load should split ~evenly: $maxSalted vs $maxPlain/$buckets")
   }
 
+  test("autoSaltedCount equals the plain groupBy count on hub and uniform inputs") {
+    import spark.implicits._
+    val hub = ((1 to 4000).map(i => (0L, i.toLong)) ++
+      (1 to 1000).map(i => ((i % 100 + 1).toLong, i.toLong)))
+      .toDF("k", "payload")
+    val plain = hub.groupBy(col("k")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val auto = Scale.autoSaltedCount(hub, "k", col("payload"), maxBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == plain)
+    val uniform = (1 to 1000).map(i => ((i % 100).toLong, i.toLong)).toDF("k", "payload")
+    val u = Scale.autoSaltedCount(uniform, "k", col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u.values.forall(_ == 10L) && u.size == 100)
+  }
+
   test("x187 hot-partition report: totals via 1-row agg broadcast, no Window node in the plan") {
     val df = graft.ops.Extensions77.x187HotPartitions(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

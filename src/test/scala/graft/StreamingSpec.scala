@@ -690,6 +690,8 @@ class StreamingSpec extends SparkSpec {
     assert(recalls.size == 2, s"one recall point per batch: $recalls")
     assert(recalls.forall(_ >= 0.2), s"served-path recall collapsed: $recalls")
 
+    // (posting-index maintenance note: the text-retrieval tier follows
+    // the same loop — see the posting-store crawl test below)
     // the grown+compacted store answers EXACTLY like a from-scratch
     // build over the surviving vectors (same codebook, same seeds)
     val survivors = emb.filter(!(col("vec_id") >= 450 && col("vec_id") < 460))
@@ -706,5 +708,66 @@ class StreamingSpec extends SparkSpec {
     val servedIds = grown.map(_._2)
     assert(servedIds.forall(id => !(id >= 450L && id < 460L)),
       s"compacted vectors must not serve: $servedIds")
+  }
+
+  test("streaming posting-index maintenance: admitted docs' postings append per micro-batch; phrase search answers mid-stream from pruned buckets and finally equals a from-scratch index") {
+    import spark.implicits._
+    // the retrieval tier composed into the crawl the way the vector
+    // tier is above: each micro-batch's ADMITTED docs (here a simple
+    // length gate stands in for the trained gate — that loop is tested
+    // separately) append their postings under the stored modulus.
+    val root = tmpDir("postingstream")
+    val spool = s"$root/spool"; val ckpt = s"$root/ckpt"
+    val store = s"$root/idx"
+    val phrase = "brown fox jumps"
+    def doc(i: Int, hit: Boolean) =
+      if (hit) s"the quick brown fox jumps over wall $i of the old town"
+      else s"completely unrelated filler content number $i with many words"
+    // bootstrap: docs 0..9, two of them phrase hits
+    val boot = (0 until 10).map(i => (i.toLong, doc(i, i % 5 == 0)))
+    graft.ops.PostingStore.write(boot.toDF("doc_id", "text"), "doc_id", "text",
+      store, buckets = 32)
+
+    val midStream = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    var prunedMidStream = false
+    (10 until 20).map(i => (i.toLong, doc(i, i == 13)))
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(spool)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val admitted = batch.filter(length(col("text")) > 20)
+          graft.ops.PostingStore.append(admitted, "doc_id", "text", store)
+          val served = graft.ops.PostingStore.phraseSearchFromIndex(
+            spark, store, phrase)
+          midStream += served.collect().map(_.getLong(0)).toSet
+          val plan = served.queryExecution.executedPlan.toString
+          prunedMidStream |= plan.contains("PartitionFilters") && plan.contains(" IN (")
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    (20 until 30).map(i => (i.toLong, doc(i, i == 27)))
+      .toDF("doc_id", "text").write.mode("append").parquet(spool)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(prunedMidStream, "mid-stream phrase serving must still bucket-prune")
+    assert(midStream.size == 2)
+    assert(midStream(0) == Set(0L, 5L, 13L), s"batch-1 view: ${midStream(0)}")
+    assert(midStream(1) == Set(0L, 5L, 13L, 27L), s"batch-2 view: ${midStream(1)}")
+    // final maintained index ≡ from-scratch build over everything
+    val full = s"$root/full"
+    val all = (0 until 10).map(i => (i.toLong, doc(i, i % 5 == 0))) ++
+      (10 until 20).map(i => (i.toLong, doc(i, i == 13))) ++
+      (20 until 30).map(i => (i.toLong, doc(i, i == 27)))
+    graft.ops.PostingStore.write(all.toDF("doc_id", "text"), "doc_id", "text",
+      full, buckets = 32)
+    val grownM = graft.ops.PostingStore.phraseSearchFromIndex(spark, store, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuiltM = graft.ops.PostingStore.phraseSearchFromIndex(spark, full, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(grownM == rebuiltM && grownM.nonEmpty)
   }
 }
