@@ -120,6 +120,45 @@ object Scale {
     else saltedCount(df, key, buckets, saltSource)
   }
 
+  /** File-layout audit of a written store: per partition directory
+    * (or the root when unpartitioned) — file count, total/min/max
+    * bytes, and a small-files flag (mean file size below
+    * `smallBytes`). The 100 TB failure this catches is the silent one:
+    * a store appended in many micro-batches accumulates thousands of
+    * KB-sized files per partition, and every downstream scan pays open
+    * costs instead of bandwidth — the signal that a compaction
+    * ([[PqStore.compactIndex]] / rewrite) is due.
+    *
+    * Driver-side by design: it reads FILESYSTEM METADATA (one listing
+    * per partition dir), never data — O(files) names, zero Spark jobs.
+    */
+  def storeLayoutAudit(
+      spark: SparkSession, path: String,
+      smallBytes: Long = 8L << 20): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"storeLayoutAudit: no such path $path")
+    val subdirs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(p => p.getName.contains("="))
+    val groups: Seq[(String, org.apache.hadoop.fs.Path)] =
+      if (subdirs.nonEmpty) subdirs.map(p => p.getName -> p).toSeq
+      else Seq("." -> root)
+    groups.map { case (name, p) =>
+      val files = fs.listStatus(p).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+      val sizes = files.map(_.getLen)
+      val n = sizes.length.toLong
+      val tot = sizes.sum
+      (name, n, tot,
+        if (n > 0) sizes.min else 0L,
+        if (n > 0) sizes.max else 0L,
+        n > 0 && tot / n < smallBytes)
+    }.toDF("partition", "n_files", "total_bytes", "min_bytes", "max_bytes",
+      "small_files")
+      .orderBy(col("partition"))
+  }
+
   /** S7-style DDL + bucketed layout: register the event log as a bucketed,
     * sorted table so downstream key joins/aggregations on `user_id` are
     * co-located (no exchange). Bucket count pins the join parallelism.

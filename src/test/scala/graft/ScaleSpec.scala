@@ -84,6 +84,29 @@ class ScaleSpec extends SparkSpec {
     assert(u.values.forall(_ == 10L) && u.size == 100)
   }
 
+  test("storeLayoutAudit: per-partition file counts/bytes; micro-batch appends trip the small-files flag") {
+    import spark.implicits._
+    val dir = tmpDir("layout")
+    // 5 single-row appends into one partition -> 5 tiny files there
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, "a"), (i.toLong, "b")).toDF("v", "p")
+        .coalesce(1).write.mode("append").partitionBy("p").parquet(dir)
+    }
+    val out = graft.ops.Scale.storeLayoutAudit(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("p=a", "p=b"))
+    assert(out("p=a").getLong(1) == 5L, s"5 appended files: ${out("p=a")}")
+    assert(out("p=a").getBoolean(5), "KB-sized files must flag small_files")
+    assert(out("p=a").getLong(2) ==
+      out("p=a").getLong(1) * out("p=a").getLong(3) ||
+      out("p=a").getLong(2) >= out("p=a").getLong(4))
+    // unpartitioned store audits at the root
+    val flat = tmpDir("layoutflat")
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(flat)
+    val f = graft.ops.Scale.storeLayoutAudit(spark, flat).collect()
+    assert(f.length == 1 && f.head.getString(0) == "." && f.head.getLong(1) == 1L)
+  }
+
   test("x187 hot-partition report: totals via 1-row agg broadcast, no Window node in the plan") {
     val df = graft.ops.Extensions77.x187HotPartitions(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
