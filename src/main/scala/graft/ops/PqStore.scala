@@ -123,6 +123,53 @@ object PqStore {
     cells.toSet
   }
 
+  /** Probe-count planner: serve the query batch at every probe count
+    * 1..`maxProbes`, score recall@k against brute-force truth over
+    * `vectors` (the raw corpus the index was built from), and mark the
+    * SMALLEST probe count reaching `targetRecall` (the largest probed
+    * count when none does). Output ordered:
+    * (probes, n_queries, recall, chosen).
+    *
+    * This is the serving knob the ANN tier turns: probes × cell size
+    * IS the per-query read cost, and this table prices each step
+    * against measured recall on the REAL served path (pruned reads,
+    * stored geometry) — the x228 philosophy (measure the pinned
+    * configuration, don't extrapolate) applied to IVF routing.
+    * Measured means measured: under ADC, recall is NOT guaranteed
+    * monotone in probes — a newly-probed cell's candidates can
+    * DISPLACE a true neighbor from the top-k when quantization error
+    * scores an impostor closer (observed on the fixture: 0.46 at 1
+    * probe, 0.44 at 2) — which is exactly why the knob is priced
+    * empirically instead of assumed.
+    *
+    * Scale: a calibration tool — maxProbes serving passes over a
+    * SAMPLED query batch (each pass reads only its probed cells) plus
+    * one brute truth pass; the driver holds O(maxProbes) rows.
+    */
+  def probePlan(
+      spark: SparkSession, path: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int = 5, maxProbes: Int = 8,
+      targetRecall: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    require(maxProbes >= 1)
+    val truth = Extensions.materialized(
+      Extensions27.bruteTopK(vectors, queries, idCol, vecCol, k)
+        .select(col("q_id"), col("c_id")))
+    val rows = (1 to maxProbes).map { p =>
+      val served = topKFromIndex(spark, path, queries, idCol, vecCol, k, probes = p)
+      val r = Extensions4.recallAtK(served, truth)
+        .agg(sum(col("n_hit")).cast("double") / sum(col("n_truth")),
+          count(lit(1)))
+        .head()
+      (p.toLong, r.getLong(1), BigDecimal(r.getDouble(0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val chosen = rows.find(_._3 >= targetRecall).map(_._1).getOrElse(maxProbes.toLong)
+    rows.map { case (p, nq, rec) => (p, nq, rec, p == chosen) }
+      .toDF("probes", "n_queries", "recall", "chosen")
+  }
+
   /** ADC top-k for a query batch against the written index, reading
     * only the probed cell directories. Identical semantics (and values)
     * to [[Extensions31.ivfPqTopK]] with the same geometry.

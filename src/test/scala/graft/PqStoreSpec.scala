@@ -114,4 +114,33 @@ class PqStoreSpec extends SparkSpec {
     val mean = out.map(_.getDouble(3)).sum / out.length
     assert(mean > 0.2, s"mean recall@5 must beat noise, got $mean")
   }
+
+  test("probePlan: real measured recalls (ADC is NOT monotone in probes); chosen = smallest probe count at target (or the max when unreachable)") {
+    val root = tmpDir("pqprobe")
+    PqStore.writeIndex(emb, "vec_id", "embedding", codebook, root)
+    val q = emb.filter(col("vec_id") < 10)
+    val plan = PqStore.probePlan(spark, root, emb, "vec_id", "embedding", q,
+        k = 5, maxProbes = 4, targetRecall = 0.3)
+      .collect()
+    assert(plan.length == 4)
+    val recalls = plan.map(_.getDouble(2))
+    // ADC recall can DIP as probes grow (an extra cell's candidates can
+    // displace a true neighbor via quantization error) — assert only
+    // that every measurement is a real recall, not a monotone fantasy
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recalls.max > 0.2, s"serving must beat noise: ${recalls.toSeq}")
+    val chosen = plan.filter(_.getBoolean(3))
+    assert(chosen.length == 1)
+    val c = chosen.head
+    // smallest probes meeting the target — every earlier row is below it
+    if (c.getDouble(2) >= 0.3)
+      assert(plan.takeWhile(_.getLong(0) < c.getLong(0))
+        .forall(_.getDouble(2) < 0.3), s"not minimal: ${plan.toSeq}")
+    else assert(c.getLong(0) == 4L, "unreachable target falls back to max probes")
+    // an unreachable target picks the max row
+    val strict = PqStore.probePlan(spark, root, emb, "vec_id", "embedding", q,
+        k = 5, maxProbes = 3, targetRecall = 1.01)
+      .collect()
+    assert(strict.filter(_.getBoolean(3)).map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }

@@ -686,8 +686,9 @@ class StreamingSpec extends SparkSpec {
 
     // pruning held while the stream was live
     assert(prunedMidStream, "mid-stream serving must still partition-prune on cell")
-    // recall was scored after every micro-batch and stayed real
-    assert(recalls.size == 2, s"one recall point per batch: $recalls")
+    // recall was scored after every micro-batch (>= 2 — the source may
+    // legally split an append into several micro-batches) and stayed real
+    assert(recalls.size >= 2, s"one recall point per batch: $recalls")
     assert(recalls.forall(_ >= 0.2), s"served-path recall collapsed: $recalls")
 
     // (posting-index maintenance note: the text-retrieval tier follows
@@ -754,9 +755,15 @@ class StreamingSpec extends SparkSpec {
     q.stop()
 
     assert(prunedMidStream, "mid-stream phrase serving must still bucket-prune")
-    assert(midStream.size == 2)
-    assert(midStream(0) == Set(0L, 5L, 13L), s"batch-1 view: ${midStream(0)}")
-    assert(midStream(1) == Set(0L, 5L, 13L, 27L), s"batch-2 view: ${midStream(1)}")
+    // the source may split an append into several micro-batches: views
+    // must GROW monotonically and the last must see every admitted hit
+    assert(midStream.size >= 2)
+    midStream.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w(0).subsetOf(w(1)),
+        s"index views must grow monotonically: $midStream")
+    }
+    assert(midStream.last == Set(0L, 5L, 13L, 27L),
+      s"final view: ${midStream.last}")
     // final maintained index ≡ from-scratch build over everything
     val full = s"$root/full"
     val all = (0 until 10).map(i => (i.toLong, doc(i, i % 5 == 0))) ++
