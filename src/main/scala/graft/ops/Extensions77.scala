@@ -118,8 +118,11 @@ object Extensions77 {
   def hotPartitionReport(
       log: DataFrame, keyCol: String, hotFactor: Long = 3L,
       topK: Int = 20): DataFrame = {
-    val per = log.select(col(keyCol).as("k"))
-      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    // materialized: per feeds both the totals agg and the final select —
+    // unchecked, each consumer re-scans the LOG (the 100 TB input),
+    // doubling the report's cost; the checkpoint is O(distinct keys)
+    val per = Extensions.materialized(log.select(col(keyCol).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c")))
     val totals = per.agg(
       sum(col("c")).cast("long").as("tot"),
       count(lit(1)).as("nids"))

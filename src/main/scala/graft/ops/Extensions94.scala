@@ -55,8 +55,13 @@ object Extensions94 {
       .agg(count(lit(1)).as("cl"))
     val cr = right.select(col(keyCol).as("k")).groupBy(col("k"))
       .agg(count(lit(1)).as("cr"))
-    val per = cl.join(cr, Seq("k"))
-      .withColumn("pred", expr("CAST(cl AS DECIMAL(38,0)) * cr"))
+    // materialized: the per-key table feeds BOTH the totals agg and the
+    // final projection — without the checkpoint each consumer re-runs
+    // the two corpus scans + the key join (measured: 6 parquet scans in
+    // the final plan instead of 2; at 100 TB that triples the planner's
+    // cost). The checkpoint is O(join keys), not corpus-sized.
+    val per = Extensions.materialized(cl.join(cr, Seq("k"))
+      .withColumn("pred", expr("CAST(cl AS DECIMAL(38,0)) * cr")))
     val tot = per.agg(sum(col("pred")).as("tot"), count(lit(1)).as("nk"))
     per.crossJoin(broadcast(tot))
       .select(col("k").as("key"), col("cl").as("n_left"), col("cr").as("n_right"),
