@@ -1194,6 +1194,13 @@ object Graft {
   def groupedLengthFit(corpus: DataFrame, groupCol: String, lenCol: String): DataFrame =
     Extensions101.groupedLengthFit(corpus, groupCol, lenCol)
 
+  /** Exact global row_number/rank/dense_rank/ntile via range-partitioned
+    * distributed order statistics — never a single-partition window.
+    */
+  def globalRank(df: DataFrame, keys: Seq[String], descending: Seq[Boolean],
+      parts: Int = 32, tiles: Int = 4): DataFrame =
+    graft.ops.Rank.globalRank(df, keys, descending, parts, tiles)
+
   /** Measured precision + recall of the pinned LSH band geometry per
     * threshold — what the geometry actually did at calibration scale,
     * next to [[lshRecallPlanner]]'s prediction.

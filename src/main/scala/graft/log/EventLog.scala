@@ -233,6 +233,16 @@ object EventLog {
       dropTombstones: Boolean = false): (Long, Long) = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    // The kept set is written via append(); compacting into a non-empty
+    // outPath — the natural call for PERIODIC re-compaction — would
+    // silently merge with stale prior contents and grow the log instead
+    // of shrinking it. Fail loudly: each compaction targets a fresh
+    // (e.g. versioned) directory, and the caller swaps paths on success.
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val outFs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!outFs.exists(outP) || outFs.listStatus(outP).isEmpty,
+      s"EventLog.compact: outPath $outPath already has contents; " +
+        "compact into a fresh directory and swap on success")
     val events = scan(spark, path)
     val before = events.count()
     val latest = graft.state.Materialize

@@ -36,11 +36,15 @@ object Extensions73 {
     * NULL when fewer than 2 non-zero points survive.
     *
     * Censoring: the cohort is restricted to users whose first event is
-    * at least `maxK` weeks before the end of the log — a user whose
+    * at least `maxK + 1` weeks before the end of the log — a user whose
     * history is right-censored at week j < k CANNOT appear in week k,
     * so counting them in the denominator biases every r_k (and the
-    * fitted churn) upward. Every r_k therefore divides by users fully
-    * observable through week maxK.
+    * fitted churn) upward. The gate is maxK+1 (not maxK) weeks because
+    * week maxK spans [maxK·w, (maxK+1)·w): a user admitted at exactly
+    * end − maxK·w has week maxK merely STARTED, not fully observed, so
+    * r_maxK — one of only maxK fit points — would still be right-
+    * censored low. Every r_k therefore divides by users whose full
+    * [maxK·w, (maxK+1)·w) window lies inside the log.
     *
     * Scale: one user hash-agg pins first events; a 1-row max-ts agg
     * broadcast gates the cohort; one (user, offset) distinct + offset
@@ -57,7 +61,7 @@ object Extensions73 {
       .agg(min(col(tsCol)).as("first_ts"))
       .crossJoin(broadcast(maxTs))
       .filter(unix_micros(col("first_ts")) <=
-        col("end_us") - lit(maxK.toLong * weekUs))
+        col("end_us") - lit((maxK + 1).toLong * weekUs))
       .select(col("u"), col("first_ts"))
     val nUsers = firstTs.agg(count(lit(1)).as("nu"))
     val active = events.select(col(userCol).as("u"), col(tsCol).as("ts"))
@@ -98,7 +102,7 @@ object Extensions73 {
       ft AS (SELECT user_id AS u, min(ts) AS first_ts
              FROM events GROUP BY user_id),
       coh AS (SELECT ft.u, ft.first_ts FROM ft, mx
-              WHERE epoch_us(ft.first_ts) <= mx.end_us - 3 * 604800000000),
+              WHERE epoch_us(ft.first_ts) <= mx.end_us - 4 * 604800000000),
       nu AS (SELECT count(*) AS nu FROM coh),
       act AS (SELECT DISTINCT e.user_id AS u,
                 CAST(floor((epoch_us(e.ts) - epoch_us(coh.first_ts))
@@ -168,8 +172,13 @@ object Extensions73 {
           .as("mae_naive"),
         expr("((ss * 100 * 2 + n_eval_days) DIV (2 * n_eval_days)) / 10000.0D")
           .as("mae_snaive7"),
+        // divisor clamp: sc is sized from greatest(ss, sn), so when ss
+        // drives sc while sn is small, (sn DIV sc) can floor to 0 and the
+        // sn > 0 guard would still promise a value — greatest(..., 1)
+        // keeps the division defined (identical bits whenever sn DIV sc
+        // >= 1, i.e. everywhere below the overflow bound)
         when(col("sn") > 0L,
-          expr("(((ss DIV sc) * 10000 * 2 + (sn DIV sc)) DIV (2 * (sn DIV sc))) / 10000.0D")).as("mase"),
+          expr("(((ss DIV sc) * 10000 * 2 + greatest(sn DIV sc, 1)) DIV (2 * greatest(sn DIV sc, 1))) / 10000.0D")).as("mase"),
         (col("ss") < col("sn")).as("seasonal_better"))
   }
 
@@ -195,7 +204,7 @@ object Extensions73 {
       SELECT n AS n_eval_days,
              ((sn * 100 * 2 + n) // (2 * n)) / 10000.0 AS mae_naive,
              ((ss * 100 * 2 + n) // (2 * n)) / 10000.0 AS mae_snaive7,
-             CASE WHEN sn > 0 THEN (((ss // sc) * 10000 * 2 + (sn // sc)) // (2 * (sn // sc))) / 10000.0 END AS mase,
+             CASE WHEN sn > 0 THEN (((ss // sc) * 10000 * 2 + greatest(sn // sc, 1)) // (2 * greatest(sn // sc, 1))) / 10000.0 END AS mase,
              ss < sn AS seasonal_better
       FROM g"""
 

@@ -63,7 +63,19 @@ object Extensions91 {
         .select(col("doc_id"), (col("p0") + 1).as("pidx"), trim(col("pt0")).as("ptext"))
         .filter(length(col("ptext")) > 0)
         .select(col("doc_id"), col("pidx"), col("ptext"),
-          (col("doc_id") * lit(100000L) + col("pidx")).as("pid"),
+          // bounds ENFORCED, not just documented: an out-of-range doc_id
+          // or a >100000-paragraph doc would silently collide pids across
+          // documents and drop the wrong paragraphs under keep-first. The
+          // check lives inside the pid expression itself (not a dropped
+          // assert column) so column pruning cannot elide it.
+          when(col("doc_id").between(0L, 92233720368546L) &&
+              col("pidx") <= lit(100000L),
+            col("doc_id") * lit(100000L) + col("pidx"))
+            .otherwise(raise_error(concat(
+              lit("dedupParagraphs: pid pack out of range (doc_id="),
+              col("doc_id"), lit(", pidx="), col("pidx"),
+              lit("); need 0 <= doc_id <= 9.2e13 and <= 100000 paragraphs/doc"))))
+            .as("pid"),
           md5(col("ptext")).as("h")))
     val minp = pk.groupBy(col("h")).agg(min(col("pid")).as("pid"))
     val reps = Extensions.materialized(pk.join(minp, Seq("h", "pid"), "left_semi"))

@@ -71,8 +71,12 @@ object Scale {
     if (row.isNullAt(0)) 1
     else {
       val (maxc, tot, nids) = (row.getLong(0), row.getLong(1), row.getLong(2))
-      if (maxc * nids <= hotFactor * tot) 1
-      else math.min(maxBuckets.toLong, (maxc * nids + tot - 1L) / tot).toInt
+      // BigInt, not Long: maxc·nids multiplies two corpus-scale counts
+      // (1e12 rows × 1e8 keys wraps a signed 64-bit product negative,
+      // silently disabling the salt) — the same 128-bit discipline the
+      // x215 planner applies to the identical arithmetic.
+      if (BigInt(maxc) * nids <= BigInt(hotFactor) * tot) 1
+      else ((BigInt(maxc) * nids + tot - 1) / tot).min(BigInt(maxBuckets)).toInt
     }
   }
 

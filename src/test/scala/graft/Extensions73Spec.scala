@@ -12,14 +12,18 @@ class Extensions73Spec extends SparkSpec {
   test("x178 planted: an exact halving retention reads churn 0.5 with r2 1") {
     import spark.implicits._
     // 80 users: 40 active in week 1, 20 in week 2, 10 in week 3
-    // (each active user gets one event in the week's middle)
+    // (each active user gets one event in the week's middle). A sentinel
+    // user (81) pins the log end at Jan 29 so week 3 — [Jan 22, Jan 29)
+    // after the Jan 1 firsts — is FULLY observed: the censoring gate
+    // admits users with first_ts <= end - (maxK+1) weeks = Jan 1 10:00
+    // (boundary inclusive), i.e. all 80; the sentinel itself is gated out.
     val rows = (1L to 80L).flatMap { u =>
       val first = Seq((u, "2024-01-01 10:00:00"))
       val w1 = if (u <= 40) Seq((u, "2024-01-09 10:00:00")) else Nil
       val w2 = if (u <= 20) Seq((u, "2024-01-16 10:00:00")) else Nil
       val w3 = if (u <= 10) Seq((u, "2024-01-23 10:00:00")) else Nil
       first ++ w1 ++ w2 ++ w3
-    }
+    } :+ (81L, "2024-01-29 10:00:00")
     val ev = rows.toDF("user_id", "ts0")
       .select(col("user_id"), to_timestamp(col("ts0")).as("ts"))
     val out = Extensions73.churnRateFit(ev, "user_id", "ts").collect().head
