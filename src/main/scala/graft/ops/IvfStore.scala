@@ -32,35 +32,48 @@ object IvfStore {
   def writeIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, path: String): Unit = {
+    val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val root = s"$path/index"
+    val batch = StoreManifest.newBatchDirName(spark, root)
     Extensions2.assignCells(base, broadcast(centroids.select(col("cell"), col("cvec"))))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/index")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/$batch")
+    StoreManifest.publish(spark, root,
+      StoreManifest.listBatchFiles(spark, root, batch))
     centroids.select(col("cell"), col("cvec"))
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Append new vectors to an existing index: assign against the STORED
-    * centroids (so old and new rows agree on cell geometry) and append
-    * only the touched cell directories. The index grows without
-    * rewriting — the steady-state ingest path; retrain centroids and
-    * rewrite only when the cell-size balance drifts.
+    * centroids (so old and new rows agree on cell geometry); the batch
+    * lands in a fresh dir and one manifest rename publishes it
+    * ([[StoreManifest]]). The index grows without rewriting — the
+    * steady-state ingest path; retrain centroids and rewrite only when
+    * the cell-size balance drifts.
     */
   def appendToIndex(
       newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newVecs.sparkSession
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val base = newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val root = s"$path/index"
+    val pinned = StoreManifest.files(spark, root)
+    val batch = StoreManifest.newBatchDirName(spark, root)
     Extensions2.assignCells(base, cents)
-      .write.partitionBy("cell").mode("append").parquet(s"$path/index")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/$batch")
+    StoreManifest.publish(spark, root,
+      pinned ++ StoreManifest.listBatchFiles(spark, root, batch))
   }
 
   /** Compact deleted vectors OUT of the index (the [[SignatureStore.compact]]
     * discipline): the removed vectors' embeddings re-assign against the
     * STORED centroids to the exact cells their rows live in, so only
-    * those cell directories are read, anti-joined on vec_id, and
-    * dynamically overwritten — never a full-index rewrite. Emptied cells
-    * are deleted explicitly; kept rows are materialized before the
-    * self-overwrite. Returns the cell ids rewritten or deleted.
+    * those cells' files are read (pinned via the manifest) and
+    * anti-joined on vec_id — never a full-index rewrite. Survivors land
+    * in a fresh batch dir; one manifest rename publishes (untouched
+    * files) + (compacted batch), so emptied cells simply drop out and a
+    * concurrent reader keeps its pinned snapshot. Returns the touched
+    * cell ids.
     */
   def compactIndex(
       removeVecs: DataFrame, idCol: String, vecCol: String, path: String): Set[Int] = {
@@ -74,26 +87,20 @@ object IvfStore {
     val cells = assigned.select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty) return Set.empty
+    val cellSet = cells.map(_.toString).toSet
+    val root = s"$path/index"
+    val pinned = StoreManifest.files(spark, root)
     val removeIds = broadcast(assigned.select(col("vec_id")).distinct())
-    val kept = Extensions.materialized(
-      spark.read.parquet(s"$path/index")
-        .filter(col("cell").isin(cells: _*))
-        .join(removeIds, Seq("vec_id"), "left_anti"))
-    val nonEmpty = kept.select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try kept.repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/index")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (cells.toSet -- nonEmpty).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/index", s"cell=$c"), true)
-    }
+    val kept = StoreManifest.readFiles(spark, root, pinned)
+      .filter(col("cell").isin(cells: _*))
+      .join(removeIds, Seq("vec_id"), "left_anti")
+    val batch = StoreManifest.newBatchDirName(spark, root)
+    kept.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/$batch")
+    val untouched = pinned.filterNot(f =>
+      StoreManifest.partValueOf(f, "cell").exists(cellSet.contains))
+    StoreManifest.publish(spark, root,
+      untouched ++ StoreManifest.listBatchFiles(spark, root, batch))
     cells.toSet
   }
 
@@ -118,7 +125,7 @@ object IvfStore {
     // bounded driver-side cell list -> literal isin -> static partition pruning
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
-    val idx = spark.read.parquet(s"$path/index")
+    val idx = StoreManifest.readPinned(spark, s"$path/index")
       .filter(col("cell").isin(cells: _*))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     probed.join(idx, Seq("cell"))

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * postings persist once, routed by a token-hash bucket:
   *
   * {{{
-  *   path/postings/bucket=N/   (tok, doc_id, pos)   partitionBy(bucket)
-  *   path/meta                 (buckets)            modulus sidecar
+  *   path/postings/_manifest/             StoreManifest commit log
+  *   path/postings/batch=V-R/bucket=N/    (tok, doc_id, pos)  partitionBy(bucket), immutable
+  *   path/meta                         (buckets)           modulus sidecar
   * }}}
   *
   * Serving reads ONLY the query tokens' bucket directories: the ≤ m
@@ -45,8 +46,12 @@ object PostingStore {
     require(buckets > 0)
     val spark = corpus.sparkSession
     import spark.implicits._
+    val root = s"$path/postings"
+    val batch = StoreManifest.newBatchDirName(spark, root)
     postings(corpus, idCol, textCol, buckets)
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/$batch")
+    StoreManifest.publish(spark, root,
+      StoreManifest.listBatchFiles(spark, root, batch))
     Seq(buckets).toDF("buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -59,9 +64,15 @@ object PostingStore {
     */
   def append(
       newDocs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
-    val buckets = storedBuckets(newDocs.sparkSession, path)
+    val spark = newDocs.sparkSession
+    val buckets = storedBuckets(spark, path)
+    val root = s"$path/postings"
+    val pinned = StoreManifest.files(spark, root)
+    val batch = StoreManifest.newBatchDirName(spark, root)
     postings(newDocs, idCol, textCol, buckets)
-      .write.partitionBy("bucket").mode("append").parquet(s"$path/postings")
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/$batch")
+    StoreManifest.publish(spark, root,
+      pinned ++ StoreManifest.listBatchFiles(spark, root, batch))
   }
 
   /** Exact-phrase search served from the written index, reading only
@@ -81,7 +92,7 @@ object PostingStore {
     // static partition pruning on the postings scan
     val cells = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idx = spark.read.parquet(s"$path/postings")
+    val idx = StoreManifest.readPinned(spark, s"$path/postings")
       .filter(col("bucket").isin(cells: _*))
       .select(col("doc_id"), col("pos"), col("tok"))
     Extensions21.alignChain(idx, q.drop("bucket"), qToks.length)

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * nothing else:
   *
   * {{{
-  *   path/codes/cell=N/   (vec_id, m, k)        partitionBy(cell)
-  *   path/centroids       (cell, cvec)          coarse quantizer, quantized space
-  *   path/codebook        ModelStore PQ artifact (geometry-checked load)
+  *   path/codes/_manifest/           StoreManifest commit log (version → file list)
+  *   path/codes/batch=V-R/cell=N/    (vec_id, m, k)    partitionBy(cell), immutable batches
+  *   path/centroids               (cell, cvec)      coarse quantizer, quantized space
+  *   path/codebook                ModelStore PQ artifact (geometry-checked load)
   * }}}
   *
   * Serving reads ONLY the probed cell directories: the probed cell set
@@ -49,9 +50,13 @@ object PqStore {
     require(cents.length == nCells, s"PqStore: need at least $nCells vectors")
     val cl = Extensions31.centsLit(cents)
     val assigned = qv.select(col("vec_id"), Extensions31.cellExpr(cl, nCells).as("cell"))
+    val codesRoot = s"$path/codes"
+    val batch = StoreManifest.newBatchDirName(spark, codesRoot)
     Extensions27.pqEncode(vectors, idCol, vecCol, codebook)
       .join(assigned, Seq("vec_id"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$codesRoot/$batch")
+    StoreManifest.publish(spark, codesRoot,
+      StoreManifest.listBatchFiles(spark, codesRoot, batch))
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -65,8 +70,9 @@ object PqStore {
 
   /** Append new vectors: encode against the STORED codebook and assign
     * against the STORED centroids (old and new rows must agree on the
-    * geometry), appending only the touched cell directories — the
-    * steady-state ingest path, no rewrite.
+    * geometry). The batch lands in a fresh dir and the manifest rename
+    * publishes it ([[StoreManifest]]) — the steady-state ingest path,
+    * no rewrite, and a concurrent reader never sees a half-added batch.
     */
   def appendToIndex(
       newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
@@ -77,17 +83,25 @@ object PqStore {
     val qv = Extensions27.quantized(newVecs, idCol, vecCol)
     val assigned = qv.select(col("vec_id"),
       Extensions31.cellExpr(cl, cents.length).as("cell"))
+    val codesRoot = s"$path/codes"
+    val pinned = StoreManifest.files(spark, codesRoot)
+    val batch = StoreManifest.newBatchDirName(spark, codesRoot)
     Extensions27.pqEncode(newVecs, idCol, vecCol, codebook)
       .join(assigned, Seq("vec_id"))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$codesRoot/$batch")
+    StoreManifest.publish(spark, codesRoot,
+      pinned ++ StoreManifest.listBatchFiles(spark, codesRoot, batch))
   }
 
   /** Compact removed vectors OUT of the index (the [[IvfStore.compactIndex]]
     * discipline): re-assign the removed embeddings against the stored
     * centroids to find exactly the cells their codes live in, read ONLY
-    * those cell directories, anti-join on vec_id, dynamically overwrite
-    * the touched cells, and delete emptied cell directories outright.
-    * Returns the cell ids rewritten or deleted.
+    * those cells' files (pinned via the manifest), anti-join on vec_id,
+    * write the survivors to a fresh batch dir, and publish one manifest:
+    * (pinned files outside the touched cells) + (the compacted batch).
+    * Emptied cells just have no files in the new manifest; old files are
+    * never touched, so a pre-compaction reader keeps its snapshot
+    * ([[StoreManifest]]). Returns the touched cell ids.
     */
   def compactIndex(
       removeVecs: DataFrame, idCol: String, vecCol: String, path: String): Set[Int] = {
@@ -100,26 +114,20 @@ object PqStore {
     val cells = assigned.select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty) return Set.empty
+    val cellSet = cells.map(_.toString).toSet
+    val codesRoot = s"$path/codes"
+    val pinned = StoreManifest.files(spark, codesRoot)
     val removeIds = broadcast(assigned.select(col("vec_id")).distinct())
-    val kept = Extensions.materialized(
-      spark.read.parquet(s"$path/codes")
-        .filter(col("cell").isin(cells: _*))
-        .join(removeIds, Seq("vec_id"), "left_anti"))
-    val nonEmpty = kept.select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try kept.repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (cells.toSet -- nonEmpty).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes", s"cell=$c"), true)
-    }
+    val kept = StoreManifest.readFiles(spark, codesRoot, pinned)
+      .filter(col("cell").isin(cells: _*))
+      .join(removeIds, Seq("vec_id"), "left_anti")
+    val batch = StoreManifest.newBatchDirName(spark, codesRoot)
+    kept.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$codesRoot/$batch")
+    val untouched = pinned.filterNot(f =>
+      StoreManifest.partValueOf(f, "cell").exists(cellSet.contains))
+    StoreManifest.publish(spark, codesRoot,
+      untouched ++ StoreManifest.listBatchFiles(spark, codesRoot, batch))
     cells.toSet
   }
 
@@ -187,7 +195,9 @@ object PqStore {
     // bounded driver-side cell list -> literal isin -> static partition pruning
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = spark.read.parquet(s"$path/codes")
+    // one manifest read pins the snapshot; the isin still prunes to the
+    // probed cells' files (PartitionFilters, asserted in PqStoreSpec)
+    val codes = StoreManifest.readPinned(spark, s"$path/codes")
       .filter(col("cell").isin(cells: _*))
     Extensions31.adcRank(
       probed.join(codes, Seq("cell")).select(col("q_id"), col("vec_id"), col("m"), col("k")),

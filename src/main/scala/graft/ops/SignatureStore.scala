@@ -57,17 +57,34 @@ object SignatureStore {
     * a partitionBy write fans out to (tasks × cells) small files (8192
     * at 32 tasks; measured 2× the whole query's cost), the classic
     * small-files failure a 100 TB store cannot afford.
+    *
+    * All writes commit through [[StoreManifest]]: data lands in a fresh
+    * batch dir, the manifest rename publishes it atomically — a reader
+    * concurrent with ANY write (append or compaction) sees the pre- or
+    * post-state, never a torn mix.
     */
-  def write(sigs: DataFrame, path: String): Unit =
+  def write(sigs: DataFrame, path: String): Unit = {
+    val spark = sigs.sparkSession
+    val batch = StoreManifest.newBatchDirName(spark, path)
     postings(sigs).repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/$batch")
+    StoreManifest.publish(spark, path,
+      StoreManifest.listBatchFiles(spark, path, batch))
+  }
 
   /** Append a new batch's signatures (after its dedup verdict kept them)
-    * — only the touched cell directories grow.
+    * — only the touched cells gain files; the commit is the manifest
+    * rename (old list + the new batch's files).
     */
-  def append(sigs: DataFrame, path: String): Unit =
+  def append(sigs: DataFrame, path: String): Unit = {
+    val spark = sigs.sparkSession
+    val pinned = StoreManifest.files(spark, path)
+    val batch = StoreManifest.newBatchDirName(spark, path)
     postings(sigs).repartition(col("cell"))
-      .write.partitionBy("cell").mode("append").parquet(path)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/$batch")
+    StoreManifest.publish(spark, path,
+      pinned ++ StoreManifest.listBatchFiles(spark, path, batch))
+  }
 
   /** Compact deleted documents OUT of the store — the missing half of
     * "the store is where the corpus lives between batches": the
@@ -79,39 +96,32 @@ object SignatureStore {
     * PRUNABLE: a doc's postings live in exactly the cells its band keys
     * hash to, so the removed docs' signatures give a bounded cell list
     * (driver-side, O(cells) ints — the dedup probe shape), and only
-    * those cell directories are read, anti-joined on doc_id, and
-    * dynamically overwritten. A keep-id formulation would have to
-    * rewrite every cell by definition. Cells whose postings vanish
-    * entirely are deleted explicitly (dynamic overwrite only replaces
-    * partitions PRESENT in the output). The kept rows are materialized
-    * before the write so the self-overwrite never reads files the
-    * commit is replacing. Returns the cell ids rewritten or deleted.
+    * those cells' files are read and anti-joined on doc_id. The
+    * survivors land in a FRESH batch dir, and the commit is one
+    * manifest rename: (pinned files outside the touched cells) + (the
+    * compacted batch) — emptied cells simply have no files in the new
+    * manifest. Old files are never touched, so a reader pinned to the
+    * pre-compaction version keeps its exact snapshot ([[StoreManifest]];
+    * StoreManifestSpec races this). Returns the touched cell ids.
     */
   def compact(spark: SparkSession, path: String, removeSigs: DataFrame): Set[Int] = {
     val posts = Extensions.materialized(postings(removeSigs))
     val cells = posts.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty) return Set.empty
+    val cellSet = cells.map(_.toString).toSet
+    val pinned = StoreManifest.files(spark, path)
     val removeIds = broadcast(removeSigs.select(col("doc_id")).distinct())
-    val kept = Extensions.materialized(
-      spark.read.parquet(path)
-        .filter(col("cell").isin(cells: _*))
-        .join(removeIds, Seq("doc_id"), "left_anti"))
-    val nonEmpty = kept.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try kept.repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (cells.toSet -- nonEmpty).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"cell=$c"), true)
-    }
+    val kept = StoreManifest.readFiles(spark, path, pinned)
+      .filter(col("cell").isin(cells: _*))
+      .join(removeIds, Seq("doc_id"), "left_anti")
+    val batch = StoreManifest.newBatchDirName(spark, path)
+    kept.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/$batch")
+    val untouched = pinned.filterNot(f =>
+      StoreManifest.partValueOf(f, "cell").exists(cellSet.contains))
+    StoreManifest.publish(spark, path,
+      untouched ++ StoreManifest.listBatchFiles(spark, path, batch))
     cells.toSet
   }
 
@@ -129,7 +139,8 @@ object SignatureStore {
     val batchPosts = Extensions.materialized(postings(batchSigs))
     val cells = batchPosts.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val store = spark.read.parquet(path)
+    // readPinned: one manifest read pins the snapshot for the whole query
+    val store = StoreManifest.readPinned(spark, path)
       .filter(col("cell").isin(cells: _*))
     val matches = (0 until Extensions.MinhashPerms)
       .map(i => when(col(s"c.h$i") === col(s"b.h$i"), 1L).otherwise(0L))

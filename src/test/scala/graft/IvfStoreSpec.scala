@@ -44,7 +44,7 @@ class IvfStoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(fromStore == inMemory, "grown store must equal in-memory over the union")
     // appended rows are actually present
-    val served = spark.read.parquet(s"$root/index")
+    val served = graft.ops.StoreManifest.readPinned(spark, s"$root/index")
       .filter(col("vec_id") >= 400).count()
     assert(served == newVecs.count(), "append must land every new vector")
   }

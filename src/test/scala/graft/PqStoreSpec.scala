@@ -70,7 +70,7 @@ class PqStoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(fromStore == inMemory, "grown store must equal in-memory over the union")
-    val landed = spark.read.parquet(s"$root/codes")
+    val landed = graft.ops.StoreManifest.readPinned(spark, s"$root/codes")
       .filter(col("vec_id") >= 400).select(col("vec_id")).distinct().count()
     assert(landed == emb.filter(col("vec_id") >= 400).count(),
       "append must land every new vector's codes")

@@ -84,7 +84,8 @@ class SignatureStoreSpec extends SparkSpec {
       .toDF("doc_id", "text").write.mode("append").parquet(spool)
     q.processAllAvailable()
     q.stop()
-    val ids = spark.read.parquet(store).select("doc_id").distinct()
+    val ids = graft.ops.StoreManifest.readPinned(spark, store)
+      .select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 11L, 21L),
       s"expected near-dups 10 (vs seed) and 20 (vs batch-1 admission) rejected, got $ids")
@@ -113,24 +114,27 @@ class SignatureStoreSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(before.nonEmpty, "fixture must produce at least one dup verdict (487 -> 45)")
     val dupTargets = before.values.toSet.toSeq
-    // snapshot the files of cells compaction should NOT touch
-    def cellFiles(pred: Int => Boolean): Map[String, Long] = {
-      val dir = new java.io.File(root)
-      dir.listFiles().filter(_.getName.startsWith("cell="))
-        .filter(f => pred(f.getName.stripPrefix("cell=").toInt))
-        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getPath -> f.lastModified()).toMap
-    }
+    // pin the pre-compaction manifest: untouched cells must keep their
+    // exact files in the NEW manifest (not just on disk)
+    val pinnedBefore = graft.ops.StoreManifest.files(spark, root)
     val removeSigs = sigs(col("doc_id").isin(dupTargets.map(Long.box): _*))
     val touched = SignatureStore.compact(spark, root, removeSigs)
     // 8 LSH bands per doc -> at most removedDocs x 8 touched cells
     assert(touched.nonEmpty && touched.size <= dupTargets.size * 8,
       s"compaction must touch at most removedDocs x bands cells, got ${touched.size}")
-    // untouched cell directories are byte-for-byte the same files
-    val untouchedAfter = cellFiles(c => !touched.contains(c))
-    assert(untouchedAfter.nonEmpty, "fixture must leave some cells untouched")
-    untouchedAfter.foreach { case (p, _) =>
-      assert(new java.io.File(p).exists(), s"untouched cell file vanished: $p") }
+    // untouched cells: the new manifest carries the SAME files as before
+    val touchedStr = touched.map(_.toString)
+    def cellOfFile(f: String) = graft.ops.StoreManifest.partValueOf(f, "cell")
+    val untouchedBefore = pinnedBefore.filterNot(f => cellOfFile(f).exists(touchedStr)).toSet
+    val pinnedAfter = graft.ops.StoreManifest.files(spark, root)
+    val untouchedAfter = pinnedAfter.filterNot(f => cellOfFile(f).exists(touchedStr)).toSet
+    assert(untouchedBefore.nonEmpty, "fixture must leave some cells untouched")
+    assert(untouchedAfter == untouchedBefore,
+      "compaction must not replace files of untouched cells")
+    // and every pre-compaction file is STILL on disk (snapshot isolation:
+    // a reader pinned to the old version keeps its exact state)
+    pinnedBefore.foreach { p =>
+      assert(new java.io.File(s"$root/$p").exists(), s"pinned file vanished: $p") }
     // the removed docs serve no verdicts anymore
     val after = SignatureStore.dedupAgainstStore(spark, root, batch)
     val afterDupOf = after.filter(!col("keep"))
@@ -141,13 +145,13 @@ class SignatureStoreSpec extends SparkSpec {
     // re-matched a different survivor — either way never the removed id)
     val flipped = before.keySet -- afterDupOf.keySet
     assert(flipped.nonEmpty, "compacting the dup targets must flip some verdict to keep")
-    // store rows for the removed ids are fully gone
-    val remaining = spark.read.parquet(root)
+    // store rows for the removed ids are fully gone from the live snapshot
+    val remaining = graft.ops.StoreManifest.readPinned(spark, root)
       .filter(col("doc_id").isin(dupTargets.map(Long.box): _*)).count()
     assert(remaining == 0, s"$remaining stale postings survived compaction")
   }
 
-  test("compacting every doc of a small store deletes its cell directories entirely") {
+  test("compacting every doc of a small store empties its manifest; vacuum reclaims the files") {
     import spark.implicits._
     val root = tmpDir("sigcompact_empty")
     val tiny = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
@@ -156,9 +160,16 @@ class SignatureStoreSpec extends SparkSpec {
     SignatureStore.write(s1, root)
     val touched = SignatureStore.compact(spark, root, s1)
     assert(touched.nonEmpty)
-    val cellDirs = new java.io.File(root).listFiles()
-      .filter(_.getName.startsWith("cell=")).map(_.getName).toSeq
-    assert(cellDirs.isEmpty,
-      s"emptied cells must be deleted (dynamic overwrite alone leaves them): $cellDirs")
+    // the live snapshot references no files at all
+    assert(graft.ops.StoreManifest.files(spark, root).isEmpty,
+      "emptied cells must drop out of the manifest entirely")
+    // vacuum reclaims the superseded version's data files
+    val deleted = graft.ops.StoreManifest.vacuum(spark, root)
+    assert(deleted.nonEmpty, "vacuum must reclaim the pre-compaction files")
+    val batchDirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    assert(batchDirs.isEmpty, s"no data file may survive a full vacuum: ${batchDirs.mkString(",")}")
   }
 }

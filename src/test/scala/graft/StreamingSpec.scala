@@ -472,7 +472,8 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(curatedIds == Set(10L, 21L), s"curated: $curatedIds")
     assert(funnel.map(_._4).sum == curatedIds.size.toLong)
-    val storeIds = spark.read.parquet(store).select("doc_id").distinct()
+    val storeIds = graft.ops.StoreManifest.readPinned(spark, store)
+      .select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(storeIds == Set(1L, 10L, 21L),
       s"store must grow ONLY by admitted docs: $storeIds")
@@ -667,7 +668,8 @@ class StreamingSpec extends SparkSpec {
           servedDf.collect()
           val plan = servedDf.queryExecution.executedPlan.toString
           prunedMidStream |= plan.contains(" IN (") && plan.contains("PartitionFilters")
-          val liveIds = spark.read.parquet(s"$store/codes").select("vec_id")
+          val liveIds = graft.ops.StoreManifest.readPinned(spark, s"$store/codes")
+            .select("vec_id")
           val truth = graft.ops.Extensions27.bruteTopK(
               emb.join(liveIds, Seq("vec_id"), "left_semi"), queries,
               "vec_id", "embedding", k = 5)
