@@ -1537,6 +1537,24 @@ object Graft {
       maxBuckets: Int = 64): DataFrame =
     graft.ops.Scale.autoSalted(large, small, key, saltSource, hotFactor, maxBuckets)
 
+  /** Heal the small-files partitions of a manifest store (the
+    * storeLayoutAudit signal wired into its maintenance verb): flagged
+    * partitions rewrite into one file each, published by one atomic
+    * manifest commit; answers unchanged, pinned readers unaffected.
+    */
+  def compactSmallPartitions(spark: SparkSession, root: String, partCol: String,
+      smallBytes: Long = 8L << 20): Set[String] =
+    graft.ops.StoreManifest.compactSmallPartitions(spark, root, partCol, smallBytes)
+
+  /** The salt decision from a hash-deterministic row sample — one
+    * integer from a fraction of a pass instead of a full scan; the
+    * safety margin biases borderline keys toward salting.
+    */
+  def saltDecisionSampled(large: DataFrame, key: String, sampleFraction: Double,
+      hotFactor: Long = 3L, maxBuckets: Int = 64, safetyPct: Int = 25): Int =
+    graft.ops.Scale.saltDecisionSampled(
+      large, key, sampleFraction, hotFactor, maxBuckets, safetyPct)
+
   /** Top token-share movers between two corpus releases — what the
     * release did to the LANGUAGE, next to [[corpusDiff]]'s which-docs.
     */

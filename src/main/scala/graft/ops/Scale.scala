@@ -80,6 +80,55 @@ object Scale {
     }
   }
 
+  /** [[saltDecision]] on a hash-deterministic row sample — the 100 TB
+    * form of the pre-pass: the exact decision scans the full large side
+    * to compute one integer; at a trillion rows that is a whole extra
+    * pass. Sampling `sampleFraction` of rows (by a 64-bit hash of the
+    * FULL row against a fixed threshold — deterministic across
+    * runs/retries, no RNG/partition seeding, so the decision is
+    * reproducible; bit-identical duplicate rows sample together) scales
+    * every count by ~f and the decision ratio maxc·nids/tot is
+    * f-invariant EXCEPT for nids: rare keys fall out of the sample, so
+    * the sampled distinct count UNDERSTATES the true one and the ratio
+    * reads low. `safetyPct` compensates: the hot trigger and the bucket
+    * ceil both scale by (100+safetyPct)/100.
+    *
+    * Error bound (documented, asserted on the planted-hub fixture): for
+    * the regime salting exists for — one key holding share s of N rows
+    * with N·f·s ≫ 1 — the hub's sampled count concentrates within
+    * O(1/sqrt(N·f·s)) of f·N·s (Chernoff), so the decision matches the
+    * exact pass whenever the exact ratio is at least ~(1+ε) away from
+    * the hotFactor threshold; borderline-hot keys may resolve either
+    * way, which the safety margin biases toward salting (the cheap
+    * error: a few extra buckets, not a straggler).
+    */
+  def saltDecisionSampled(
+      large: DataFrame, key: String, sampleFraction: Double,
+      hotFactor: Long = 3L, maxBuckets: Int = 64,
+      safetyPct: Int = 25): Int = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
+    require(safetyPct >= 0)
+    if (sampleFraction >= 1.0) return saltDecision(large, key, hotFactor, maxBuckets)
+    val m = 1L << 32
+    val thr = math.max(1L, (sampleFraction * m).toLong)
+    val row = large
+      .filter(pmod(xxhash64(large.columns.map(col): _*), lit(m)) < lit(thr))
+      .select(col(key).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).cast("long").as("tot"),
+        count(lit(1)).as("nids"))
+      .head()
+    if (row.isNullAt(0)) 1 // empty sample: nothing measurably hot
+    else {
+      val (maxc, tot, nids) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val num = BigInt(maxc) * nids * (100L + safetyPct)
+      val den = BigInt(tot) * 100L
+      if (num <= BigInt(hotFactor) * den) 1
+      else ((num + den - 1) / den).min(BigInt(maxBuckets)).toInt
+    }
+  }
+
   /** Measure-then-salt equi-join: run [[saltDecision]] on the large
     * side's key distribution; a plain join when no key is hot, a
     * [[saltedJoin]] with the computed bucket count when one is — the

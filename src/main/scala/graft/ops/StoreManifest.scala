@@ -201,6 +201,52 @@ object StoreManifest {
     deleted.toSeq
   }
 
+  /** Heal the small-files partitions of a manifest store — the
+    * [[Scale.storeLayoutAudit]] signal wired into the maintenance verb
+    * it exists to trigger (the measure-then-act pattern of autoSalted,
+    * applied to layout). Per partition value of `partCol` in the LIVE
+    * snapshot: if it holds more than one file and its mean file size is
+    * below `smallBytes` (the audit's flag, computed here from the same
+    * filesystem metadata, manifest-aware), its rows are rewritten into
+    * the next batch dir — one task per partition via
+    * `repartition(partCol)`, so each healed partition lands as a single
+    * file — and ONE manifest rename publishes (untouched files) +
+    * (rewritten partitions). Query answers are identical by
+    * construction (same rows, new layout; StoreManifestSpec asserts
+    * it); readers pinned mid-heal keep their snapshot.
+    *
+    * Scale: the scan cost is one read+write of ONLY the flagged
+    * partitions' bytes — which are small by definition of the flag;
+    * the decision is O(files) filesystem metadata, zero Spark jobs.
+    * Partitions above the flag threshold are never touched, so a
+    * steady-state store converges: heal, and subsequent audits are
+    * quiet until appends fragment it again.
+    */
+  def compactSmallPartitions(
+      spark: SparkSession, root: String, partCol: String,
+      smallBytes: Long = 8L << 20): Set[String] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val pinned = files(spark, root)
+    val sized = pinned.map { f =>
+      (f, partValueOf(f, partCol),
+        fs.getFileStatus(new Path(rootP, f)).getLen)
+    }
+    val flagged = sized.groupBy(_._2).collect {
+      case (Some(part), fs0)
+        if fs0.length > 1 && fs0.map(_._3).sum / fs0.length < smallBytes => part
+    }.toSet
+    if (flagged.isEmpty) return Set.empty
+    val moving = sized.collect { case (f, Some(p), _) if flagged.contains(p) => f }
+    val batch = newBatchDirName(spark, root)
+    import org.apache.spark.sql.functions.col
+    readFiles(spark, root, moving)
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(s"$root/$batch")
+    val untouched = pinned.filterNot(moving.toSet)
+    publish(spark, root, untouched ++ listBatchFiles(spark, root, batch))
+    flagged
+  }
+
   /** The `k=v` partition value a relative file path carries for
     * `partCol`, if any — compaction uses it to subtract a rewritten
     * partition's old files from the next manifest.

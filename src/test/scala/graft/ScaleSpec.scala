@@ -41,6 +41,34 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.saltDecision(uniform.filter(col("k") < 0), "k") == 1)
   }
 
+  test("saltDecisionSampled matches the exact decision on the planted hub and the cold keys") {
+    import spark.implicits._
+    // payload column matters: the sample hashes the FULL row, so the
+    // hub key's rows sample independently (a key-only table would put
+    // all its bit-identical duplicates in or out together)
+    val large = ((1 to 4000).map(i => (0L, i.toLong)) ++
+      (1 to 1000).map(i => ((i % 100 + 1).toLong, i.toLong)))
+      .toDF("k", "payload")
+    val exact = Scale.saltDecision(large, "k", maxBuckets = 8)
+    assert(exact == 8, s"hub must cap at 8, got $exact")
+    for (f <- Seq(0.5, 0.25, 0.1)) {
+      val sampled = Scale.saltDecisionSampled(large, "k", f, maxBuckets = 8)
+      assert(sampled == exact, s"f=$f: sampled $sampled != exact $exact")
+      // deterministic: the hash-threshold sample gives the same integer
+      // on every run
+      assert(Scale.saltDecisionSampled(large, "k", f, maxBuckets = 8) == sampled)
+    }
+    val uniform = (1 to 2000).map(i => ((i % 100).toLong, i.toLong)).toDF("k", "payload")
+    assert(Scale.saltDecision(uniform, "k") == 1)
+    for (f <- Seq(0.5, 0.25))
+      assert(Scale.saltDecisionSampled(uniform, "k", f) == 1,
+        s"f=$f: cold keys must stay unsalted under sampling")
+    // f = 1 routes to the exact pass
+    assert(Scale.saltDecisionSampled(large, "k", 1.0, maxBuckets = 8) == exact)
+    // empty sample: no measurable heat
+    assert(Scale.saltDecisionSampled(large.filter(col("k") < 0L), "k", 0.5) == 1)
+  }
+
   test("autoSalted on a planted hub equals the plain join and flattens the hot key's per-task load") {
     import spark.implicits._
     val large = ((1 to 4000).map(i => (0L, i.toLong)) ++

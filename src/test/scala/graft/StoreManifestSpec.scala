@@ -81,6 +81,34 @@ class StoreManifestSpec extends SparkSpec {
     assert(observed.asScala.last == post, "the final read must be the post-state")
   }
 
+  test("compactSmallPartitions heals a fragmented store to one file per flagged cell with identical answers") {
+    val root = tmpDir("manifest_heal")
+    // fragment: a seed write plus 6 tiny appends -> every touched cell
+    // accumulates one micro-file per batch
+    SignatureStore.write(sigs(col("doc_id") < 100), root)
+    (0 until 6).foreach { i =>
+      SignatureStore.append(
+        sigs(col("doc_id") >= 100 + i * 50 && col("doc_id") < 100 + (i + 1) * 50), root)
+    }
+    val batch = sigs(col("doc_id") >= 480)
+    val before = verdictSet(root, batch)
+    def filesPerCell(): Map[String, Int] =
+      StoreManifest.files(spark, root)
+        .groupBy(f => StoreManifest.partValueOf(f, "cell").get)
+        .map { case (c, fs) => c -> fs.length }
+    val fragmented = filesPerCell()
+    assert(fragmented.values.max > 1, "fixture must actually fragment")
+    val healed = StoreManifest.compactSmallPartitions(spark, root, "cell")
+    assert(healed.nonEmpty, "micro-file cells must be flagged")
+    val after = filesPerCell()
+    healed.foreach { c =>
+      assert(after(c) == 1, s"healed cell $c still has ${after(c)} files") }
+    assert(verdictSet(root, batch) == before,
+      "healing the layout must not change a single answer")
+    // idempotent: a second pass finds nothing left to heal
+    assert(StoreManifest.compactSmallPartitions(spark, root, "cell").isEmpty)
+  }
+
   test("vacuum keeps the live version readable and removes only superseded files") {
     val root = tmpDir("manifest_vacuum")
     SignatureStore.write(sigs(col("doc_id") < 300), root)
