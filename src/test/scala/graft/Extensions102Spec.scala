@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Extensions, Extensions102}
+
+/** Batch-102 invariants: the codepoint path sees what the word path is
+  * blind to on unsegmented scripts, and the router sends each script to
+  * the tokenizer that works for it.
+  */
+class Extensions102Spec extends SparkSpec {
+
+  // two CJK near-dups (one clause rewritten), one unrelated CJK doc, two
+  // English near-dups, one unrelated English doc — no spaces in the CJK
+  // texts, exactly the regime that collapses whitespace shingling
+  private val cjkA = "深度学习模型需要大量高质量的训练数据才能在新任务上泛化良好并保持稳定表现"
+  private val cjkB = "深度学习模型需要大量高质量的训练数据才能在下游评测中泛化良好并保持稳定表现"
+  private val cjkC = "春江潮水连海平海上明月共潮生滟滟随波千万里何处春江无月明"
+  private val engA = "large language models require vast amounts of high quality training data to generalize well across downstream tasks"
+  private val engB = "large language models require vast amounts of high quality training data to generalize well across most evaluation tasks"
+  private val engC = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn"
+
+  private def fixture = {
+    import spark.implicits._
+    Seq((1L, cjkA), (2L, cjkB), (3L, cjkC),
+      (4L, engA), (5L, engB), (6L, engC)).toDF("doc_id", "text")
+  }
+
+  test("the word chain is blind to the planted CJK near-dup; the codepoint chain finds it") {
+    val word = Extensions.jaccardPairs(fixture, "doc_id", "text", 0.3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!word.contains((1L, 2L)),
+      s"whitespace shingles cannot see inside an unsegmented doc: $word")
+    val char = Extensions102.charGramJaccardPairs(fixture, "doc_id", "text", 0.3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(char.contains((1L, 2L)), s"codepoint grams must find the CJK pair: $char")
+    assert(!char.contains((1L, 3L)) && !char.contains((2L, 3L)),
+      s"the unrelated CJK doc must not pair: $char")
+  }
+
+  test("an exact CJK copy pairs at jaccard 1 under the codepoint chain") {
+    import spark.implicits._
+    val df = Seq((1L, cjkA), (2L, cjkA)).toDF("doc_id", "text")
+    val got = Extensions102.charGramJaccardPairs(df, "doc_id", "text", 0.5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), s"$got")
+  }
+
+  test("script routing: CJK rides the codepoint path, English the word path, pairs union") {
+    val routed = Extensions102.scriptRoutedJaccardPairs(
+        fixture, "doc_id", "text", threshold = 0.3, wordShingle = 5, charGram = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed.contains((1L, 2L)), s"CJK pair must survive routing: $routed")
+    assert(routed.contains((4L, 5L)), s"English pair must survive routing: $routed")
+    assert(!routed.exists { case (a, b) => a <= 3 && b >= 4 },
+      s"no cross-script pair may arise: $routed")
+  }
+
+  test("short-doc gram semantics match substr truncation (whole text as one gram)") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("doc_id", "text")
+    val got = Extensions102.charGramJaccardPairs(df, "doc_id", "text", 0.5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"only the identical short docs pair: $got")
+  }
+
+  test("x232 fixture: despaced near-dups recovered, ordered, nonempty") {
+    val rows = SparkEntry.queries("x232_chargram_dedup")(spark, sf0001).collect()
+    assert(rows.nonEmpty, "the fixture's planted near-dups must survive despacing")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
+  }
+}
