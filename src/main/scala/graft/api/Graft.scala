@@ -768,8 +768,19 @@ object Graft {
     * for static pruning; [[dedupAgainstSignatureStore]] serves batches
     * reading only their band cells.
     */
-  def writeSignatureStore(sigs: DataFrame, path: String): Unit =
-    SignatureStore.write(sigs, path)
+  def writeSignatureStore(sigs: DataFrame, path: String,
+      bands: Int = 8): Unit = // 8 = the classic 8×4 default geometry
+    SignatureStore.write(sigs, path, bands)
+
+  /** Choose the signature store's band geometry from measured recall
+    * against the exact pair truth at calibration SF — sweep every
+    * signature-compatible (bands, rows) split in one pass, mark the
+    * cheapest geometry reaching the recall target, feed the winner to
+    * [[writeSignatureStore]].
+    */
+  def signatureGeometryPlan(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, targetRecall: Double = 0.9): DataFrame =
+    SignatureStore.geometryPlan(corpus, idCol, textCol, threshold, targetRecall)
 
   def appendToSignatureStore(sigs: DataFrame, path: String): Unit =
     SignatureStore.append(sigs, path)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted MinHash signature store: the serving layout for steady-state
@@ -35,11 +35,14 @@ object SignatureStore {
     pmod(xxhash64(band, bh), lit(Cells.toLong)).cast("int")
 
   /** Explode signatures (doc_id, h0..h31) into band postings with the
-    * full signature riding along.
+    * full signature riding along. `bands` must divide the permutation
+    * count; rows-per-band = perms/bands.
     */
-  private def postings(sigs: DataFrame): DataFrame = {
-    val rows = Extensions.MinhashPerms / Extensions.LshBands
-    val bandCols = (0 until Extensions.LshBands).map { bnd =>
+  private def postings(sigs: DataFrame, bands: Int): DataFrame = {
+    require(bands >= 1 && Extensions.MinhashPerms % bands == 0,
+      s"bands must divide ${Extensions.MinhashPerms}, got $bands")
+    val rows = Extensions.MinhashPerms / bands
+    val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws(":", (bnd * rows until (bnd + 1) * rows).map(i => col(s"h$i")): _*)
           .as("bh"))
@@ -50,6 +53,35 @@ object SignatureStore {
       .withColumn("bh", col("b.bh"))
       .drop("b")
       .withColumn("cell", cellOf(col("band"), col("bh")))
+  }
+
+  /** The band count a store was built with — persisted in a `_geometry`
+    * sidecar at write time (the PostingStore modulus discipline: probing
+    * or appending under a different geometry would scatter band keys
+    * across two layouts and silently lose matches). Absent sidecar —
+    * a pre-geometry store — reads as the classic 8.
+    */
+  private[ops] def storedBands(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path, "_geometry")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Extensions.LshBands
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  private def writeGeometry(spark: SparkSession, path: String, bands: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root, "._geometry.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bands.toString.getBytes("UTF-8")) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(root, "_geometry")
+    fs.delete(dest, false)
+    require(fs.rename(tmp, dest), s"failed to commit _geometry at $dest")
   }
 
   /** Write (or overwrite) the store from a signature table. The
@@ -63,10 +95,12 @@ object SignatureStore {
     * concurrent with ANY write (append or compaction) sees the pre- or
     * post-state, never a torn mix.
     */
-  def write(sigs: DataFrame, path: String): Unit = {
+  def write(sigs: DataFrame, path: String,
+      bands: Int = Extensions.LshBands): Unit = {
     val spark = sigs.sparkSession
+    writeGeometry(spark, path, bands)
     val batch = StoreManifest.newBatchDirName(spark, path)
-    postings(sigs).repartition(col("cell"))
+    postings(sigs, bands).repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/$batch")
     StoreManifest.publish(spark, path,
       StoreManifest.listBatchFiles(spark, path, batch))
@@ -80,7 +114,7 @@ object SignatureStore {
     val spark = sigs.sparkSession
     val pinned = StoreManifest.files(spark, path)
     val batch = StoreManifest.newBatchDirName(spark, path)
-    postings(sigs).repartition(col("cell"))
+    postings(sigs, storedBands(spark, path)).repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/$batch")
     StoreManifest.publish(spark, path,
       pinned ++ StoreManifest.listBatchFiles(spark, path, batch))
@@ -105,7 +139,8 @@ object SignatureStore {
     * StoreManifestSpec races this). Returns the touched cell ids.
     */
   def compact(spark: SparkSession, path: String, removeSigs: DataFrame): Set[Int] = {
-    val posts = Extensions.materialized(postings(removeSigs))
+    val posts = Extensions.materialized(
+      postings(removeSigs, storedBands(spark, path)))
     val cells = posts.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty) return Set.empty
@@ -136,7 +171,8 @@ object SignatureStore {
   def dedupAgainstStore(
       spark: SparkSession, path: String, batchSigs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val batchPosts = Extensions.materialized(postings(batchSigs))
+    val batchPosts = Extensions.materialized(
+      postings(batchSigs, storedBands(spark, path)))
     val cells = batchPosts.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     // readPinned: one manifest read pins the snapshot for the whole query
@@ -162,5 +198,94 @@ object SignatureStore {
       .join(best, Seq("b_id"), "left_outer")
       .select(col("b_id"), col("dup_of").isNull.as("keep"),
         col("dup_of"), col("est_jaccard"))
+  }
+
+  /** Choose the store's band geometry from MEASURED recall — the
+    * [[PqStore.probePlan]] discipline applied to LSH banding: x118
+    * predicts the (bands, rows) S-curve and x228 audits the pinned 8×4,
+    * but nothing CHOSE; this sweeps every signature-compatible geometry
+    * (bands dividing the 32 permutations), measures each one's
+    * candidate recall against the exact pair truth at calibration SF,
+    * and marks the cheapest geometry reaching `targetRecall` (more
+    * bands = more candidate pairs = more verify work = higher recall,
+    * so cheapest = fewest candidates = fewest bands; when none
+    * reaches, the highest-recall geometry, bands = 32).
+    *
+    * One pass over the data, all geometries at once: band boundaries at
+    * power-of-two rows NEST, so any geometry's band match implies a
+    * (32,1) positional match — candidates come from ONE per-position
+    * bucket join, and each candidate pair carries a 32-bit bitmap of
+    * matched positions from which every geometry's verdict is pure bit
+    * arithmetic (no per-geometry joins). Output ordered by bands desc:
+    * (bands, rows_per_band, n_truth, n_candidates, n_caught, recall,
+    * chosen).
+    *
+    * Scale: a calibration tool. The (32,1) candidate set bounds every
+    * geometry's; the bucket join is inverted-index-shaped (never
+    * all-pairs); the bitmap join touches candidate pairs only; the
+    * sweep result is 6 rows.
+    */
+  def geometryPlan(
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, targetRecall: Double = 0.9): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val perms = Extensions.MinhashPerms
+    val geometries = (0 to 5).map(1 << _).reverse // 32, 16, 8, 4, 2, 1 bands
+    val idx = Extensions.materialized(
+      Extensions.shingleIndexKeyedOf(corpus, idCol, textCol))
+    val truth = Extensions.materialized(
+      Extensions.exactJaccardFromIndex(idx, threshold)
+        .select(col("doc_a"), col("doc_b")))
+    val sig = Extensions.materialized(Extensions.minhashSignaturesFrom(idx))
+    // (32,1) candidates: any shared minhash position
+    val pos = sig.select(col("doc_id"),
+      posexplode(array((0 until perms).map(i => col(s"h$i")): _*)).as(Seq("i", "h")))
+    val cand = pos.as("x").join(pos.as("y").hint("shuffle_hash"),
+        col("x.i") === col("y.i") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // per-pair matched-position bitmap
+    val a = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val b = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val bitmap = (0 until perms)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val flagged = Extensions.materialized(
+      cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), bitmap.as("bm"))
+        .join(truth.withColumn("is_truth", lit(true)),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .select(coalesce(col("bm"), lit(0L)).as("bm"),
+          coalesce(col("is_truth"), lit(false)).as("is_truth")))
+    def bandMatch(bands: Int): Column = {
+      val rows = perms / bands
+      (0 until bands).map { j =>
+        val mask = (((1L << rows) - 1L) << (j * rows))
+        col("bm").bitwiseAND(lit(mask)) === lit(mask)
+      }.reduce(_ || _)
+    }
+    val aggCols = geometries.flatMap { g =>
+      Seq(sum(when(bandMatch(g), 1L).otherwise(0L)).as(s"cand_$g"),
+        sum(when(bandMatch(g) && col("is_truth"), 1L).otherwise(0L)).as(s"caught_$g"))
+    } :+ sum(when(col("is_truth"), 1L).otherwise(0L)).as("n_truth")
+    val r = flagged.agg(aggCols.head, aggCols.tail: _*).head()
+    val nTruth = r.getLong(2 * geometries.length)
+    val rows = geometries.zipWithIndex.map { case (g, i) =>
+      val nc = r.getLong(2 * i)
+      val caught = r.getLong(2 * i + 1)
+      val recall =
+        if (nTruth == 0) 1.0
+        else BigDecimal(caught.toDouble / nTruth)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (g.toLong, (perms / g).toLong, nTruth, nc, caught, recall)
+    }
+    val chosen = rows.reverse.find(_._6 >= targetRecall) // fewest bands first
+      .map(_._1).getOrElse(geometries.head.toLong)
+    rows.map { case (g, rw, nt, nc, ca, rec) =>
+      (g, rw, nt, nc, ca, rec, g == chosen)
+    }.toDF("bands", "rows_per_band", "n_truth", "n_candidates", "n_caught",
+      "recall", "chosen")
   }
 }

@@ -151,6 +151,72 @@ class SignatureStoreSpec extends SparkSpec {
     assert(remaining == 0, s"$remaining stale postings survived compaction")
   }
 
+  test("geometryPlan: recall and candidate cost shrink together as rows grow; chosen reaches target") {
+    val corpus = graft.model.Tables.load(spark, sf0001, "documents")
+    val plan = graft.ops.SignatureStore.geometryPlan(corpus, "doc_id", "text",
+        threshold = 0.5, targetRecall = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(plan.map(_._1).toSeq == Seq(32L, 16L, 8L, 4L, 2L, 1L))
+    assert(plan.forall { case (b, rw, _, _, _, _, _) => b * rw == 32L })
+    // nested band boundaries -> candidates and recall are monotone
+    // non-increasing as rows per band grow
+    assert(plan.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+      s"candidates must shrink with rows: ${plan.mkString(",")}")
+    assert(plan.map(_._6).sliding(2).forall(p => p(0) >= p(1)),
+      s"recall must shrink with rows: ${plan.mkString(",")}")
+    assert(plan.head._6 == 1.0 || plan.head._6 >= plan.last._6)
+    val chosen = plan.filter(_._7)
+    assert(chosen.length == 1, s"exactly one chosen row: ${plan.mkString(",")}")
+    // chosen = cheapest geometry at target (fewest bands — candidate
+    // count is monotone in bands, so fewest bands = min cost; ties on
+    // candidate count resolve to fewer bands), or the 32-band fallback
+    val reaching = plan.filter(_._6 >= 0.9)
+    if (reaching.nonEmpty) {
+      assert(chosen.head._6 >= 0.9, s"chosen must reach target: ${plan.mkString(",")}")
+      assert(chosen.head._4 == reaching.map(_._4).min,
+        s"chosen must be the cheapest reaching target: ${plan.mkString(",")}")
+      assert(chosen.head._1 == reaching.map(_._1).min,
+        s"ties resolve to fewest bands: ${plan.mkString(",")}")
+    } else assert(chosen.head._1 == 32L)
+  }
+
+  test("the chosen geometry feeds a store build and changes what the store can catch") {
+    import spark.implicits._
+    // near-dup pair: long shared prefix, different tail
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 36).map(i => s"tok$i").mkString(" ") + " other words entirely here"
+    val stored = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq((9L, near)).toDF("doc_id", "text")
+    val sigsStored = Extensions15.minhashSignatures(stored, "doc_id", "text")
+    val sigsBatch = Extensions15.minhashSignatures(batch, "doc_id", "text")
+    // 32 bands x 1 row: any shared minhash position -> candidate; the
+    // near-dup must be caught
+    val rootWide = tmpDir("geom_wide")
+    SignatureStore.write(sigsStored, rootWide, bands = 32)
+    val wide = SignatureStore.dedupAgainstStore(spark, rootWide, sigsBatch, 0.3)
+      .collect().head
+    assert(!wide.getBoolean(1), s"32x1 must catch the near-dup: $wide")
+    // 1 band x 32 rows: candidate only on a FULL signature match; the
+    // near-dup (not exact) must be missed — geometry demonstrably
+    // reaches the serving path
+    val rootNarrow = tmpDir("geom_narrow")
+    SignatureStore.write(sigsStored, rootNarrow, bands = 1)
+    val narrow = SignatureStore.dedupAgainstStore(spark, rootNarrow, sigsBatch, 0.3)
+      .collect().head
+    assert(narrow.getBoolean(1), s"1x32 must miss the near-dup: $narrow")
+    // append + compact run under the STORED geometry (the sidecar, not
+    // the default): appending the batch to the wide store and re-probing
+    // an exact copy still dedups
+    SignatureStore.append(sigsBatch, rootWide)
+    val re = SignatureStore.dedupAgainstStore(spark, rootWide,
+        Extensions15.minhashSignatures(Seq((99L, near)).toDF("doc_id", "text"),
+          "doc_id", "text"), 0.3)
+      .collect().head
+    assert(!re.getBoolean(1) && re.getLong(2) == 9L,
+      s"exact copy must dedup against the appended doc under stored geometry: $re")
+  }
+
   test("compacting every doc of a small store empties its manifest; vacuum reclaims the files") {
     import spark.implicits._
     val root = tmpDir("sigcompact_empty")
