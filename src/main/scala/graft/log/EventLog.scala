@@ -319,4 +319,37 @@ object EventLog {
           lit(s"allocateIdsSharded: batch exceeds 2^$seqBits ids for epoch "),
           lit(writerEpoch)))))
   }
+
+  /** Right-to-erasure rewrite: a new log at `outPath` with EVERY event of
+    * the given aggregate ids removed — unlike a tombstone delete (M3),
+    * which hides the aggregate from reads but keeps its history, this
+    * leaves no trace, which is what an erasure obligation (GDPR art. 17)
+    * actually requires of the system of record.
+    *
+    * Same fresh-directory discipline as [[compact]] (rewriting in place
+    * under readers is the torn-store bug the manifest stores exist to
+    * prevent); the anti-join streams the log once, so cost is O(log),
+    * and the id set broadcasts when small. Returns (before, dropped,
+    * after); spec-asserted: the read model of every SURVIVING aggregate
+    * is bit-identical pre/post, and a second forget of the same ids is
+    * a no-op rewrite.
+    */
+  def forget(
+      spark: SparkSession, path: String, outPath: String,
+      ids: DataFrame): (Long, Long, Long) = {
+    import spark.implicits._
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val outFs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!outFs.exists(outP) || outFs.listStatus(outP).isEmpty,
+      s"EventLog.forget: outPath $outPath already has contents; " +
+        "rewrite into a fresh directory and swap on success")
+    val events = scan(spark, path)
+    val before = events.count()
+    val idCol = ids.columns.head
+    val kept = events.toDF()
+      .join(ids.select(ids(idCol).as("id")), Seq("id"), "left_anti")
+    append(kept.as[Event], outPath)
+    val after = scan(spark, outPath).count()
+    (before, before - after, after)
+  }
 }

@@ -86,6 +86,24 @@ object Materialize {
   def findAll(events: DataFrame): DataFrame =
     playerState(events).orderBy("id")
 
+  /** Point-in-time read: the state every aggregate HAD when `orderCol`
+    * (a version or an event-time column) was ≤ `bound` — the audit /
+    * time-travel read an append-only log supports for free and a
+    * mutable table cannot. Same one-shuffle fold as [[latestState]];
+    * the bound is a scan-pushed predicate (row-group pruning when the
+    * log is sorted by the order column, as [[EventLog.append]] lays
+    * out).
+    *
+    * Replay consistency (spec-asserted): asOfState at bound B equals
+    * latestState of the log's prefix up to B — so any historical
+    * snapshot can be reproduced exactly, which is what makes the event
+    * log the system of record.
+    */
+  def asOfState(
+      events: DataFrame, keyCol: String, orderCol: String,
+      bound: Column): DataFrame =
+    latestState(events.filter(col(orderCol) <= bound), keyCol, orderCol)
+
   // -------------------------------------------------------------------------
   // Typed fold: the direct analog of the query service's event-apply function
   // (§2.10). An Aggregator is Spark's public, Encoder-backed UDAF surface —
