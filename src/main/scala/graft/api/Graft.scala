@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -2032,6 +2032,141 @@ object Graft {
   /** Stream-static broadcast enrichment. */
   def enrichStream(events: Dataset[Event], dim: DataFrame): DataFrame =
     Materializer.enrichStream(events, dim)
+
+  // ---- round-9 batches: scripts, splits, layout, the log as record ----------
+
+  /** Codepoint-n-gram near-dup pairs — the x02 contract for unsegmented
+    * scripts (CJK/Thai) the word tokenizer cannot see.
+    */
+  def charGramNearDupPairs(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.4, n: Int = 10): DataFrame =
+    Extensions102.charGramJaccardPairs(corpus, idCol, textCol, threshold, n)
+
+  /** Near-dup pairs with per-document script routing: low-space-share
+    * docs take the codepoint chain, the rest the word chain.
+    */
+  def scriptRoutedNearDupPairs(corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.4): DataFrame =
+    Extensions102.scriptRoutedJaccardPairs(corpus, idCol, textCol, threshold)
+
+  /** Reproducible weighted priority sample (A-ES with a hash-uniform):
+    * top-`k` rows with P(selected) ∝ `weightCol`, identical on every
+    * run, engine, and retry.
+    */
+  def weightedSample(corpus: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame =
+    Extensions103.weightedSample(corpus, idCol, weightCol, k)
+
+  /** Shingle-containment pairs (C = shared/min) — the doc-inside-doc
+    * duplicates Jaccard under-scores.
+    */
+  def containmentPairs(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, shingleSize: Int = 5): DataFrame =
+    Extensions103.containmentPairs(corpus, idCol, textCol, threshold, shingleSize)
+
+  /** OOV-instance share per candidate vocabulary size — the tokenizer
+    * sizing curve.
+    */
+  def oovCurve(corpus: DataFrame, textCol: String,
+      vocabSizes: Seq[Long]): DataFrame =
+    Extensions104.oovCurve(corpus, textCol, vocabSizes)
+
+  /** Per-doc mean unigram surprisal (add-one smoothing) — the cheap
+    * LM-quality prior; both tails are curation signals.
+    */
+  def unigramSurprisal(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Extensions104.unigramSurprisal(corpus, idCol, textCol)
+
+  /** Per-label centroid cosine + norm ratio between two snapshots
+    * (`idCol` parity) — the embedding-release drift check.
+    */
+  def centroidDrift(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame =
+    Extensions104.centroidDrift(emb, idCol, vecCol, labelCol)
+
+  /** Exact semi join with a Bloom prefilter probed at the large side's
+    * scan — for small sides too big to broadcast but whose filter fits
+    * the driver.
+    */
+  def bloomSemiJoin(large: DataFrame, largeKey: String, small: DataFrame,
+      smallKey: String, expectedItems: Long): DataFrame =
+    Extensions105.bloomSemiJoin(large, largeKey, small, smallKey, expectedItems)
+
+  /** Rows + Morton z-value over two integral dims (range-bucketed to 16
+    * bits each).
+    */
+  def withZValue(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    Extensions105.withZValue(df, xCol, yCol)
+
+  /** Write parquet z-ordered on (xCol, yCol): file pruning works on BOTH
+    * filter dims instead of just the leading sort key.
+    */
+  def zOrderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+      targetFiles: Int): Unit =
+    Extensions105.zOrderWrite(df, xCol, yCol, path, targetFiles)
+
+  /** Fixed-size overlapping token chunks whose LAST window clamps back
+    * to full size — training-uniform chunks ([[chunkDocuments]] is the
+    * strided variant that lets the tail run short).
+    */
+  def chunkFullWindows(corpus: DataFrame, idCol: String, textCol: String,
+      size: Int = 64, overlap: Int = 16): DataFrame =
+    Extensions105.chunkDocuments(corpus, idCol, textCol, size, overlap)
+
+  /** Leave-one-out k-NN majority-vote accuracy per label — the embedding
+    * separability eval.
+    */
+  def knnClassifierEval(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 5): DataFrame =
+    Extensions106.knnClassifierEval(emb, idCol, vecCol, labelCol, k)
+
+  /** Growth-stable train/val/test assignment: a pure md5 function of the
+    * id — re-ingestion never moves a survivor's split.
+    */
+  def hashSplit(corpus: DataFrame, idCol: String, fTrain: Double = 0.8,
+      fVal: Double = 0.1): DataFrame =
+    Extensions106.hashSplit(corpus, idCol, fTrain, fVal)
+
+  /** Near-dup pairs straddling the hash split + the component-level
+    * repair; returns (pairs, leaky before, docs moved, leaky after).
+    */
+  def splitLeakage(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame =
+    Extensions106.splitLeakage(corpus, idCol, textCol, threshold)
+
+  /** Point-in-time read model: every aggregate's state when `orderCol`
+    * was ≤ `bound`.
+    */
+  def asOfState(events: DataFrame, keyCol: String, orderCol: String,
+      bound: Column): DataFrame =
+    Materialize.asOfState(events, keyCol, orderCol, bound)
+
+  /** Right-to-erasure rewrite: a new log with every event of the id set
+    * removed — no trace, unlike a tombstone. Returns (before, dropped,
+    * after).
+    */
+  def forgetAggregates(spark: SparkSession, logPath: String, outPath: String,
+      ids: DataFrame): (Long, Long, Long) =
+    graft.log.EventLog.forget(spark, logPath, outPath, ids)
+
+  /** Per-event-type erasure certificate for an id predicate. */
+  def erasureCertificate(events: DataFrame, forgetPred: Column): DataFrame =
+    Extensions107.erasureCertificate(events, forgetPred)
+
+  /** Incremental (O(delta)) maintenance of a per-id count/sum/min/max
+    * view — monoid folds into only the touched snapshot buckets.
+    */
+  def mergeAggregate(newRows: DataFrame, snapshotPath: String, idCol: String,
+      aggs: Seq[(String, String, String)], numBuckets: Int = 64): Set[Int] =
+    graft.log.EventLog.mergeAggregate(newRows, snapshotPath, idCol, aggs, numBuckets)
+
+  /** Events a `withWatermark(delay)` aggregation would drop, per
+    * candidate delay — measure the disorder before configuring it.
+    */
+  def watermarkPlan(events: DataFrame, arrivalCol: String, tsCol: String,
+      batchSize: Long, boundsMinutes: Seq[Long]): DataFrame =
+    Extensions107.watermarkPlan(events, arrivalCol, tsCol, batchSize, boundsMinutes)
 
   // ---- authorization (P5) --------------------------------------------------
 

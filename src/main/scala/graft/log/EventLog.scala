@@ -1,6 +1,6 @@
 package graft.log
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import graft.model.{Event, Schemas}
 
 /** Append-only Parquet event log — the engine's stand-in for the reference's
@@ -93,6 +93,73 @@ object EventLog {
       versionCol: String,
       numBuckets: Int = 64): Set[Int] = {
     import org.apache.spark.sql.functions._
+    val dataCols = updates.columns.filter(_ != idCol).toSeq
+    mergeBucketed(updates, snapshotPath, idCol, numBuckets) { combined =>
+      combined
+        .groupBy(col(idCol))
+        .agg(max_by(struct(dataCols.map(col): _*), col(versionCol)).as("s"))
+        .select(col(idCol) +: dataCols.map(c => col(s"s.$c").as(c)): _*)
+    }
+  }
+
+  /** Incremental aggregate maintenance — [[mergeSnapshotKeyed]]'s merge
+    * rule swapped from latest-wins to MONOID FOLD: the snapshot holds
+    * one aggregate-state row per id (`(outCol, srcCol, op)` with op ∈
+    * sum|count|min|max), and each new batch partially aggregates then
+    * merges into ONLY the touched buckets (sum+sum, count+count,
+    * min min, max max — all associative+commutative, so incremental ≡
+    * full recompute, which the spec asserts). This is O(delta)
+    * maintenance of a grouped-aggregation view — the nightly "update
+    * the per-user totals" job priced by the batch, not the table.
+    * Derived measures (avg = sum/count) belong at read time.
+    *
+    * Integral columns fold exactly; float sums carry the usual
+    * accumulation-order caveat (same as any Spark sum — keep money in
+    * longs).
+    */
+  def mergeAggregate(
+      newRows: DataFrame,
+      snapshotPath: String,
+      idCol: String,
+      aggs: Seq[(String, String, String)],
+      numBuckets: Int = 64): Set[Int] = {
+    import org.apache.spark.sql.functions._
+    require(aggs.nonEmpty, "mergeAggregate needs at least one aggregate")
+    def fold(op: String, c: Column): Column = op match {
+      case "sum" | "count" => sum(c)
+      case "min" => min(c)
+      case "max" => max(c)
+      case other => throw new IllegalArgumentException(
+        s"mergeAggregate op '$other' — supported: sum, count, min, max")
+    }
+    val delta = newRows.groupBy(col(idCol)).agg(
+      fold(aggs.head._3, if (aggs.head._3 == "count") lit(1L)
+        else col(aggs.head._2)).as(aggs.head._1),
+      aggs.tail.map { case (out, src, op) =>
+        fold(op, if (op == "count") lit(1L) else col(src)).as(out)
+      }: _*)
+    mergeBucketed(delta, snapshotPath, idCol, numBuckets) { combined =>
+      // merging two states re-applies the fold, except count-states ADD
+      combined.groupBy(col(idCol)).agg(
+        fold(if (aggs.head._3 == "count") "sum" else aggs.head._3,
+          col(aggs.head._1)).as(aggs.head._1),
+        aggs.tail.map { case (out, _, op) =>
+          fold(if (op == "count") "sum" else op, col(out)).as(out)
+        }: _*)
+    }
+  }
+
+  /** The shared bucketed-snapshot commit: modulus/sidecar guards, the
+    * touched-bucket read, and the dynamic-partition overwrite.
+    * `mergeStates` receives (touched snapshot rows ∪ the new state
+    * rows) and must return one row per id in the same schema.
+    */
+  private def mergeBucketed(
+      updates: DataFrame,
+      snapshotPath: String,
+      idCol: String,
+      numBuckets: Int)(mergeStates: DataFrame => DataFrame): Set[Int] = {
+    import org.apache.spark.sql.functions._
     val spark = updates.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(snapshotPath)
@@ -152,9 +219,8 @@ object EventLog {
       }
     }
     require(!updates.columns.contains("bucket"),
-      "mergeSnapshotKeyed reserves the column name 'bucket' for the snapshot " +
-        "partition layout — rename the input column")
-    val dataCols = updates.columns.filter(_ != idCol).toSeq
+      "bucketed snapshot merge reserves the column name 'bucket' for the " +
+        "snapshot partition layout — rename the input column")
     val bucketed = updates.withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast("int"))
     // one action yields BOTH the touched-bucket set and the per-bucket min
     // id — the id-sign guard costs no extra pass. Negative ids are refused:
@@ -165,8 +231,8 @@ object EventLog {
       .agg(min(col(idCol).cast("long")).as("min_id")).collect()
     touchStats.foreach { r =>
       require(r.isNullAt(1) || r.getLong(1) >= 0L,
-        s"mergeSnapshotKeyed requires non-negative ids (bucket layout is " +
-          s"pmod-based); batch contains id ${r.getLong(1)}")
+        s"bucketed snapshot merge requires non-negative ids (bucket layout " +
+          s"is pmod-based); batch contains id ${r.getLong(1)}")
     }
     val touched = touchStats.map(_.getInt(0)).toSet
     val combined =
@@ -175,10 +241,7 @@ object EventLog {
         .filter(col("bucket").isin(touched.toSeq: _*))
         .select(bucketed.columns.map(col): _*)
         .unionByName(bucketed)
-    val merged = combined
-      .groupBy(col(idCol))
-      .agg(max_by(struct(dataCols.map(col): _*), col(versionCol)).as("s"))
-      .select(col(idCol) +: dataCols.map(c => col(s"s.$c").as(c)): _*)
+    val merged = mergeStates(combined)
       .withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast("int"))
     // sidecar BEFORE the data write: a crash between the two then leaves a
     // sidecar + no buckets (retry sees a first merge — see `exists` above),

@@ -182,6 +182,12 @@ object Extensions105 {
     * `size` yield their one (short) chunk. Output one row per chunk:
     * (doc_id, chunk_idx, start, n_toks, chunk_text).
     *
+    * [[Extensions4.chunkDocuments]] is the strided sibling whose tail
+    * chunks run SHORT (right before packing, where the packer absorbs
+    * ragged ends); this variant is for uniform-window consumers —
+    * embedding models and fixed-shape training batches — where a short
+    * tail is a wasted slot.
+    *
     * Scale: one projection + one explode; chunk count per doc is
     * ~len/step, so output volume is corpus × (1 + overlap/step) tokens
     * — linear, no joins, no windows.

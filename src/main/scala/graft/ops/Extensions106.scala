@@ -177,6 +177,11 @@ object Extensions106 {
     * Returns one summary row: pairs, leaky pairs before, docs moved,
     * leaky pairs after (zero by construction, computed not asserted).
     *
+    * [[Extensions19.clusterSafeSplit]] is the CONSTRUCTIVE counterpart
+    * (split assigned cluster-safe from the start); this is the guard +
+    * repair for a split that already exists — the common production
+    * case, where the split predates the dedup run that found the pairs.
+    *
     * Scale: the pair chain is the x02 inverted index (never all-pairs);
     * components are pair-graph-sized; the repair is two equi-joins of
     * the component table (corpus-broadcastable — components exist only

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.log.EventLog
+
+/** Incremental aggregate maintenance: the monoid-fold snapshot merge
+  * must equal a full recompute after any batch sequence, touch only the
+  * buckets the batch touches, and inherit the modulus guards of the
+  * latest-wins merge (same plumbing, asserted once more through this
+  * entry point).
+  */
+class EventLogIvmSpec extends SparkSpec {
+
+  private val aggs = Seq(
+    ("n", "v", "count"), ("total", "v", "sum"),
+    ("lo", "v", "min"), ("hi", "v", "max"))
+
+  private def batch(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "v")
+  }
+
+  private def fullRecompute(rows: Seq[(Long, Long)]) =
+    batch(rows).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  private def snapshot(dir: String) =
+    spark.read.parquet(dir).select("user_id", "n", "total", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("three incremental merges == one full recompute (count/sum/min/max)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm").toString + "/snap"
+    val b1 = Seq((1L, 10L), (2L, 5L), (1L, -3L))
+    val b2 = Seq((2L, 7L), (3L, 100L))
+    val b3 = Seq((1L, 0L), (3L, -100L), (3L, 1L))
+    EventLog.mergeAggregate(batch(b1), dir, "user_id", aggs, numBuckets = 4)
+    EventLog.mergeAggregate(batch(b2), dir, "user_id", aggs, numBuckets = 4)
+    val touched3 = EventLog.mergeAggregate(batch(b3), dir, "user_id", aggs,
+      numBuckets = 4)
+    assert(snapshot(dir) == fullRecompute(b1 ++ b2 ++ b3))
+    assert(touched3 == Set(1, 3), "batch 3 touches only buckets 1 and 3")
+  }
+
+  test("untouched buckets are not rewritten (O(delta), not O(table))") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm2").toString + "/snap"
+    EventLog.mergeAggregate(batch(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))),
+      dir, "user_id", aggs, numBuckets = 4)
+    def filesOf(b: Int) = {
+      val d = new java.io.File(s"$dir/bucket=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet
+    }
+    val before = (0 to 3).map(filesOf)
+    val touched = EventLog.mergeAggregate(batch(Seq((5L, 9L))),
+      dir, "user_id", aggs, numBuckets = 4)
+    assert(touched == Set(1))
+    assert(filesOf(0) == before(0) && filesOf(2) == before(2) &&
+      filesOf(3) == before(3), "buckets 0/2/3 must be byte-untouched")
+    assert(filesOf(1) != before(1), "bucket 1 was rewritten")
+  }
+
+  test("guards carry over: modulus mismatch refused, unknown op refused") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm3").toString + "/snap"
+    EventLog.mergeAggregate(batch(Seq((1L, 1L))), dir, "user_id", aggs,
+      numBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      EventLog.mergeAggregate(batch(Seq((2L, 1L))), dir, "user_id", aggs,
+        numBuckets = 16)
+    }
+    assert(e.getMessage.contains("numBuckets"))
+    val e2 = intercept[IllegalArgumentException] {
+      EventLog.mergeAggregate(batch(Seq((2L, 1L))), dir, "user_id",
+        Seq(("x", "v", "avg")), numBuckets = 8)
+    }
+    assert(e2.getMessage.contains("avg"))
+  }
+
+  test("latest-wins merge still green through the shared plumbing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm4").toString + "/snap"
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    EventLog.mergeSnapshot(Seq(
+      graft.model.Event(1L, "PlayerCreated", 1L, t0, """{"a":1}"""),
+      graft.model.Event(2L, "PlayerCreated", 1L, t0, """{"b":1}""")).toDF(),
+      dir, numBuckets = 4)
+    EventLog.mergeSnapshot(Seq(
+      graft.model.Event(1L, "PlayerUpdated", 2L, t0, """{"a":2}""")).toDF(),
+      dir, numBuckets = 4)
+    val got = spark.read.parquet(dir).select("id", "version")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+}
