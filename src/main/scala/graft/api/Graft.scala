@@ -2118,8 +2118,8 @@ object Graft {
     * separability eval.
     */
   def knnClassifierEval(emb: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int = 5): DataFrame =
-    Extensions106.knnClassifierEval(emb, idCol, vecCol, labelCol, k)
+      labelCol: String, k: Int = 5, queryMod: Int = 1): DataFrame =
+    Extensions106.knnClassifierEval(emb, idCol, vecCol, labelCol, k, queryMod)
 
   /** Growth-stable train/val/test assignment: a pure md5 function of the
     * id — re-ingestion never moves a survivor's split.

@@ -118,7 +118,7 @@ object Extensions {
     * input is already well-partitioned (the 100 TB case), this is a no-op —
     * no gratuitous text shuffle.
     */
-  private def rebalanced(corpus: DataFrame, idCol: String): DataFrame = {
+  private[ops] def rebalanced(corpus: DataFrame, idCol: String): DataFrame = {
     val target = corpus.sparkSession.sparkContext.defaultParallelism
     // estimate scan width from the planner's own size statistics — avoids
     // the physical-plan -> RDD conversion `.rdd.getNumPartitions` would pay
