@@ -51,18 +51,21 @@ object Extensions108 {
   private[ops] def signCell(i: Int, j: Int): Long =
     if (md5bucket60(s"${i}_$j") % 2 == 1) 1L else -1L
 
-  /** Project `vecCol` (array of `inDims` float/double components) onto
-    * `outDims` hash-sign vectors: out[j] = Σ_i v[i]·sign(i, j), with
-    * components quantized to 1e-4 longs first so the sums are exact
-    * integers (the 1/√k JL scale is dropped — every consumer here is
-    * scale-invariant cosine). Sign columns are NESTED: the k-dim
-    * projection is the first k components of any larger one, so a
-    * sweep projects once at max k and slices.
+  /** The array-out, integer-exact sibling of [[Extensions5.jlProject]]
+    * (x39): same Achlioptas ±1 hash matrix idea, but components
+    * quantize to 1e-4 longs FIRST so projected sums are exact integers
+    * (no float accumulation order, no 4dp rounding of outputs), the
+    * 1/√k JL scale is dropped (every consumer here is scale-invariant
+    * cosine), and the result stays an `array<long>` column feeding
+    * dot-product pipelines directly instead of (id, dim, value) rows.
+    * Sign columns are NESTED: the k-dim projection is the first k
+    * components of any larger one, so the x247 sweep projects once at
+    * max k and slices — x39 remains the row-shaped, norm-preserving
+    * form for distance consumers.
     *
     * Scale: the d×k matrix materializes ONCE on the driver (pure hash,
     * zero coordination, zero storage) and inlines as literals — one
-    * map-only pass under codegen, no join, no state. Output: input row
-    * plus `proj` (array<long>, length `outDims`).
+    * map-only pass under codegen, no join, no state.
     */
   def randomProjection(
       emb: DataFrame, vecCol: String, inDims: Int, outDims: Int): DataFrame = {

@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time individual SparkEntry queries at any SF outside the
+  * full bench loop — `Test/runMain graft.TimeQ <sfDir> <query>...`.
+  * Used for per-query regression triage (the bench JSON names the slow
+  * query; this reproduces it in isolation).
+  */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
