@@ -4,14 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
-/** One-hundred-third extension batch — the sampler and the asymmetric
-  * dup signal:
+/** One-hundred-third extension batch — the asymmetric dup signal:
   *
-  *  - deterministic weighted priority sample (x233): the
-  *    Efraimidis–Spirakis A-ES scheme (key = u^(1/w), keep top-k) with
-  *    the randomness replaced by a hash-uniform — the mixture builder's
-  *    workhorse when "sample 10M docs, longer docs proportionally more
-  *    likely" must be REPRODUCIBLE across runs, retries, and engines.
   *  - containment pairs (x234): Jaccard misses the quote-inclusion
   *    case by construction — a 50-shingle doc wholly contained in a
   *    5000-shingle doc has J ≈ 0.01 but containment 1.0. Real corpus
@@ -19,62 +13,10 @@ import graft.model.Tables
   *    code) keys on C = shared/min(na, nb); this surfaces exactly the
   *    pairs the x02 chain is blind to.
   *
-  * Determinism discipline: the sample key is micro-quantized (×1e6,
-  * half-away long) BEFORE ranking with doc_id ties (the x129 rule —
-  * libm ulps cannot flip a rank); containment rounds to 4dp before
+  * Determinism discipline: containment rounds to 4dp before
   * thresholding (the x02 contract).
   */
 object Extensions103 {
-
-  // ---- x233: deterministic weighted priority sample -----------------------------
-
-  /** Top-`k` weighted priority sample: per row, u = (h + 1) / 2^20 with
-    * h = md5_bucket60(id) mod 2^20 (hash-uniform in (0, 1], portable —
-    * the md5 arithmetic replays bit-for-bit in SQL), priority
-    * = ln(u) / w (monotone in u^(1/w)), micro-quantized to 1e-6 and
-    * ranked descending with id ties. Heavier weights pull the priority
-    * toward 0 (= u^(1/w) toward 1), so P(selected) grows with w — the
-    * A-ES property — while every run, every engine, and every retry
-    * draws the SAME sample.
-    *
-    * Scale: one narrow projection + a global top-k
-    * (TakeOrderedAndProject — per-partition heaps, driver merges k
-    * rows; no global sort).
-    */
-  def weightedSample(
-      corpus: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
-    require(k >= 1)
-    val m = 1L << 20
-    val h = pmod(graft.functions.HashFunctions.md5_bucket60(
-      col(idCol).cast("string")), lit(m))
-    val u = (h + lit(1L)).cast("double") / lit(m.toDouble)
-    corpus
-      .filter(col(weightCol) > 0)
-      .withColumn("priority",
-        round(lit(1e6) * log(u) / col(weightCol), 0).cast("long"))
-      .orderBy(col("priority").desc, col(idCol))
-      .limit(k)
-  }
-
-  /** x233: 50 docs sampled ∝ length from the fixture corpus. */
-  def x233WeightedSample(s: SparkSession, dir: String): DataFrame =
-    weightedSample(
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars")),
-      "doc_id", "n_chars", 50)
-      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
-      .orderBy(col("doc_id"))
-
-  private val x233OracleSql: String = """
-      WITH keyed AS (
-        SELECT doc_id, source, n_chars,
-               CAST(round(1e6 * ln(
-                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-                     % 1048576 + 1) / 1048576.0)
-                 / n_chars, 0) AS BIGINT) AS priority
-        FROM documents WHERE n_chars > 0),
-      top AS (SELECT * FROM keyed ORDER BY priority DESC, doc_id LIMIT 50)
-      SELECT doc_id, source, n_chars, priority FROM top ORDER BY doc_id"""
 
   // ---- x234: containment pairs --------------------------------------------------
 
@@ -149,10 +91,8 @@ object Extensions103 {
       ORDER BY doc_a, doc_b"""
 
   val oracles: Map[String, String] = Map(
-    "x233_weighted_sample" -> x233OracleSql,
     "x234_containment_pairs" -> x234OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x233_weighted_sample" -> (x233WeightedSample _),
     "x234_containment_pairs" -> (x234ContainmentPairs _))
 }
