@@ -2071,13 +2071,6 @@ object Graft {
       vocabSizes: Seq[Long]): DataFrame =
     Extensions104.oovCurve(corpus, textCol, vocabSizes)
 
-  /** Per-doc mean unigram surprisal (add-one smoothing) — the cheap
-    * LM-quality prior; both tails are curation signals.
-    */
-  def unigramSurprisal(corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    Extensions104.unigramSurprisal(corpus, idCol, textCol)
-
   /** Per-label centroid cosine + norm ratio between two snapshots
     * (`idCol` parity) — the embedding-release drift check.
     */
@@ -2120,13 +2113,6 @@ object Graft {
   def knnClassifierEval(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int = 5, queryMod: Int = 1): DataFrame =
     Extensions106.knnClassifierEval(emb, idCol, vecCol, labelCol, k, queryMod)
-
-  /** Growth-stable train/val/test assignment: a pure md5 function of the
-    * id — re-ingestion never moves a survivor's split.
-    */
-  def hashSplit(corpus: DataFrame, idCol: String, fTrain: Double = 0.8,
-      fVal: Double = 0.1): DataFrame =
-    Extensions106.hashSplit(corpus, idCol, fTrain, fVal)
 
   /** Near-dup pairs straddling the hash split + the component-level
     * repair; returns (pairs, leaky before, docs moved, leaky after).

@@ -4,29 +4,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
-/** One-hundred-fourth extension batch — the vocabulary budget, the
-  * quality prior, and the representation drift check:
+/** One-hundred-fourth extension batch — the vocabulary budget and the
+  * representation drift check (the unigram quality prior this batch
+  * once carried was a duplicate of x37's unigramScore / x74's
+  * perplexity buckets and was removed):
   *
   *  - OOV-rate curve (x235): for each candidate vocabulary size V,
   *    the share of token INSTANCES falling outside the top-V types —
   *    the tokenizer-sizing decision (vocab vs UNK rate) priced on the
   *    actual corpus, ranked by [[Rank.globalRank]] so the type table
   *    never passes through a single-partition window.
-  *  - unigram surprisal card (x236): per-doc mean −ln p(tok) under the
-  *    add-one-smoothed corpus unigram — the cheap LM-quality prior
-  *    (CCNet's perplexity gate, reduced to its unigram core): gibberish
-  *    scores high, boilerplate scores low, both ends are curation
-  *    signals.
   *  - embedding centroid drift (x237): per label, the cosine between
   *    the even-id and odd-id snapshot centroids + the norm ratio — the
   *    "did the embedding space move between releases" check, exact
   *    under component micro-quantization (cosine is scale-invariant,
   *    so INTEGER component sums stand in for the mean vectors).
   *
-  * Determinism discipline: surprisal quantizes each ln to 1e-6 before
-  * the per-doc sum (the x129 rule); the OOV shares and cosines render
-  * half-away from integer sums; type ranking ties break on the token
-  * string.
+  * Determinism discipline: the OOV shares and cosines render half-away
+  * from integer sums; type ranking ties break on the token string.
   */
 object Extensions104 {
 
@@ -87,58 +82,6 @@ object Extensions104 {
       FROM rk CROSS JOIN spine CROSS JOIN tot
       GROUP BY vocab_size, tot.n_types, tot.total
       ORDER BY vocab_size"""
-
-  // ---- x236: unigram surprisal card ---------------------------------------------
-
-  /** Per doc: (doc_id, n_toks, mean_surprisal) with surprisal =
-    * −ln((c_tok + 1) / (N + V)) per token instance (add-one smoothing
-    * over the corpus unigram), each ln micro-quantized to 1e-6 before
-    * the per-doc mean, rendered half-away to 4dp.
-    *
-    * Scale: one tokenize pass to instances; the type counts hash-agg to
-    * the vocab; one instance×vocab equi-join (the corpus-shaped work);
-    * per-doc sums hash-agg. N and V ride a broadcast 1-row table.
-    */
-  def unigramSurprisal(
-      corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val inst = corpus
-      .select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-    val counts = inst.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val nv = counts.agg(sum(col("c")).cast("long").as("n_inst"),
-      count(lit(1)).as("v_types"))
-    inst.join(counts, Seq("tok"))
-      .crossJoin(broadcast(nv))
-      .select(col("doc_id"),
-        round(lit(1e6) * log((col("c") + 1L).cast("double") /
-          (col("n_inst") + col("v_types")).cast("double")), 0).cast("long").as("lr"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"), sum(col("lr")).as("sl"))
-      .select(col("doc_id"), col("n_toks"),
-        expr("(((-sl) * 2 + 100 * n_toks) DIV (2 * 100 * n_toks)) / 10000.0D")
-          .as("mean_surprisal"))
-  }
-
-  /** x236: the corpus quality prior, doc by doc. */
-  def x236Surprisal(s: SparkSession, dir: String): DataFrame =
-    unigramSurprisal(Tables.load(s, dir, "documents"), "doc_id", "text")
-      .orderBy(col("doc_id"))
-
-  private val x236OracleSql: String = """
-      WITH inst AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-                    FROM documents),
-      ii AS (SELECT doc_id, tok FROM inst WHERE len(tok) > 0),
-      cnt AS (SELECT tok, count(*) AS c FROM ii GROUP BY tok),
-      nv AS (SELECT CAST(sum(c) AS BIGINT) AS n_inst, count(*) AS v_types FROM cnt),
-      lr AS (SELECT ii.doc_id,
-               CAST(round(1e6 * ln((cnt.c + 1) * 1.0 / (nv.n_inst + nv.v_types)), 0)
-                 AS BIGINT) AS lr
-             FROM ii JOIN cnt ON cnt.tok = ii.tok CROSS JOIN nv)
-      SELECT doc_id, count(*) AS n_toks,
-             (((-CAST(sum(lr) AS BIGINT)) * 2 + 100 * count(*))
-               // (2 * 100 * count(*))) / 10000.0 AS mean_surprisal
-      FROM lr GROUP BY doc_id ORDER BY doc_id"""
 
   // ---- x237: embedding centroid drift -------------------------------------------
 
@@ -217,11 +160,9 @@ object Extensions104 {
 
   val oracles: Map[String, String] = Map(
     "x235_oov_curve" -> x235OracleSql,
-    "x236_surprisal" -> x236OracleSql,
     "x237_centroid_drift" -> x237OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x235_oov_curve" -> (x235OovCurve _),
-    "x236_surprisal" -> (x236Surprisal _),
     "x237_centroid_drift" -> (x237CentroidDrift _))
 }

@@ -14,13 +14,6 @@ import graft.model.Tables
   *    the fixture (the broadcast-query brute shape of x05); at corpus
   *    scale the neighbor set comes from the served IVF path
   *    ([[PqStore]]) with identical vote/tie rules.
-  *  - hash split (x242): train/val/test assignment as a pure function
-  *    of the document id (portable md5 arithmetic). The property that
-  *    matters — and that rank- or sample-based splits lack — is
-  *    GROWTH STABILITY: a document's split never changes when other
-  *    documents arrive, so yesterday's held-out set is still held out
-  *    after re-ingestion. Stratification comes free: within any
-  *    subpopulation the hash is uniform.
   *  - split-leakage guard (x243): near-dup pairs that straddle splits
   *    are test-set contamination the doc-level split cannot see. The
   *    guard counts them, then repairs by moving every near-dup
@@ -30,8 +23,9 @@ import graft.model.Tables
   * Determinism discipline: x241 quantizes components to 1e-4 longs so
   * dot/norm products are exact integers (the x237 rule), similarities
   * micro-quantize to 1e-6 before ranking with id ties, votes break
-  * ties on (count desc, label asc); x242/x243 ride the portable
-  * md5-uniform and min-id component labels.
+  * ties on (count desc, label asc); x243 rides x60's md5 split (the
+  * growth-stable pure-function-of-id assignment, asserted in the spec)
+  * and min-id component labels.
   */
 object Extensions106 {
 
@@ -127,55 +121,6 @@ object Extensions106 {
       FROM win WHERE vr = 1
       GROUP BY q_label ORDER BY q_label"""
 
-  // ---- x242: hash split ----------------------------------------------------------
-
-  /** Split assignment: bucket = md5_bucket60(id) mod 10000; the first
-    * `10000·f_train` buckets are train, the next `10000·f_val` val, the
-    * rest test. Pure function of the id — growth-stable, replayable in
-    * any engine with md5.
-    */
-  def hashSplit(
-      corpus: DataFrame, idCol: String,
-      fTrain: Double = 0.8, fVal: Double = 0.1): DataFrame = {
-    require(fTrain > 0 && fVal >= 0 && fTrain + fVal < 1)
-    val b = pmod(graft.functions.HashFunctions.md5_bucket60(
-      col(idCol).cast("string")), lit(10000L))
-    val (tTrain, tVal) =
-      (math.round(10000 * fTrain), math.round(10000 * (fTrain + fVal)))
-    corpus.withColumn("split",
-      when(b < tTrain, "train").when(b < tVal, "val").otherwise("test"))
-  }
-
-  /** x242: the split card — per (source, split): docs and within-source
-    * share (uniformity of the hash = stratification for free).
-    */
-  def x242HashSplit(s: SparkSession, dir: String): DataFrame = {
-    val d = hashSplit(Tables.load(s, dir, "documents"), "doc_id")
-    val tot = d.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
-    d.groupBy(col("source"), col("split")).agg(count(lit(1)).as("n_docs"))
-      .join(tot, Seq("source"))
-      .select(col("source"), col("split"), col("n_docs"),
-        expr("((n_docs * 10000 * 2 + n_source) DIV (2 * n_source)) / 10000.0D")
-          .as("share"))
-      .orderBy(col("source"), col("split"))
-  }
-
-  private val x242OracleSql: String = """
-      WITH a AS (
-        SELECT source,
-               CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM (SELECT source,
-                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
-              FROM documents)),
-      tot AS (SELECT source, count(*) AS n_source FROM a GROUP BY source)
-      SELECT a.source, a.split, count(*) AS n_docs,
-             ((count(*) * 10000 * 2 + tot.n_source) // (2 * tot.n_source))
-               / 10000.0 AS share
-      FROM a JOIN tot ON tot.source = a.source
-      GROUP BY a.source, a.split, tot.n_source
-      ORDER BY a.source, a.split"""
-
   // ---- x243: split-leakage guard -------------------------------------------------
 
   /** Near-dup leakage across a split: pairs at `threshold` whose ends
@@ -197,7 +142,7 @@ object Extensions106 {
   def splitLeakage(
       corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
-    val assigned = hashSplit(corpus, idCol)
+    val assigned = Extensions11.stratifiedSplit(corpus, idCol)
       .select(col(idCol).as("doc_id"), col("split"))
     val pairs = Extensions.materialized(
       Extensions.jaccardPairs(corpus, idCol, textCol, threshold)
@@ -229,7 +174,7 @@ object Extensions106 {
       .crossJoin(afterLeaks.agg(count(lit(1)).as("n_leaky_after")))
   }
 
-  /** x243: leakage of the fixture's near-dups across the x242 split. */
+  /** x243: leakage of the fixture's near-dups across the x60 split. */
   def x243SplitLeakage(s: SparkSession, dir: String): DataFrame =
     splitLeakage(Tables.load(s, dir, "documents"), "doc_id", "text")
 
@@ -237,10 +182,11 @@ object Extensions106 {
       WITH RECURSIVE
       a AS (
         SELECT doc_id,
-               CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
-                    ELSE 'test' END AS split
+               CASE WHEN b < 50 THEN 'val' WHEN b < 100 THEN 'test'
+                    ELSE 'train' END AS split
         FROM (SELECT doc_id,
-                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
+                ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT
+                  % 1000 AS b
               FROM documents)),
       d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
       sh0 AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
@@ -288,11 +234,9 @@ object Extensions106 {
 
   val oracles: Map[String, String] = Map(
     "x241_knn_eval" -> x241OracleSql,
-    "x242_hash_split" -> x242OracleSql,
     "x243_split_leakage" -> x243OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x241_knn_eval" -> (x241KnnEval _),
-    "x242_hash_split" -> (x242HashSplit _),
     "x243_split_leakage" -> (x243SplitLeakage _))
 }

@@ -4,9 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.ops.Extensions104
 
 /** Batch-104 invariants: OOV falls with vocab size and hits zero past
-  * the type count; surprisal separates gibberish from boilerplate;
-  * centroid drift reads identity on identical snapshots and opposition
-  * on mirrored ones.
+  * the type count; centroid drift reads identity on identical snapshots
+  * and opposition on mirrored ones.
   */
 class Extensions104Spec extends SparkSpec {
 
@@ -24,18 +23,6 @@ class Extensions104Spec extends SparkSpec {
     assert(got(1)._3 == 2L, "vocab 2 admits 'b', leaving c+d = 2 instances")
     assert(got(2)._3 == 0L && got(2)._5 == 0.0, "vocab 4 covers all types")
     assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1)), "monotone")
-  }
-
-  test("surprisal: a doc of rare tokens scores above a doc of the common token") {
-    import spark.implicits._
-    val common = (1 to 50).map(_ => "the").mkString(" ")
-    val rare = "zephyr quixotic vellichor petrichor"
-    val df = Seq((1L, common), (2L, rare)).toDF("doc_id", "text")
-    val got = Extensions104.unigramSurprisal(df, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(got(2L) > got(1L),
-      s"rare tokens must read higher surprisal: $got")
-    assert(got.values.forall(_ > 0.0))
   }
 
   test("centroidDrift: identical snapshots read cosine 1, mirrored snapshots read -1") {
@@ -56,11 +43,9 @@ class Extensions104Spec extends SparkSpec {
     assert(got.forall(g => g._2 == 4L && g._3 == 4L))
   }
 
-  test("x235/x236/x237 fixtures: sane shapes") {
+  test("x235/x237 fixtures: sane shapes") {
     val oov = SparkEntry.queries("x235_oov_curve")(spark, sf0001).collect()
     assert(oov.length == 6 && oov.map(_.getDouble(4)).sliding(2).forall(p => p(0) >= p(1)))
-    val sup = SparkEntry.queries("x236_surprisal")(spark, sf0001).collect()
-    assert(sup.length == 500 && sup.forall(_.getDouble(2) > 0.0))
     val dr = SparkEntry.queries("x237_centroid_drift")(spark, sf0001).collect()
     assert(dr.length == 10, "one row per label")
     assert(dr.forall(r => r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0))

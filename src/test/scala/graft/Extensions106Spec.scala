@@ -28,20 +28,19 @@ class Extensions106Spec extends SparkSpec {
     assert(l0._4 == 0.8571)
   }
 
-  test("hashSplit: growth-stable (a doc's split ignores the rest of the corpus) and complete") {
+  test("x60 stratifiedSplit (the split x243 guards): growth-stable by construction") {
     import spark.implicits._
+    // a doc's split is a pure md5 function of its id, so dropping half
+    // the corpus must not move any survivor — the property that makes
+    // yesterday's holdout still held out after re-ingestion
     val full = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val half = full.filter(col("doc_id") % 2 === 0)
-    val a = Extensions106.hashSplit(full, "doc_id")
+    val a = graft.ops.Extensions11.stratifiedSplit(full, "doc_id")
       .select(col("doc_id"), col("split"))
-    val b = Extensions106.hashSplit(half, "doc_id")
+    val b = graft.ops.Extensions11.stratifiedSplit(half, "doc_id")
       .select(col("doc_id"), col("split").as("split2"))
     assert(a.join(b, Seq("doc_id")).filter(col("split") =!= col("split2")).count() == 0,
       "dropping half the corpus must not move any survivor's split")
-    val shares = a.groupBy(col("split")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(shares.values.sum == 400L && shares.keySet == Set("train", "val", "test"))
-    assert(shares("train") > 280 && shares("train") < 360, s"~80%: $shares")
   }
 
   test("splitLeakage: planted cross-split near-dups are found, repair zeroes them") {
@@ -59,13 +58,11 @@ class Extensions106Spec extends SparkSpec {
     assert(got.getLong(3) == 0L, "repair leaves zero straddling pairs")
   }
 
-  test("x241/x242/x243 fixtures: sane shapes") {
+  test("x241/x243 fixtures: sane shapes") {
     val kn = SparkEntry.queries("x241_knn_eval")(spark, sf0001).collect()
     assert(kn.nonEmpty && kn.map(_.getLong(1)).sum == 100L,
       "the 1-in-5 query sample of 500 vecs ranks 100 queries")
     assert(kn.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
-    val hs = SparkEntry.queries("x242_hash_split")(spark, sf0001).collect()
-    assert(hs.map(_.getLong(2)).sum == 500L)
     val lk = SparkEntry.queries("x243_split_leakage")(spark, sf0001).head
     assert(lk.getLong(3) == 0L, "fixture repair must close all leaks")
   }
