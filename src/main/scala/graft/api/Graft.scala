@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions109, Extensions110, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -2153,6 +2153,34 @@ object Graft {
   def watermarkPlan(events: DataFrame, arrivalCol: String, tsCol: String,
       batchSize: Long, boundsMinutes: Seq[Long]): DataFrame =
     Extensions107.watermarkPlan(events, arrivalCol, tsCol, batchSize, boundsMinutes)
+
+  /** Stepwise payload schema evolution on replay: each (guard, rewrite)
+    * migration applies in version order, so any historical generation
+    * lands on the current schema through single-step migrations.
+    */
+  def upcastJson(df: DataFrame, jsonCol: String,
+      migrations: Seq[(Column => Column, Column => Column)]): DataFrame =
+    Extensions109.upcastJson(df, jsonCol, migrations)
+
+  /** First-failing-rule quarantine tag (null = clean): split on
+    * `dlq_reason IS NULL` — evidence kept, stream proceeds, zero loss.
+    */
+  def routeDeadLetters(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    Extensions109.routeDeadLetters(df, rules)
+
+  /** RM3 pseudo-relevance-feedback expansion terms: mined from each
+    * query's BM25 feedback docs, original terms excluded.
+    */
+  def queryExpansionTerms(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, kFeedback: Int = 3, m: Int = 5): DataFrame =
+    Extensions110.queryExpansionTerms(corpus, queries, idCol, textCol, kFeedback, m)
+
+  /** Best evidence window per hit: the w-token span with the most
+    * distinct query terms, candidates only from matched positions.
+    */
+  def snippets(corpus: DataFrame, hits: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, w: Int = 10): DataFrame =
+    Extensions110.snippets(corpus, hits, queries, idCol, textCol, w)
 
   // ---- authorization (P5) --------------------------------------------------
 
