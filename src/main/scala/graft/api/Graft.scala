@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions109, Extensions110, Extensions111, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -2198,6 +2198,42 @@ object Graft {
   def dirichletQueryLikelihood(corpus: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, k: Int, mu: Double = 2000.0): DataFrame =
     Extensions111.dirichletQueryLikelihood(corpus, queries, idCol, textCol, k, mu)
+
+  /** Sorted-neighborhood blocking: candidate pairs within window `w` of
+    * the (sortKey-prefix, id) rank order, verified by exact shingle
+    * Jaccard — the record-linkage block for sort-key-concentrated dups.
+    */
+  def sortedNeighborhoodPairs(corpus: DataFrame, idCol: String,
+      textCol: String, w: Int = 10, threshold: Double = 0.5,
+      shingleSize: Int = 5): DataFrame =
+    Extensions108.sortedNeighborhoodPairs(corpus, idCol, textCol, w,
+      threshold, shingleSize)
+
+  /** Fellegi–Sunter record-linkage EM over a blocked candidate-pair
+    * table: learns per-field match/non-match agreement rates and the
+    * match prior UNLABELED from the 2^k agreement-pattern counts, and
+    * returns the per-pattern posterior match probability (micro-units).
+    * Compose with [[editDistance1Pairs]] / [[sortedNeighborhoodPairs]]
+    * for blocking and [[linkagePosterior]] for per-pair scores.
+    */
+  def fellegiSunterLinkage(pairs: DataFrame, agreeCols: Seq[String],
+      iters: Int = 10): DataFrame =
+    Extensions112.fellegiSunterLinkage(pairs, agreeCols, iters)
+
+  /** Per-pair posterior match probability: broadcast-rejoins a
+    * [[fellegiSunterLinkage]] fit onto the pair table by pattern.
+    */
+  def linkagePosterior(pairs: DataFrame, agreeCols: Seq[String],
+      model: DataFrame): DataFrame =
+    Extensions112.linkagePosterior(pairs, agreeCols, model)
+
+  /** Interpolated Kneser–Ney bigram cross-entropy per document —
+    * absolute discounting with continuation-probability backoff, the
+    * KenLM-family estimator next to [[bigramScore]]'s fixed-λ model.
+    */
+  def knBigramScore(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Extensions112.knBigramScore(corpus, idCol, textCol)
 
   // ---- authorization (P5) --------------------------------------------------
 
