@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, Md5Bucket60, RepetitionMetrics}
+import graft.functions.{CosineSimilarity, JaroWinkler, Md5Bucket60, RepetitionMetrics}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions into the SQL function registry so `spark.sql` users get them
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineSimilarityFn)
     e.injectFunction(GraftExtensions.repetitionMetricsFn)
     e.injectFunction(GraftExtensions.md5Bucket60Fn)
+    e.injectFunction(GraftExtensions.jaroWinklerFn)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -55,11 +56,20 @@ object GraftExtensions {
       Md5Bucket60(exprs.head)
     })
 
+  private val jaroWinklerFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "jaro_winkler takes exactly 2 arguments")
+      JaroWinkler(exprs.head, exprs(1))
+    })
+
   /** Register the functions on an already-running session (getOrCreate
     * ignores withExtensions for existing sessions).
     */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSimilarityFn, repetitionMetricsFn, md5Bucket60Fn).foreach { fn =>
+    Seq(cosineSimilarityFn, repetitionMetricsFn, md5Bucket60Fn,
+        jaroWinklerFn).foreach { fn =>
       org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, fn._1, fn._2, fn._3)
     }
 }

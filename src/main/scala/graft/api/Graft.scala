@@ -2227,6 +2227,15 @@ object Graft {
       model: DataFrame): DataFrame =
     Extensions112.linkagePosterior(pairs, agreeCols, model)
 
+  /** Jaro–Winkler similarity join within a blocking key: pairs scored
+    * by the native codegen [[graft.functions.JaroWinkler]] expression
+    * (canonical Winkler semantics, fused into whole-stage codegen —
+    * no UDF boxing). Also registered as SQL `jaro_winkler(a, b)`.
+    */
+  def jaroWinklerPairs(rel: DataFrame, idCol: String, strCol: String,
+      blockCol: String, threshold: Double): DataFrame =
+    Extensions112.jaroWinklerPairs(rel, idCol, strCol, blockCol, threshold)
+
   /** Interpolated Kneser–Ney bigram cross-entropy per document —
     * absolute discounting with continuation-probability backoff, the
     * KenLM-family estimator next to [[bigramScore]]'s fixed-λ model.

@@ -375,11 +375,55 @@ object Extensions112 {
       GROUP BY bg.doc_id
       ORDER BY bg.doc_id"""
 
+  // ---- x257: Jaro–Winkler similarity join (native codegen expression) --------------
+
+  /** All same-`blockCol` pairs with Jaro–Winkler(`strCol`) ≥ threshold —
+    * the fuzzy-name join, scored by the native codegen
+    * [[graft.functions.JaroWinkler]] expression (no composable form
+    * exists; a UDF would box every row out of the codegen pipeline).
+    * The comparator fuses into the join's filter stage; blocking is the
+    * caller's key (brand here; x248's sort key or x253's prefix index
+    * at corpus scale). Output: (id_a, id_b, jw 4dp), id_a < id_b.
+    */
+  def jaroWinklerPairs(
+      rel: DataFrame, idCol: String, strCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val d = rel.select(col(idCol).as("id"), col(strCol).as("s"),
+      col(blockCol).as("blk"))
+    d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("jw", jaroWinkler(col("a.s"), col("b.s")))
+      .filter(col("jw") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("jw"), 4).as("jw"))
+  }
+
+  /** x257: near-identical part names within a brand at jw ≥ 0.9. */
+  def x257JaroWinkler(s: SparkSession, dir: String): DataFrame =
+    jaroWinklerPairs(Tables.load(s, dir, "part"),
+        "p_partkey", "p_name", "p_brand", 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** DuckDB ships the same canonical comparator — the oracle is a
+    * direct replay (semantics probe-verified: 0.7 boost gate, window,
+    * half transpositions, empty → 0).
+    */
+  private val x257OracleSql: String = """
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+      ORDER BY id_a, id_b"""
+
   val oracles: Map[String, String] = Map(
     "x255_linkage_em" -> x255OracleSql,
-    "x256_kneser_ney" -> x256OracleSql)
+    "x256_kneser_ney" -> x256OracleSql,
+    "x257_jaro_winkler" -> x257OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x255_linkage_em" -> (x255LinkageEm _),
-    "x256_kneser_ney" -> (x256KneserNey _))
+    "x256_kneser_ney" -> (x256KneserNey _),
+    "x257_jaro_winkler" -> (x257JaroWinkler _))
 }

@@ -73,6 +73,34 @@ class Extensions112Spec extends SparkSpec {
       s"one-context 'pine' must cost more than diverse 'tree': $got")
   }
 
+  test("JaroWinkler: canonical values, boost gate, edge cases") {
+    import graft.functions.JaroWinkler.similarity
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = similarity(u(a), u(b))
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("aaa", "aaaa") - 0.9416666666666667) < 1e-12)
+    assert(jw("ab", "ba") == 0.0, "window 0 -> no matches")
+    assert(jw("", "abc") == 0.0 && jw("", "") == 0.0, "DuckDB empty semantics")
+    assert(jw("abcdef", "abcdef") == 1.0)
+    // below the 0.7 gate the prefix bonus must NOT apply
+    assert(math.abs(jw("abqqqqqq", "abzzzzzz") - 0.5) < 1e-12)
+  }
+
+  test("jaro_winkler registered in SQL, runs inside codegen") {
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS jw").collect()(0).getDouble(0)
+    assert(math.abs(got - 0.9611111111111111) < 1e-12)
+    // and through the Column form over a real plan (exercises doGenCode)
+    import spark.implicits._
+    import graft.functions.JaroWinkler.jaroWinkler
+    val df = Seq(("dwayne", "duane"), ("a", "b")).toDF("x", "y")
+      .select(jaroWinkler(col("x"), col("y")).as("jw"))
+    val vs = df.collect().map(_.getDouble(0))
+    assert(math.abs(vs(0) - 0.8400000000000001) < 1e-12 && vs(1) == 0.0)
+  }
+
   test("x255/x256 fixtures: sane shapes") {
     val em = SparkEntry.queries("x255_linkage_em")(spark, sf0001).collect()
     assert(em.length == 8, "8 pattern rows")
