@@ -172,7 +172,7 @@ object Extensions112 {
     * u ≈ 0.9 for it, the feature-audit read). Blocking (n_chars / 16
     * co-bucket) is the caller's lever; x248/x253 are the scale blocks.
     */
-  private[ops] def documentPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def documentPairs(s: SparkSession, dir: String): DataFrame = {
     val words = split(lower(col("text")), " ")
     val grams = transform(
       sequence(lit(1), greatest(size(col("toks")) - 4, lit(1))),
