@@ -67,6 +67,14 @@ class PlanShape11Spec extends SparkSpec {
       s"support counting is join+agg algebra only:\n$plan")
   }
 
+  test("x261 typed top-k: object hash aggregate, no Window/Sort of input rows") {
+    val plan = planOf(SparkEntry.queries("x261_topk_agg")(spark, sf0001))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"the typed fold must plan as partial object aggregation:\n$plan")
+    assert(!plan.contains("Window"),
+      s"nothing row-sized crosses a window:\n$plan")
+  }
+
   test("x259 W1: windows ride the aggregated grid, the corpus is scanned once") {
     val df = SparkEntry.queries("x259_wasserstein")(spark, sf0001)
     val plan = planOf(df)
