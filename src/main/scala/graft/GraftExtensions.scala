@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.md5Bucket60Fn)
     e.injectFunction(GraftExtensions.jaroWinklerFn)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPruning)
   }
 }
 

@@ -389,6 +389,15 @@ object Extensions112 {
       rel: DataFrame, idCol: String, strCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.JaroWinkler.jaroWinkler
+    // lazily inject the length-ratio pruning rule (the AsOfJoinOp
+    // pattern): the derived guard short-circuits the comparator on
+    // length-skewed pairs, bit-identical output (JaroWinklerPruningSpec)
+    val sess = rel.sparkSession
+    if (!sess.experimental.extraOptimizations
+        .contains(graft.plans.JaroWinklerLengthPruning))
+      sess.experimental.extraOptimizations =
+        sess.experimental.extraOptimizations :+
+          graft.plans.JaroWinklerLengthPruning
     val d = rel.select(col(idCol).as("id"), col(strCol).as("s"),
       col(blockCol).as("blk"))
     d.as("a").join(d.as("b"),
