@@ -2315,6 +2315,15 @@ object Graft {
       minCount: Long = 4, iters: Int = 2, topN: Int = 40): DataFrame =
     Extensions116.unigramPieces(corpus, textCol, maxK, minCount, iters, topN)
 
+  /** Per-document fertility card (pieces per word) under the trained
+    * unigram vocabulary — the datasheet number; the x104 BPE fit
+    * report's sibling.
+    */
+  def unigramFertility(corpus: DataFrame, idCol: String, textCol: String,
+      maxK: Int = 6, minCount: Long = 4, iters: Int = 2): DataFrame =
+    Extensions116.unigramFertility(corpus, idCol, textCol, maxK, minCount,
+      iters)
+
   // ---- authorization (P5) --------------------------------------------------
 
   /** Row/column-restricted view — the engine-side analog of the reference's

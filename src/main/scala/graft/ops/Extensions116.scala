@@ -48,8 +48,19 @@ object Extensions116 {
     */
   def unigramPieces(
       corpus: DataFrame, textCol: String, maxK: Int = 6, minCount: Long = 4,
-      iters: Int = 2, topN: Int = 40): DataFrame = {
-    val spark = corpus.sparkSession
+      iters: Int = 2, topN: Int = 40): DataFrame =
+    unigramVocab(corpus, textCol, maxK, minCount, iters)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(topN)
+      .select(col("piece"), col("cnt"), col("cost"))
+
+  /** The FULL trained vocabulary (piece, cnt, cost) after `iters`
+    * hard-EM rounds — [[unigramPieces]] is its top slice; the encode
+    * path (x264) segments under all of it.
+    */
+  def unigramVocab(
+      corpus: DataFrame, textCol: String, maxK: Int = 6, minCount: Long = 4,
+      iters: Int = 2): DataFrame = {
     val words = Extensions.materialized(
       corpus.select(explode(split(lower(col(textCol)), " ")).as("w"))
         .filter(length(col("w")) > 0)
@@ -77,9 +88,6 @@ object Extensions116 {
           .filter(col("cnt") >= 1))
     }
     withCost(pieces)
-      .orderBy(col("cnt").desc, col("piece"))
-      .limit(topN)
-      .select(col("piece"), col("cnt"), col("cost"))
   }
 
   /** cost = round(1e6 · ln(T / cnt)) — T is one broadcast scalar. */
@@ -156,6 +164,40 @@ object Extensions116 {
   def x263UnigramPieces(s: SparkSession, dir: String): DataFrame =
     unigramPieces(Tables.load(s, dir, "documents"), "text")
 
+  // ---- x264: encode under the trained vocabulary --------------------------------
+
+  /** Per-document tokenization card under the TRAINED unigram vocab:
+    * (doc_id, n_words, n_pieces, fertility_micro) — fertility = pieces
+    * per word, the number a tokenizer ships on its datasheet (x104's
+    * BPE fit report is the sibling). One segmentation of the DISTINCT
+    * word table (the trained artifact applied once), broadcast back
+    * onto the per-doc word stream; fertility renders half-up micro.
+    */
+  def unigramFertility(
+      corpus: DataFrame, idCol: String, textCol: String, maxK: Int = 6,
+      minCount: Long = 4, iters: Int = 2): DataFrame = {
+    val vocab = unigramVocab(corpus, textCol, maxK, minCount, iters)
+    val words = corpus.select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    val perWord = viterbiSegment(words, vocab, maxK)
+      .select(col("w"), size(col("pieces")).cast("long").as("np"))
+    corpus.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(perWord), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        expr("CAST((n_pieces * 2000000 + n_words) DIV (n_words * 2) AS BIGINT)")
+          .as("fertility_micro"))
+  }
+
+  /** x264: the trained-vocab fertility card over the fixture docs. */
+  def x264UnigramFertility(s: SparkSession, dir: String): DataFrame =
+    unigramFertility(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   private def pathRound(i: Int, pieceTable: String): String = s"""
     seg$i AS (
       SELECT w, wn, 0 AS pos, CAST([] AS VARCHAR[]) AS pcs,
@@ -212,9 +254,49 @@ object Extensions116 {
       LIMIT 40"""
   }
 
+  /** The trained-vocab segmentation of round `i` only (no recount) —
+    * x264's oracle applies cost2 once more and reads piece counts.
+    */
+  private def segOnly(i: Int, pieceTable: String): String = s"""
+    seg$i AS (
+      SELECT w, wn, 0 AS pos, CAST([] AS VARCHAR[]) AS pcs,
+             CAST([] AS BIGINT[]) AS lens, CAST(0 AS BIGINT) AS cost
+      FROM words
+      UNION ALL
+      SELECT s.w, s.wn, s.pos + length(c.piece),
+             list_append(s.pcs, c.piece),
+             list_append(s.lens, CAST(length(c.piece) AS BIGINT)),
+             s.cost + c.cost
+      FROM seg$i s JOIN $pieceTable c
+        ON c.piece = substr(s.w, s.pos + 1, length(c.piece))),
+    best$i AS (
+      SELECT w, CAST(len(pcs) AS BIGINT) AS np FROM (
+        SELECT *, row_number() OVER (PARTITION BY w
+                    ORDER BY cost, list_reverse(lens) DESC) AS rk
+        FROM seg$i WHERE pos = length(w)) WHERE rk = 1)"""
+
+  private val x264OracleSql: String = {
+    val head = x263OracleSql.substring(0, x263OracleSql.indexOf(
+      "\n      SELECT piece, cnt, cost FROM cost2"))
+    head + "," + segOnly(3, "cost2") + """,
+    dw AS (SELECT doc_id, u.w
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                 FROM documents), UNNEST(tk) AS u(w)
+           WHERE u.w <> '')
+      SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(b.np) AS BIGINT) AS n_pieces,
+             CAST((sum(b.np) * 2000000 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS fertility_micro
+      FROM dw JOIN best3 b ON b.w = dw.w
+      GROUP BY dw.doc_id
+      ORDER BY dw.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
-    "x263_unigram_pieces" -> x263OracleSql)
+    "x263_unigram_pieces" -> x263OracleSql,
+    "x264_unigram_fertility" -> x264OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x263_unigram_pieces" -> (x263UnigramPieces _))
+    "x263_unigram_pieces" -> (x263UnigramPieces _),
+    "x264_unigram_fertility" -> (x264UnigramFertility _))
 }
