@@ -62,7 +62,12 @@ object Extensions111 {
       corpus: DataFrame, idCol: String, textCol: String,
       tNum: Long, tDen: Long, shingleSize: Int = 1): DataFrame = {
     require(tNum >= 1 && tDen >= tNum, "threshold must be in (0, 1]")
-    val sets = tokenSets(corpus, idCol, textCol, shingleSize)
+    // materialized: the set table feeds the prefix index AND both sides
+    // of the verify join — without the checkpoint the corpus tokenizes
+    // three times (the x215 double-execution lesson; measured ~1.9x on
+    // the sf0.1 fixture)
+    val sets = Extensions.materialized(
+      tokenSets(corpus, idCol, textCol, shingleSize))
     prefixCandidates(sets, tNum, tDen)
       .join(sets.select(col("doc_id").as("doc_a"), col("tk").as("tka"),
         col("sz").as("na")), Seq("doc_a"))

@@ -408,10 +408,14 @@ object Extensions112 {
         round(col("jw"), 4).as("jw"))
   }
 
-  /** x257: near-identical part names within a brand at jw ≥ 0.9. */
+  /** x257: near-identical part names within a (brand, type) block at
+    * jw ≥ 0.9 — the two-column block keeps the candidate volume
+    * output-shaped as parts grow (brand alone is 25-way at every SF).
+    */
   def x257JaroWinkler(s: SparkSession, dir: String): DataFrame =
-    jaroWinklerPairs(Tables.load(s, dir, "part"),
-        "p_partkey", "p_name", "p_brand", 0.9)
+    jaroWinklerPairs(Tables.load(s, dir, "part")
+        .withColumn("blk", concat_ws("|", col("p_brand"), col("p_type"))),
+        "p_partkey", "p_name", "blk", 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
   /** DuckDB ships the same canonical comparator — the oracle is a
@@ -422,7 +426,8 @@ object Extensions112 {
       SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
              round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
       FROM part a JOIN part b
-        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey
       WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
       ORDER BY id_a, id_b"""
 
