@@ -2343,6 +2343,13 @@ object Graft {
   def theilSen(series: DataFrame, tCol: String, yCentsCol: String): DataFrame =
     Extensions118.theilSen(series, tCol, yCentsCol)
 
+  /** Mann–Kendall trend test — the significance half of the [[theilSen]]
+    * pairing (MK decides IF a monotone trend exists, TS sizes it);
+    * exact S and tie-corrected variance, z rounded 4dp.
+    */
+  def mannKendall(series: DataFrame, tCol: String, yCentsCol: String): DataFrame =
+    Extensions118.mannKendall(series, tCol, yCentsCol)
+
   /** Exactly-once append sink for `foreachBatch`: batch-id-keyed commit
     * markers make redelivery a no-op and hide torn writes from readers
     * — `writeStream.foreachBatch(IdempotentSink.into(out))`, read back

@@ -114,9 +114,77 @@ object Extensions118 {
                END AS BIGINT) AS intercept_micro_cents
       FROM mr WHERE rk = (n + 1) // 2"""
 
+  // ---- x267: Mann–Kendall trend test ---------------------------------------------
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) — the
+    * significance HALF of the Theil–Sen pairing: MK decides whether a
+    * monotone trend exists (its S statistic is the sign-sum of exactly
+    * the pairs x266 takes slopes over), Theil–Sen estimates its size.
+    * Nonparametric — no distributional assumption the OLS t-test needs.
+    *
+    * Exact integers through the variance: S = Σ_{i<j} sign(y_j − y_i);
+    * var·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5) stays integral (the
+    * tie correction is the part naive implementations drop); the only
+    * floats are one sqrt and one division for
+    * z = (S − sign(S)) / sqrt(var), rounded 4dp — same expression order
+    * both engines. Output: (n_points, s_stat, var18, z).
+    */
+  def mannKendall(
+      series: DataFrame, tCol: String, yCentsCol: String): DataFrame = {
+    val pts = Extensions.materialized(
+      series.select(col(tCol).cast("long").as("t"),
+        col(yCentsCol).cast("long").as("y")))
+    val s = pts.as("a").join(pts.as("b"), col("a.t") < col("b.t"))
+      .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s"))
+    val ties = pts.groupBy(col("y")).agg(count(lit(1)).as("tc"))
+      .agg(sum(expr("tc * (tc - 1) * (2 * tc + 5)")).as("tie18"),
+        count(lit(1)).as("ng"), sum(col("tc")).as("n"))
+    s.crossJoin(broadcast(ties))
+      .select(col("n").as("n_points"), col("s").as("s_stat"),
+        expr("n * (n - 1) * (2 * n + 5) - tie18").as("var18"),
+        // all-tied series has zero variance: no test to run, z := 0
+        when(expr("n * (n - 1) * (2 * n + 5) - tie18") > 0L,
+          round(
+            (col("s") - signum(col("s")).cast("long")).cast("double")
+              / sqrt(expr("(n * (n - 1) * (2 * n + 5) - tie18) / 18.0")), 4))
+          .otherwise(0.0).as("z"))
+  }
+
+  /** x267: is the daily purchase-revenue trend significant? Same series
+    * as x266; read z against ±1.96 for the 5% two-sided level.
+    */
+  def x267MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr(
+        "unix_micros(date_trunc('DAY', ts)) DIV 86400000000").as("t"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+    mannKendall(daily, "t", "y")
+  }
+
+  private val x267OracleSql: String = """
+      WITH daily AS (
+        SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS t,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      sp AS (SELECT CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+             FROM daily a JOIN daily b ON a.t < b.t),
+      ties AS (SELECT CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie18,
+                      CAST(sum(tc) AS BIGINT) AS n
+               FROM (SELECT count(*) AS tc FROM daily GROUP BY y))
+      SELECT n AS n_points, s AS s_stat,
+             n * (n - 1) * (2 * n + 5) - tie18 AS var18,
+             CASE WHEN n * (n - 1) * (2 * n + 5) - tie18 > 0
+               THEN round(CAST(s - CAST(sign(s) AS BIGINT) AS DOUBLE)
+                 / sqrt((n * (n - 1) * (2 * n + 5) - tie18) / 18.0), 4)
+               ELSE 0.0 END AS z
+      FROM sp, ties"""
+
   val oracles: Map[String, String] = Map(
-    "x266_theil_sen" -> x266OracleSql)
+    "x266_theil_sen" -> x266OracleSql,
+    "x267_mann_kendall" -> x267OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x266_theil_sen" -> (x266TheilSen _))
+    "x266_theil_sen" -> (x266TheilSen _),
+    "x267_mann_kendall" -> (x267MannKendall _))
 }
