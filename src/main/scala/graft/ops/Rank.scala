@@ -61,9 +61,16 @@ object Rank {
     val parted = Extensions.materialized(
       df.repartitionByRange(parts, sortCols: _*)
         .withColumn("__pid", spark_partition_id()))
+    // countDistinct over a STRUCT of the keys, not the bare columns: a
+    // multi-column countDistinct drops any tuple containing a NULL (SQL
+    // semantics), while the per-partition dense_rank() window counts a
+    // null key as a rank value — bare-column counting would undercount
+    // __keys_before and shift every later partition's drk low. A struct
+    // is non-null even when its fields are, so the tuple count matches
+    // the window's distinct-ordering-value count exactly.
     val stats = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("c"),
-        countDistinct(keys.head, keys.tail: _*).as("d"))
+        countDistinct(struct(keys.map(col): _*)).as("d"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)

@@ -55,6 +55,34 @@ class RankSpec extends SparkSpec {
     assert(x231 == q20, "the distributed rank must reproduce q20 exactly")
   }
 
+  test("nullable sort keys: drk offsets count the null tuple (struct countDistinct)") {
+    import spark.implicits._
+    // 120 rows, ~1/4 with a NULL key — nulls sort FIRST under asc, so
+    // with parts > 1 the null run fills the earliest range partition and
+    // every later partition's dense_rank offset depends on it being
+    // counted. A bare-column countDistinct drops the null tuple and
+    // shifts every later drk low by one.
+    val df = (1 to 120).map { i =>
+      (i.toLong, if (i % 4 == 0) None else Some((i % 9).toLong))
+    }.toDF("id", "v")
+    val w = Window.orderBy(col("v").asc, col("id"))
+    val expect = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drk", dense_rank().over(w).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    for (parts <- Seq(2, 5)) {
+      val got = Rank.globalRank(df, Seq("v", "id"), Seq(false, false),
+        parts = parts)
+        .select(col("id"), col("rn"), col("rnk"), col("drk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == expect,
+        s"parts=$parts: null keys must count toward the dense-rank offsets")
+    }
+  }
+
   test("empty input yields empty output, no failure") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
