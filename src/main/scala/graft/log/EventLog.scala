@@ -149,10 +149,41 @@ object EventLog {
     }
   }
 
-  /** The shared bucketed-snapshot commit: modulus/sidecar guards, the
-    * touched-bucket read, and the dynamic-partition overwrite.
+  /** Read the committed snapshot — the ONLY supported read path once
+    * merges commit through [[graft.ops.StoreManifest]]: a raw
+    * `spark.read.parquet(dir)` would see every batch directory ever
+    * written, including superseded bucket states. One manifest read
+    * pins the snapshot; legacy (pre-manifest) snapshots are adopted on
+    * first access.
+    */
+  def readSnapshot(spark: SparkSession, snapshotPath: String): DataFrame =
+    graft.ops.StoreManifest.readPinned(spark, snapshotPath)
+
+  /** The manifest meta key carrying the bucket modulus. */
+  private val BucketsKey = "buckets"
+
+  /** The shared bucketed-snapshot commit: modulus guards, the
+    * touched-bucket read, and a [[graft.ops.StoreManifest]] publish.
     * `mergeStates` receives (touched snapshot rows ∪ the new state
     * rows) and must return one row per id in the same schema.
+    *
+    * Commit protocol (the same discipline as the serving stores —
+    * round-9's one remaining torn-state seam closed): the merged
+    * touched buckets land in a FRESH batch directory, then ONE
+    * manifest rename publishes (untouched buckets' files) + (the new
+    * batch). A reader concurrent with the merge sees the pre- or
+    * post-state, never a mix of pre/post buckets — which is exactly
+    * what the previous dynamic-partition overwrite could expose while
+    * rewriting touched bucket dirs in place. The modulus commits
+    * INSIDE the manifest (`#buckets=`), so data and guard can never
+    * tear; crash windows reduce to "orphan batch dir no manifest
+    * references" (invisible, reclaimed by vacuum).
+    *
+    * Legacy snapshots (bucket dirs at the root, `_graft_buckets`
+    * sidecar) are adopted on first merge: dirs move under the legacy
+    * batch dir (metadata renames) and the sidecar — or, absent that,
+    * the dir-name bound — still validates the modulus before the
+    * first manifest commit records it.
     */
   private def mergeBucketed(
       updates: DataFrame,
@@ -160,48 +191,46 @@ object EventLog {
       idCol: String,
       numBuckets: Int)(mergeStates: DataFrame => DataFrame): Set[Int] = {
     import org.apache.spark.sql.functions._
+    import graft.ops.StoreManifest
     val spark = updates.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val path = new org.apache.hadoop.fs.Path(snapshotPath)
-    val fs = path.getFileSystem(hadoopConf)
+    val fs = new org.apache.hadoop.fs.Path(snapshotPath).getFileSystem(hadoopConf)
     val sidecar = new org.apache.hadoop.fs.Path(snapshotPath, "_graft_buckets")
-    // "snapshot present" = bucket DIRS actually exist. The sidecar alone is
-    // not evidence of data: it is written before the first data write (see
-    // below), so a crash in that window leaves a sidecar with no buckets —
-    // the retry must see a first merge, not a corrupt snapshot. A
-    // merely-existing empty directory (fresh tempdir, mkdir -p race) is a
-    // first merge too.
-    val bucketDirs =
-      if (!fs.exists(path)) Array.empty[String]
-      else fs.listStatus(path).map(_.getPath.getName).filter(_.startsWith("bucket="))
-    val exists = bucketDirs.nonEmpty
-    if (exists) {
-      // a bucket dir with a negative number is a legacy layout from a `%`
-      // (not pmod) bucket assignment over negative ids — this merge's
-      // touched set is pmod-based and would neither read nor overwrite
-      // those dirs, yielding duplicate/stale ids on read
-      val dirNums = bucketDirs.map(_.stripPrefix("bucket=").toInt)
+    // Pin the committed snapshot (adopting a pre-manifest layout).
+    // None = first merge: an empty dir, a bare sidecar with no data (a
+    // crashed first merge under the old protocol), or orphan batch dirs
+    // no manifest references all read as "no snapshot yet".
+    val pinnedOpt = StoreManifest.currentVersion(spark, snapshotPath)
+      .orElse(StoreManifest.adoptLegacy(spark, snapshotPath))
+      .map(v => (StoreManifest.filesAt(spark, snapshotPath, v),
+        StoreManifest.metaAt(spark, snapshotPath, v)))
+    pinnedOpt.foreach { case (files, meta) =>
+      val dirNums = files.flatMap(StoreManifest.partValueOf(_, "bucket"))
+        .map(_.toInt)
+      // a negative bucket value is a legacy layout from a `%` (not pmod)
+      // bucket assignment over negative ids — this merge's touched set is
+      // pmod-based and would neither read nor replace those files,
+      // yielding duplicate/stale ids on read
       require(dirNums.forall(_ >= 0),
         s"snapshot at $snapshotPath has negative bucket dirs " +
-          s"(${dirNums.filter(_ < 0).sorted.mkString(", ")}) — a legacy " +
+          s"(${dirNums.filter(_ < 0).distinct.sorted.mkString(", ")}) — a legacy " +
           "%-based layout this merge cannot update safely; rewrite the " +
           "snapshot (read all buckets, re-merge into a fresh path) first")
-      val persisted =
+      val persisted = meta.get(BucketsKey).map(_.toInt).orElse {
+        // adopted legacy snapshot: the modulus lives in the old sidecar
         if (!fs.exists(sidecar)) None
         else {
           val in = fs.open(sidecar)
           val raw = try new String(
             org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
           finally in.close()
-          // the temp+rename write below can't tear, but a sidecar from an
-          // older writer (or a corrupted copy) can — fail with instructions,
-          // not a bare NumberFormatException
           Some(raw.toIntOption.getOrElse(throw new IllegalArgumentException(
             s"snapshot at $snapshotPath has an unreadable _graft_buckets " +
               s"sidecar (content: '${raw.take(32)}') — restore it to a single " +
               "integer (the bucket modulus the snapshot was written with) or " +
               "rewrite the snapshot into a fresh path")))
         }
+      }
       persisted match {
         case Some(nb) =>
           require(nb == numBuckets,
@@ -209,8 +238,8 @@ object EventLog {
               s"merge called with $numBuckets — refusing (stale-bucket corruption)")
         case None =>
           // legacy snapshot with no sidecar: the modulus cannot be proven,
-          // but the dir names bound it — any dir >= numBuckets proves a
-          // larger modulus and guarantees stale-bucket corruption
+          // but the bucket values bound it — any value >= numBuckets proves
+          // a larger modulus and guarantees stale-bucket corruption
           require(dirNums.forall(_ < numBuckets),
             s"snapshot at $snapshotPath has no _graft_buckets sidecar and " +
               s"bucket dirs up to ${dirNums.max} — incompatible with " +
@@ -218,9 +247,11 @@ object EventLog {
               "with the original modulus or rewrite the snapshot")
       }
     }
-    require(!updates.columns.contains("bucket"),
-      "bucketed snapshot merge reserves the column name 'bucket' for the " +
-        "snapshot partition layout — rename the input column")
+    Seq("bucket", "batch").foreach { reserved =>
+      require(!updates.columns.contains(reserved),
+        s"bucketed snapshot merge reserves the column name '$reserved' for " +
+          "the snapshot layout — rename the input column")
+    }
     val bucketed = updates.withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast("int"))
     // one action yields BOTH the touched-bucket set and the per-bucket min
     // id — the id-sign guard costs no extra pass. Negative ids are refused:
@@ -235,41 +266,32 @@ object EventLog {
           s"is pmod-based); batch contains id ${r.getLong(1)}")
     }
     val touched = touchStats.map(_.getInt(0)).toSet
-    val combined =
-      if (!exists) bucketed
-      else spark.read.parquet(snapshotPath)
-        .filter(col("bucket").isin(touched.toSeq: _*))
-        .select(bucketed.columns.map(col): _*)
-        .unionByName(bucketed)
+    val combined = pinnedOpt match {
+      case None => bucketed
+      case Some((files, _)) =>
+        // read ONLY the touched buckets' files — pruned at the file list,
+        // before the scan even plans
+        val touchedFiles = files.filter(f =>
+          StoreManifest.partValueOf(f, "bucket").exists(v => touched.contains(v.toInt)))
+        if (touchedFiles.isEmpty) bucketed
+        else StoreManifest.readFiles(spark, snapshotPath, touchedFiles)
+          .select(bucketed.columns.map(col): _*)
+          .unionByName(bucketed)
+    }
     val merged = mergeStates(combined)
       .withColumn("bucket", pmod(col(idCol), lit(numBuckets)).cast("int"))
-    // sidecar BEFORE the data write: a crash between the two then leaves a
-    // sidecar + no buckets (retry sees a first merge — see `exists` above),
-    // never data with an unguarded modulus, which was the exact window the
-    // guard exists to close. Written via temp-file + rename so no reader
-    // ever observes a torn sidecar. An already-correct sidecar is LEFT
-    // ALONE: its value can never change once data exists (nb == numBuckets
-    // is required above), and a rewrite would need delete-then-rename —
-    // a crash between those leaves data with no sidecar, silently
-    // downgrading the modulus guard to the weaker legacy dir-name bound.
-    // The only deletable sidecar is a pre-data one (retry of a crashed
-    // first merge, possibly with a different modulus); losing it to a
-    // crash just re-creates the first-merge state.
-    if (!exists && fs.exists(sidecar)) fs.delete(sidecar, false)
-    if (!fs.exists(sidecar)) {
-      val sidecarTmp = new org.apache.hadoop.fs.Path(snapshotPath, "_graft_buckets.tmp")
-      val out = fs.create(sidecarTmp, true)
-      try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
-      require(fs.rename(sidecarTmp, sidecar),
-        s"failed to commit the _graft_buckets sidecar at $sidecar (rename returned false)")
-    }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(snapshotPath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // fresh batch dir + write-last manifest rename: the commit point. One
+    // task per touched bucket (repartition) keeps the steady-state file
+    // count at one file per bucket per merge.
+    val batch = StoreManifest.newBatchDirName(spark, snapshotPath)
+    merged.repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$snapshotPath/$batch")
+    val untouched = pinnedOpt.map(_._1.filterNot(f =>
+      StoreManifest.partValueOf(f, "bucket").exists(v => touched.contains(v.toInt))))
+      .getOrElse(Nil)
+    StoreManifest.publish(spark, snapshotPath,
+      untouched ++ StoreManifest.listBatchFiles(spark, snapshotPath, batch),
+      meta = Map(BucketsKey -> numBuckets.toString))
     touched
   }
 
@@ -375,11 +397,15 @@ object EventLog {
     val cap = 1L << seqBits
     val tiebreak = xxhash64(struct(newRows.columns.map(col): _*))
     val seq = row_number().over(Window.orderBy(col(orderCol), tiebreak)).cast("long")
+    // strict seq < cap, not <=: at the extreme epoch 2^(63-seqBits)-1 a
+    // full batch's last id (epoch<<seqBits)+2^seqBits equals 2^63 and
+    // wraps to Long.MinValue — the positivity guarantee the requires
+    // exist to enforce. One id per epoch is the price of the guarantee.
     newRows.withColumn("id",
-      when(seq <= lit(cap),
+      when(seq < lit(cap),
         lit(writerEpoch << seqBits) + seq)
         .otherwise(raise_error(concat(
-          lit(s"allocateIdsSharded: batch exceeds 2^$seqBits ids for epoch "),
+          lit(s"allocateIdsSharded: batch exceeds 2^$seqBits - 1 ids for epoch "),
           lit(writerEpoch)))))
   }
 

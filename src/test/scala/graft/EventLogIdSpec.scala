@@ -58,11 +58,25 @@ class EventLogIdSpec extends SparkSpec {
       EventLog.allocateIdsSharded(batch(new Random(1), 5), "ord",
         writerEpoch = 1L << 40, seqBits = 40)
     }
-    val big = (0 until 5).map(i => (i, "x")).toDF("ord", "payload")
+    // cap is 2^seqBits - 1 ids per (epoch, batch): seqBits=2 admits 3
+    val atCap = (0 until 4).map(i => (i, "x")).toDF("ord", "payload")
     val thrown = intercept[Exception] {
-      EventLog.allocateIdsSharded(big, "ord", 0L, seqBits = 2).collect()
+      EventLog.allocateIdsSharded(atCap, "ord", 0L, seqBits = 2).collect()
     }
     assert(thrown.getMessage.contains("allocateIdsSharded") ||
-      thrown.getCause != null, s"batch past 2^seqBits must raise: $thrown")
+      thrown.getCause != null, s"batch past 2^seqBits - 1 must raise: $thrown")
+  }
+
+  test("extreme epoch with a full batch stays positive (no 2^63 wrap)") {
+    import spark.implicits._
+    // writerEpoch at its require-enforced max, batch at the seq cap:
+    // the last id is (2^61 - 1) << 2 + 3 = 2^63 - 1 — the exact corner
+    // that used to wrap to Long.MinValue when seq could reach 2^seqBits
+    val maxEpoch = (1L << 61) - 1L
+    val full = (0 until 3).map(i => (i, "x")).toDF("ord", "payload")
+    val ids = EventLog.allocateIdsSharded(full, "ord", maxEpoch, seqBits = 2)
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.forall(_ > 0L), s"ids must stay positive at the corner: ${ids.mkString(",")}")
+    assert(ids.max == Long.MaxValue, s"last id is 2^63 - 1: ${ids.max}")
   }
 }
