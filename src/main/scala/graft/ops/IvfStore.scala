@@ -26,8 +26,30 @@ object IvfStore {
   private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     cosine_similarity(a, b)
 
+  /** The manifest meta key naming the centroid table directory (relative
+    * to the store root) a given index version was assigned under.
+    */
+  private val CentroidsKey = "centroids"
+
+  /** The centroid table a pinned index version was built against.
+    * Versioned: each [[writeIndex]] lands centroids in a fresh
+    * `centroids-<rand>` dir and the index manifest commit names it —
+    * so a reader pinning any index version reads the EXACT centroids
+    * its cells were assigned under, never a mid-rewrite mix (the
+    * reader-vs-writer race a mutable `centroids` sidecar had: publish
+    * first and a concurrent search pins the new index over the old
+    * centroids; publish last and vice versa). Legacy stores (no meta)
+    * fall back to the classic mutable `centroids` path.
+    */
+  private def centroidsFor(
+      spark: SparkSession, path: String, meta: Map[String, String]): DataFrame =
+    spark.read.parquet(meta.get(CentroidsKey)
+      .map(d => s"$path/$d").getOrElse(s"$path/centroids"))
+
   /** Assign every vector to its best centroid cell and write the index
-    * partitioned by cell, with the centroid table as a sidecar.
+    * partitioned by cell. The centroid table lands FIRST in a fresh
+    * versioned dir; the index manifest commit then names it in its
+    * meta — one rename publishes a consistent (centroids, index) pair.
     */
   def writeIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -35,34 +57,36 @@ object IvfStore {
     val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val root = s"$path/index"
+    val centDir = s"centroids-${java.util.UUID.randomUUID.toString.take(8)}"
+    centroids.select(col("cell"), col("cvec"))
+      .write.parquet(s"$path/$centDir")
     val batch = StoreManifest.newBatchDirName(spark, root)
     Extensions2.assignCells(base, broadcast(centroids.select(col("cell"), col("cvec"))))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$root/$batch")
     StoreManifest.publish(spark, root,
-      StoreManifest.listBatchFiles(spark, root, batch))
-    centroids.select(col("cell"), col("cvec"))
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      StoreManifest.listBatchFiles(spark, root, batch),
+      meta = Map(CentroidsKey -> centDir))
   }
 
   /** Append new vectors to an existing index: assign against the STORED
     * centroids (so old and new rows agree on cell geometry); the batch
     * lands in a fresh dir and one manifest rename publishes it
-    * ([[StoreManifest]]). The index grows without rewriting — the
-    * steady-state ingest path; retrain centroids and rewrite only when
-    * the cell-size balance drifts.
+    * ([[StoreManifest]]), centroid pointer carried forward. The index
+    * grows without rewriting — the steady-state ingest path; retrain
+    * centroids and rewrite only when the cell-size balance drifts.
     */
   def appendToIndex(
       newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newVecs.sparkSession
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
-    val base = newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val root = s"$path/index"
-    val pinned = StoreManifest.files(spark, root)
+    val (pinned, meta) = StoreManifest.pin(spark, root)
+    val cents = broadcast(centroidsFor(spark, path, meta))
+    val base = newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val batch = StoreManifest.newBatchDirName(spark, root)
     Extensions2.assignCells(base, cents)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$root/$batch")
     StoreManifest.publish(spark, root,
-      pinned ++ StoreManifest.listBatchFiles(spark, root, batch))
+      pinned ++ StoreManifest.listBatchFiles(spark, root, batch), meta = meta)
   }
 
   /** Compact deleted vectors OUT of the index (the [[SignatureStore.compact]]
@@ -78,7 +102,9 @@ object IvfStore {
   def compactIndex(
       removeVecs: DataFrame, idCol: String, vecCol: String, path: String): Set[Int] = {
     val spark = removeVecs.sparkSession
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val root = s"$path/index"
+    val (pinned, meta) = StoreManifest.pin(spark, root)
+    val cents = broadcast(centroidsFor(spark, path, meta))
     val base = removeVecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val assigned = Extensions.materialized(Extensions2.assignCells(base, cents))
     // normalize to int: the assign side inherits the centroid table's cell
@@ -88,8 +114,6 @@ object IvfStore {
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty) return Set.empty
     val cellSet = cells.map(_.toString).toSet
-    val root = s"$path/index"
-    val pinned = StoreManifest.files(spark, root)
     val removeIds = broadcast(assigned.select(col("vec_id")).distinct())
     val kept = StoreManifest.readFiles(spark, root, pinned)
       .filter(col("cell").isin(cells: _*))
@@ -100,7 +124,7 @@ object IvfStore {
     val untouched = pinned.filterNot(f =>
       StoreManifest.partValueOf(f, "cell").exists(cellSet.contains))
     StoreManifest.publish(spark, root,
-      untouched ++ StoreManifest.listBatchFiles(spark, root, batch))
+      untouched ++ StoreManifest.listBatchFiles(spark, root, batch), meta = meta)
     cells.toSet
   }
 
@@ -112,7 +136,10 @@ object IvfStore {
   def topKFromIndex(
       spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, probes: Int): DataFrame = {
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    // ONE pin for (centroids, files): a concurrent writeIndex can no
+    // longer hand this query the new index under the old centroids
+    val (pinned, meta) = StoreManifest.pin(spark, s"$path/index")
+    val cents = broadcast(centroidsFor(spark, path, meta))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col("cell"))
     val probed = queries
@@ -125,7 +152,7 @@ object IvfStore {
     // bounded driver-side cell list -> literal isin -> static partition pruning
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
-    val idx = StoreManifest.readPinned(spark, s"$path/index")
+    val idx = StoreManifest.readFiles(spark, s"$path/index", pinned)
       .filter(col("cell").isin(cells: _*))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     probed.join(idx, Seq("cell"))

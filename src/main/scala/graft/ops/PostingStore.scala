@@ -10,9 +10,8 @@ import org.apache.spark.sql.functions._
   * postings persist once, routed by a token-hash bucket:
   *
   * {{{
-  *   path/postings/_manifest/             StoreManifest commit log
+  *   path/postings/_manifest/             StoreManifest commit log (file list + #buckets=)
   *   path/postings/batch=V-R/bucket=N/    (tok, doc_id, pos)  partitionBy(bucket), immutable
-  *   path/meta                         (buckets)           modulus sidecar
   * }}}
   *
   * Serving reads ONLY the query tokens' bucket directories: the ≤ m
@@ -23,10 +22,14 @@ import org.apache.spark.sql.functions._
   * body the in-memory operator runs, so store-served equals in-memory
   * by construction (PostingStoreSpec asserts it value-for-value).
   *
-  * The bucket modulus persists in the meta sidecar and is enforced on
-  * append — appending under a different modulus would scatter a
-  * token's postings across two bucket layouts and silently lose
-  * matches (the [[graft.log.EventLog.mergeSnapshotKeyed]] discipline).
+  * The bucket modulus is committed INSIDE the manifest version (the
+  * `#buckets=` meta line) — geometry and file list publish in one
+  * rename, and it is enforced on append: appending under a different
+  * modulus would scatter a token's postings across two bucket layouts
+  * and silently lose matches (the
+  * [[graft.log.EventLog.mergeSnapshotKeyed]] discipline). Stores
+  * written when the modulus lived in a `path/meta` parquet sidecar
+  * fall back to reading it from there.
   */
 object PostingStore {
 
@@ -37,42 +40,48 @@ object PostingStore {
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets.toLong)).cast("int"))
 
-  /** Tokenize, bucket by token hash, and write the partitioned index
-    * plus the modulus sidecar.
+  private val BucketsKey = "buckets"
+
+  /** Tokenize, bucket by token hash, and write the partitioned index —
+    * the modulus commits in the SAME manifest rename as the file list.
     */
   def write(
       corpus: DataFrame, idCol: String, textCol: String, path: String,
       buckets: Int = 64): Unit = {
     require(buckets > 0)
     val spark = corpus.sparkSession
-    import spark.implicits._
     val root = s"$path/postings"
     val batch = StoreManifest.newBatchDirName(spark, root)
     postings(corpus, idCol, textCol, buckets)
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/$batch")
     StoreManifest.publish(spark, root,
-      StoreManifest.listBatchFiles(spark, root, batch))
-    Seq(buckets).toDF("buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      StoreManifest.listBatchFiles(spark, root, batch),
+      meta = Map(BucketsKey -> buckets.toString))
   }
 
-  private def storedBuckets(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").head().getInt(0)
+  private def bucketsFrom(
+      spark: SparkSession, path: String, meta: Map[String, String]): Int =
+    meta.get(BucketsKey).map(_.toInt).getOrElse(
+      // legacy sidecar fallback: stores written before the modulus
+      // moved into the manifest meta
+      spark.read.parquet(s"$path/meta").head().getInt(0))
 
   /** Append new documents' postings under the STORED modulus — only
-    * the touched bucket directories grow.
+    * the touched bucket directories grow. One [[StoreManifest.pin]]
+    * supplies modulus and file list from the same version.
     */
   def append(
       newDocs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = newDocs.sparkSession
-    val buckets = storedBuckets(spark, path)
     val root = s"$path/postings"
-    val pinned = StoreManifest.files(spark, root)
+    val (pinned, meta) = StoreManifest.pin(spark, root)
+    val buckets = bucketsFrom(spark, path, meta)
     val batch = StoreManifest.newBatchDirName(spark, root)
     postings(newDocs, idCol, textCol, buckets)
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/$batch")
     StoreManifest.publish(spark, root,
-      pinned ++ StoreManifest.listBatchFiles(spark, root, batch))
+      pinned ++ StoreManifest.listBatchFiles(spark, root, batch),
+      meta = Map(BucketsKey -> buckets.toString))
   }
 
   /** Exact-phrase search served from the written index, reading only
@@ -85,14 +94,16 @@ object PostingStore {
     val qToks = phrase.toLowerCase.split(" ").toSeq
     require(qToks.nonEmpty && qToks.forall(_.nonEmpty),
       "phrase must contain at least one non-empty token")
-    val buckets = storedBuckets(spark, path)
+    // ONE pin supplies modulus and files from the same version
+    val (pinned, meta) = StoreManifest.pin(spark, s"$path/postings")
+    val buckets = bucketsFrom(spark, path, meta)
     val q = qToks.zipWithIndex.toDF("tok", "qpos")
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets.toLong)).cast("int"))
     // bounded driver-side bucket list (≤ m values) -> literal isin ->
     // static partition pruning on the postings scan
     val cells = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idx = StoreManifest.readPinned(spark, s"$path/postings")
+    val idx = StoreManifest.readFiles(spark, s"$path/postings", pinned)
       .filter(col("bucket").isin(cells: _*))
       .select(col("doc_id"), col("pos"), col("tok"))
     Extensions21.alignChain(idx, q.drop("bucket"), qToks.length)

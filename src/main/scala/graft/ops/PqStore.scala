@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * nothing else:
   *
   * {{{
-  *   path/codes/_manifest/           StoreManifest commit log (version → file list)
+  *   path/codes/_manifest/           StoreManifest commit log (version → file list + meta)
   *   path/codes/batch=V-R/cell=N/    (vec_id, m, k)    partitionBy(cell), immutable batches
-  *   path/centroids               (cell, cvec)      coarse quantizer, quantized space
-  *   path/codebook                ModelStore PQ artifact (geometry-checked load)
+  *   path/centroids-R             (cell, cvec)      coarse quantizer, versioned, named by meta
+  *   path/codebook-R              ModelStore PQ artifact, versioned, named by meta
   * }}}
   *
   * Serving reads ONLY the probed cell directories: the probed cell set
@@ -32,10 +32,21 @@ import org.apache.spark.sql.functions._
   */
 object PqStore {
 
+  /** Manifest meta keys naming the versioned quantizer artifacts a given
+    * codes version was encoded under (dirs relative to the store root).
+    */
+  private val CentroidsKey = "centroids"
+  private val CodebookKey = "codebook"
+
   /** Quantize, assign each vector to its coarse cell, PQ-encode, and
-    * write codes partitioned by cell with the centroid + codebook
-    * sidecars. Coarse centroids are the first `nCells` vectors in id
-    * order (the x16/x102 deterministic-seeding convention).
+    * write codes partitioned by cell. Coarse centroids are the first
+    * `nCells` vectors in id order (the x16/x102 deterministic-seeding
+    * convention). The centroid table and PQ codebook land FIRST in
+    * fresh versioned dirs; the codes manifest commit names both in its
+    * meta — one rename publishes a consistent (centroids, codebook,
+    * codes) triple, so a reader pinned to ANY version decodes with
+    * exactly the quantizers that version was encoded under (a mutable
+    * sidecar overwritten around the publish can tear against it).
     */
   def writeIndex(
       vectors: DataFrame, idCol: String, vecCol: String,
@@ -48,6 +59,13 @@ object PqStore {
     val cents = qv.orderBy(col("vec_id")).limit(nCells).collect()
       .map(_.getSeq[Long](1)).toSeq
     require(cents.length == nCells, s"PqStore: need at least $nCells vectors")
+    val rand = java.util.UUID.randomUUID.toString.take(8)
+    val centDir = s"centroids-$rand"
+    val bookDir = s"codebook-$rand"
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "cvec")
+      .coalesce(1).write.parquet(s"$path/$centDir")
+    ModelStore.writePqCodebook(spark, s"$path/$bookDir", codebook)
     val cl = Extensions31.centsLit(cents)
     val assigned = qv.select(col("vec_id"), Extensions31.cellExpr(cl, nCells).as("cell"))
     val codesRoot = s"$path/codes"
@@ -56,17 +74,26 @@ object PqStore {
       .join(assigned, Seq("vec_id"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$codesRoot/$batch")
     StoreManifest.publish(spark, codesRoot,
-      StoreManifest.listBatchFiles(spark, codesRoot, batch))
-    cents.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("cell", "cvec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    ModelStore.writePqCodebook(spark, s"$path/codebook", codebook)
+      StoreManifest.listBatchFiles(spark, codesRoot, batch),
+      meta = Map(CentroidsKey -> centDir, CodebookKey -> bookDir))
   }
 
-  /** The stored coarse centroids, cell-ordered (bounded: nCells rows). */
-  private def storedCents(spark: SparkSession, path: String): Seq[Seq[Long]] =
-    spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
+  /** The pinned version's coarse centroids, cell-ordered (bounded:
+    * nCells rows). Legacy stores (no meta) fall back to the classic
+    * mutable `centroids` sidecar path.
+    */
+  private def centsFrom(
+      spark: SparkSession, path: String, meta: Map[String, String]): Seq[Seq[Long]] =
+    spark.read.parquet(meta.get(CentroidsKey)
+        .map(d => s"$path/$d").getOrElse(s"$path/centroids"))
+      .orderBy(col("cell"))
       .collect().map(_.getSeq[Long](1)).toSeq
+
+  private def codebookFrom(
+      spark: SparkSession, path: String,
+      meta: Map[String, String]): Array[Array[Array[Long]]] =
+    ModelStore.loadPqCodebook(spark, meta.get(CodebookKey)
+      .map(d => s"$path/$d").getOrElse(s"$path/codebook"))
 
   /** Append new vectors: encode against the STORED codebook and assign
     * against the STORED centroids (old and new rows must agree on the
@@ -77,20 +104,20 @@ object PqStore {
   def appendToIndex(
       newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newVecs.sparkSession
-    val codebook = ModelStore.loadPqCodebook(spark, s"$path/codebook")
-    val cents = storedCents(spark, path)
+    val codesRoot = s"$path/codes"
+    val (pinned, meta) = StoreManifest.pin(spark, codesRoot)
+    val codebook = codebookFrom(spark, path, meta)
+    val cents = centsFrom(spark, path, meta)
     val cl = Extensions31.centsLit(cents)
     val qv = Extensions27.quantized(newVecs, idCol, vecCol)
     val assigned = qv.select(col("vec_id"),
       Extensions31.cellExpr(cl, cents.length).as("cell"))
-    val codesRoot = s"$path/codes"
-    val pinned = StoreManifest.files(spark, codesRoot)
     val batch = StoreManifest.newBatchDirName(spark, codesRoot)
     Extensions27.pqEncode(newVecs, idCol, vecCol, codebook)
       .join(assigned, Seq("vec_id"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$codesRoot/$batch")
     StoreManifest.publish(spark, codesRoot,
-      pinned ++ StoreManifest.listBatchFiles(spark, codesRoot, batch))
+      pinned ++ StoreManifest.listBatchFiles(spark, codesRoot, batch), meta = meta)
   }
 
   /** Compact removed vectors OUT of the index (the [[IvfStore.compactIndex]]
@@ -106,7 +133,9 @@ object PqStore {
   def compactIndex(
       removeVecs: DataFrame, idCol: String, vecCol: String, path: String): Set[Int] = {
     val spark = removeVecs.sparkSession
-    val cents = storedCents(spark, path)
+    val codesRoot = s"$path/codes"
+    val (pinned, meta) = StoreManifest.pin(spark, codesRoot)
+    val cents = centsFrom(spark, path, meta)
     val cl = Extensions31.centsLit(cents)
     val assigned = Extensions.materialized(
       Extensions27.quantized(removeVecs, idCol, vecCol)
@@ -115,8 +144,6 @@ object PqStore {
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty) return Set.empty
     val cellSet = cells.map(_.toString).toSet
-    val codesRoot = s"$path/codes"
-    val pinned = StoreManifest.files(spark, codesRoot)
     val removeIds = broadcast(assigned.select(col("vec_id")).distinct())
     val kept = StoreManifest.readFiles(spark, codesRoot, pinned)
       .filter(col("cell").isin(cells: _*))
@@ -127,7 +154,8 @@ object PqStore {
     val untouched = pinned.filterNot(f =>
       StoreManifest.partValueOf(f, "cell").exists(cellSet.contains))
     StoreManifest.publish(spark, codesRoot,
-      untouched ++ StoreManifest.listBatchFiles(spark, codesRoot, batch))
+      untouched ++ StoreManifest.listBatchFiles(spark, codesRoot, batch),
+      meta = meta)
     cells.toSet
   }
 
@@ -186,8 +214,12 @@ object PqStore {
       spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 5,
       probes: Int = Extensions31.IvfPqProbes): DataFrame = {
-    val codebook = ModelStore.loadPqCodebook(spark, s"$path/codebook")
-    val cents = storedCents(spark, path)
+    // ONE pin supplies codebook, centroids, AND files — a concurrent
+    // writeIndex can no longer hand this query one version's codes
+    // under another version's quantizers
+    val (pinned, meta) = StoreManifest.pin(spark, s"$path/codes")
+    val codebook = codebookFrom(spark, path, meta)
+    val cents = centsFrom(spark, path, meta)
     val cl = Extensions31.centsLit(cents)
     val qq = Extensions.materialized(
       Extensions27.quantized(queries, idCol, vecCol))
@@ -195,9 +227,9 @@ object PqStore {
     // bounded driver-side cell list -> literal isin -> static partition pruning
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    // one manifest read pins the snapshot; the isin still prunes to the
-    // probed cells' files (PartitionFilters, asserted in PqStoreSpec)
-    val codes = StoreManifest.readPinned(spark, s"$path/codes")
+    // the isin still prunes to the probed cells' files (PartitionFilters,
+    // asserted in PqStoreSpec)
+    val codes = StoreManifest.readFiles(spark, s"$path/codes", pinned)
       .filter(col("cell").isin(cells: _*))
     Extensions31.adcRank(
       probed.join(codes, Seq("cell")).select(col("q_id"), col("vec_id"), col("m"), col("k")),

@@ -55,34 +55,33 @@ object SignatureStore {
       .withColumn("cell", cellOf(col("band"), col("bh")))
   }
 
-  /** The band count a store was built with — persisted in a `_geometry`
-    * sidecar at write time (the PostingStore modulus discipline: probing
-    * or appending under a different geometry would scatter band keys
-    * across two layouts and silently lose matches). Absent sidecar —
-    * a pre-geometry store — reads as the classic 8.
-    */
-  private[ops] def storedBands(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path, "_geometry")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Extensions.LshBands
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    }
-  }
+  /** The manifest meta key carrying the band geometry. */
+  private val BandsKey = "bands"
 
-  private def writeGeometry(spark: SparkSession, path: String, bands: Int): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(root)
-    val tmp = new org.apache.hadoop.fs.Path(root, "._geometry.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bands.toString.getBytes("UTF-8")) finally out.close()
-    val dest = new org.apache.hadoop.fs.Path(root, "_geometry")
-    fs.delete(dest, false)
-    require(fs.rename(tmp, dest), s"failed to commit _geometry at $dest")
-  }
+  /** The band count a store was built with — committed INSIDE the
+    * manifest version at write time (the PostingStore modulus
+    * discipline: probing or appending under a different geometry would
+    * scatter band keys across two layouts and silently lose matches).
+    * Geometry and file list commit in ONE rename, so no failure window
+    * can publish one without the other. Legacy fallbacks, in order: a
+    * `_geometry` sidecar (stores written when geometry lived there),
+    * then the classic 8 (pre-geometry stores).
+    */
+  private[ops] def storedBands(spark: SparkSession, path: String): Int =
+    bandsFrom(spark, path, StoreManifest.meta(spark, path))
+
+  private def bandsFrom(
+      spark: SparkSession, path: String, meta: Map[String, String]): Int =
+    meta.get(BandsKey).map(_.toInt).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(path, "_geometry")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Extensions.LshBands
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }
+    }
 
   /** Write (or overwrite) the store from a signature table. The
     * repartition on cell keeps each cell's rows in one task — without it
@@ -93,31 +92,40 @@ object SignatureStore {
     * All writes commit through [[StoreManifest]]: data lands in a fresh
     * batch dir, the manifest rename publishes it atomically — a reader
     * concurrent with ANY write (append or compaction) sees the pre- or
-    * post-state, never a torn mix.
+    * post-state, never a torn mix. The band geometry is part of the
+    * SAME commit (`#bands=` manifest meta): an overwrite with a new
+    * band count that fails before publish leaves the old (geometry,
+    * postings) pair fully intact — there is no sidecar written ahead of
+    * the data for a crash to orphan.
     */
   def write(sigs: DataFrame, path: String,
       bands: Int = Extensions.LshBands): Unit = {
     val spark = sigs.sparkSession
-    writeGeometry(spark, path, bands)
     val batch = StoreManifest.newBatchDirName(spark, path)
     postings(sigs, bands).repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/$batch")
     StoreManifest.publish(spark, path,
-      StoreManifest.listBatchFiles(spark, path, batch))
+      StoreManifest.listBatchFiles(spark, path, batch),
+      meta = Map(BandsKey -> bands.toString))
   }
 
   /** Append a new batch's signatures (after its dedup verdict kept them)
     * — only the touched cells gain files; the commit is the manifest
-    * rename (old list + the new batch's files).
+    * rename (old list + the new batch's files, geometry carried
+    * forward). One [[StoreManifest.pin]] supplies BOTH the file list
+    * and the geometry, so the new postings are keyed under exactly the
+    * geometry of the version they extend.
     */
   def append(sigs: DataFrame, path: String): Unit = {
     val spark = sigs.sparkSession
-    val pinned = StoreManifest.files(spark, path)
+    val (pinned, meta) = StoreManifest.pin(spark, path)
+    val bands = bandsFrom(spark, path, meta)
     val batch = StoreManifest.newBatchDirName(spark, path)
-    postings(sigs, storedBands(spark, path)).repartition(col("cell"))
+    postings(sigs, bands).repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/$batch")
     StoreManifest.publish(spark, path,
-      pinned ++ StoreManifest.listBatchFiles(spark, path, batch))
+      pinned ++ StoreManifest.listBatchFiles(spark, path, batch),
+      meta = Map(BandsKey -> bands.toString))
   }
 
   /** Compact deleted documents OUT of the store — the missing half of
@@ -139,13 +147,13 @@ object SignatureStore {
     * StoreManifestSpec races this). Returns the touched cell ids.
     */
   def compact(spark: SparkSession, path: String, removeSigs: DataFrame): Set[Int] = {
+    val (pinned, meta) = StoreManifest.pin(spark, path)
     val posts = Extensions.materialized(
-      postings(removeSigs, storedBands(spark, path)))
+      postings(removeSigs, bandsFrom(spark, path, meta)))
     val cells = posts.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty) return Set.empty
     val cellSet = cells.map(_.toString).toSet
-    val pinned = StoreManifest.files(spark, path)
     val removeIds = broadcast(removeSigs.select(col("doc_id")).distinct())
     val kept = StoreManifest.readFiles(spark, path, pinned)
       .filter(col("cell").isin(cells: _*))
@@ -156,7 +164,8 @@ object SignatureStore {
     val untouched = pinned.filterNot(f =>
       StoreManifest.partValueOf(f, "cell").exists(cellSet.contains))
     StoreManifest.publish(spark, path,
-      untouched ++ StoreManifest.listBatchFiles(spark, path, batch))
+      untouched ++ StoreManifest.listBatchFiles(spark, path, batch),
+      meta = Map(BandsKey -> bandsFrom(spark, path, meta).toString))
     cells.toSet
   }
 
@@ -171,12 +180,15 @@ object SignatureStore {
   def dedupAgainstStore(
       spark: SparkSession, path: String, batchSigs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
+    // ONE pin supplies both geometry and files: a writer publishing a
+    // re-banded store between a geometry read and a file read would
+    // otherwise hand this query new-geometry band keys over old files
+    val (pinned, meta) = StoreManifest.pin(spark, path)
     val batchPosts = Extensions.materialized(
-      postings(batchSigs, storedBands(spark, path)))
+      postings(batchSigs, bandsFrom(spark, path, meta)))
     val cells = batchPosts.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    // readPinned: one manifest read pins the snapshot for the whole query
-    val store = StoreManifest.readPinned(spark, path)
+    val store = StoreManifest.readFiles(spark, path, pinned)
       .filter(col("cell").isin(cells: _*))
     val matches = (0 until Extensions.MinhashPerms)
       .map(i => when(col(s"c.h$i") === col(s"b.h$i"), 1L).otherwise(0L))

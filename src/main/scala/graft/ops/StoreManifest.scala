@@ -45,6 +45,37 @@ object StoreManifest {
 
   val ManifestDir = "_manifest"
   private val VersionRe = """v-(\d{12})\.list""".r
+  private val MetaPrefix = "#"
+
+  /** The batch directory a pre-manifest store's files migrate into when
+    * [[adoptLegacy]] promotes it — DETERMINISTIC (no random suffix) so a
+    * crashed adoption retries into the same directory and converges.
+    */
+  val LegacyBatchDir = "batch=000000-legacy"
+
+  /** Files younger than this are exempt from [[vacuum]] by default —
+    * Delta's `deletedFileRetentionDuration` discipline (7 days): a
+    * reader pinned to a just-superseded version keeps its files until
+    * the retention clock passes, so "run vacuum only after readers
+    * drain" is enforced by time, not operator care.
+    */
+  val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** The commit primitive: move `tmp` to `dest`, returning false if the
+    * move did not take effect (e.g. `dest` already exists). On HDFS and
+    * local filesystems `FileSystem.rename` IS this primitive — atomic
+    * and failing on an existing destination — which is what makes the
+    * write-last manifest rename a real commit point. Bare object stores
+    * (S3 without a consistency layer) implement rename as copy+delete,
+    * which is NOT atomic: deploying there requires swapping in a
+    * conditional-put implementation (S3 `If-None-Match: *`, GCS
+    * `x-goods-if-generation-match: 0`) or fronting with a coordination
+    * layer (S3Guard/DynamoDB, as Delta's S3 LogStore does). This var is
+    * that abstraction point; StoreManifestSpec injects a failing put
+    * through it to prove a failed commit never becomes current.
+    */
+  private[graft] var commitPut: (FileSystem, Path, Path) => Boolean =
+    (fs, tmp, dest) => fs.rename(tmp, dest)
 
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -68,7 +99,26 @@ object StoreManifest {
     * reader's snapshot pin: hold the list, and [[readFiles]] serves that
     * exact state regardless of later commits.
     */
-  def filesAt(spark: SparkSession, root: String, version: Long): Seq[String] = {
+  def filesAt(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifestLines(spark, root, version).filterNot(_.startsWith(MetaPrefix))
+
+  /** The `#key=value` metadata committed WITH `version`'s file list —
+    * store geometry (LSH bands, bucket moduli, centroid-table pointers)
+    * lives here so a pinned read sees a CONSISTENT (geometry, files)
+    * pair: geometry in a separately-written sidecar can tear against
+    * the manifest (written before → a failed publish leaves new
+    * geometry over old postings; written after → the reverse), which
+    * silently mis-keys every subsequent probe. One rename commits both.
+    */
+  def metaAt(spark: SparkSession, root: String, version: Long): Map[String, String] =
+    manifestLines(spark, root, version).filter(_.startsWith(MetaPrefix)).map { l =>
+      val body = l.stripPrefix(MetaPrefix)
+      val eq = body.indexOf('=')
+      require(eq > 0, s"StoreManifest: malformed meta line '$l' in v$version at $root")
+      body.substring(0, eq) -> body.substring(eq + 1)
+    }.toMap
+
+  private def manifestLines(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val (fs, rootP) = fsOf(spark, root)
     val mf = new Path(new Path(rootP, ManifestDir), f"v-$version%012d.list")
     val in = fs.open(mf)
@@ -77,13 +127,84 @@ object StoreManifest {
     finally in.close()
   }
 
-  /** Current version's file list — one metadata read; the atomic pin. */
+  /** Current version's file list — one metadata read; the atomic pin.
+    * A pre-manifest store (data written before the manifest layer, or
+    * by a plain parquet writer) is ADOPTED on first access: its files
+    * move into [[LegacyBatchDir]] (rename — a metadata op, no data
+    * copied) and become committed version 1, so every legacy store
+    * keeps working instead of failing on the missing `_manifest`.
+    */
   def files(spark: SparkSession, root: String): Seq[String] =
-    currentVersion(spark, root) match {
+    currentVersion(spark, root).orElse(adoptLegacy(spark, root)) match {
       case Some(v) => filesAt(spark, root, v)
       case None => throw new IllegalStateException(
         s"StoreManifest: no committed version under $root/$ManifestDir")
     }
+
+  /** Current version's committed metadata (empty for adopted legacy
+    * stores — their geometry sidecars remain the fallback, read by the
+    * store that owns them).
+    */
+  def meta(spark: SparkSession, root: String): Map[String, String] =
+    currentVersion(spark, root).orElse(adoptLegacy(spark, root))
+      .map(metaAt(spark, root, _)).getOrElse(Map.empty)
+
+  /** One consistent (files, meta) pin — a single manifest read, so the
+    * geometry and the file list are guaranteed to be the SAME version
+    * even when a writer publishes between two calls.
+    */
+  def pin(spark: SparkSession, root: String): (Seq[String], Map[String, String]) =
+    currentVersion(spark, root).orElse(adoptLegacy(spark, root)) match {
+      case Some(v) => (filesAt(spark, root, v), metaAt(spark, root, v))
+      case None => throw new IllegalStateException(
+        s"StoreManifest: no committed version under $root/$ManifestDir")
+    }
+
+  /** [[pin]] for append-creates-the-store call sites: an absent or empty
+    * store pins as (no files, no meta) instead of failing — the first
+    * append's publish then commits version 1.
+    */
+  def pinOrEmpty(spark: SparkSession, root: String): (Seq[String], Map[String, String]) =
+    currentVersion(spark, root).orElse(adoptLegacy(spark, root)) match {
+      case Some(v) => (filesAt(spark, root, v), metaAt(spark, root, v))
+      case None => (Nil, Map.empty)
+    }
+
+  /** Promote a pre-manifest store: move every top-level data entry
+    * (anything not starting with `_`/`.`) under [[LegacyBatchDir]] and
+    * publish the result as version 1. Renames are per-entry metadata
+    * ops — O(top-level entries), no data copied — and the target dir is
+    * deterministic, so a crash mid-adoption retries into the same
+    * layout and the final publish is still one atomic rename. Run under
+    * the store's single-writer discipline (a reader racing the
+    * adoption itself is the one window the manifest cannot cover —
+    * after adoption, never again). Returns the published version, or
+    * None when the directory holds no data to adopt.
+    */
+  def adoptLegacy(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    if (!fs.exists(rootP)) return None
+    currentVersion(spark, root) match {
+      case Some(v) => return Some(v) // already manifest-backed
+      case None =>
+    }
+    val legacy = new Path(rootP, LegacyBatchDir)
+    val entries = fs.listStatus(rootP).filter { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && n != LegacyBatchDir
+    }
+    if (entries.nonEmpty) fs.mkdirs(legacy)
+    entries.foreach { e =>
+      require(fs.rename(e.getPath, new Path(legacy, e.getPath.getName)),
+        s"StoreManifest: legacy adoption failed moving ${e.getPath} under $legacy")
+    }
+    if (!fs.exists(legacy)) None
+    else {
+      val adopted = listBatchFiles(spark, root, LegacyBatchDir)
+      if (adopted.isEmpty) None
+      else Some(publish(spark, root, adopted))
+    }
+  }
 
   /** A fresh, unique batch directory name for the NEXT commit. Unique by
     * construction (random suffix), so a crashed write leaves only an
@@ -122,11 +243,20 @@ object StoreManifest {
     out.toSeq
   }
 
-  /** Commit `files` as the next version: write the list to a tmp file,
-    * rename into place (write-last — the rename IS the commit point),
-    * return the published version.
+  /** Commit `files` (+ optional `#k=v` metadata — geometry, moduli,
+    * sidecar-table pointers) as the next version: write the list to a
+    * tmp file, move it into place via [[commitPut]] (write-last — the
+    * move IS the commit point), return the published version. A failed
+    * put raises and leaves the previous version current: the tmp file
+    * is an orphan no reader ever resolves, so there is no torn state to
+    * observe (StoreManifestSpec injects the failure to prove it).
     */
-  def publish(spark: SparkSession, root: String, files: Seq[String]): Long = {
+  def publish(spark: SparkSession, root: String, files: Seq[String],
+      meta: Map[String, String] = Map.empty): Long = {
+    meta.foreach { case (k, v) =>
+      require(!k.contains('=') && !k.contains('\n') && !v.contains('\n'),
+        s"StoreManifest: meta key/value must be line-safe, got '$k'='$v'")
+    }
     val (fs, rootP) = fsOf(spark, root)
     val mdir = new Path(rootP, ManifestDir)
     fs.mkdirs(mdir)
@@ -135,11 +265,12 @@ object StoreManifest {
     val tmp = new Path(mdir,
       s".tmp-$v-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, x) => s"$MetaPrefix$k=$x" }
+    try out.write(((metaLines ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val dest = new Path(mdir, f"v-$v%012d.list")
-    require(fs.rename(tmp, dest),
-      s"StoreManifest: commit rename failed for $dest (concurrent writer?)")
+    require(commitPut(fs, tmp, dest),
+      s"StoreManifest: commit put failed for $dest (concurrent writer?)")
     v
   }
 
@@ -163,11 +294,23 @@ object StoreManifest {
 
   /** Delete data files referenced by NO surviving manifest (keeping the
     * newest `keepVersions` manifests), plus emptied batch dirs and the
-    * dropped manifests themselves. Returns deleted relative paths. Run
-    * only after in-flight readers of dropped versions have drained.
+    * dropped manifests themselves. Returns deleted relative paths.
+    *
+    * Retention guard: files younger than `retentionMs` are NEVER
+    * deleted, whatever references them — a reader pinned to a version
+    * superseded five minutes ago keeps its files until the clock
+    * passes (Delta's `deletedFileRetentionDuration` discipline). The
+    * default is 7 days; pass `retentionMs = 0` only where no concurrent
+    * reader can exist (tests, single-process batch jobs). A skipped
+    * young file stays reclaimable: the next vacuum after the clock
+    * passes deletes it, whether or not its manifest is already gone
+    * (the pin is the file LIST, not the manifest file).
     */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Seq[String] = {
-    require(keepVersions >= 1)
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+      retentionMs: Long = DefaultRetentionMs): Seq[String] = {
+    require(keepVersions >= 1,
+      "vacuum must keep at least the current version (keepVersions >= 1)")
+    require(retentionMs >= 0L)
     val (fs, rootP) = fsOf(spark, root)
     val mdir = new Path(rootP, ManifestDir)
     if (!fs.exists(mdir)) return Nil
@@ -175,9 +318,11 @@ object StoreManifest {
       case VersionRe(v) => v.toLong
     }.toSeq.sorted
     if (versions.isEmpty) return Nil
+    val cutoff = System.currentTimeMillis() - retentionMs
     val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepVersions))
     val referenced = keep.flatMap(v => filesAt(spark, root, v)).toSet
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    var youngSkipped = false
     val rootUri = fs.makeQualified(rootP).toUri.getPath
     fs.listStatus(rootP).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("batch=")).foreach { b =>
@@ -187,7 +332,10 @@ object StoreManifest {
         val f = it.next()
         if (f.isFile) {
           val rel = f.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-          if (!referenced.contains(rel)) { toDelete += f.getPath; deleted += rel }
+          if (!referenced.contains(rel)) {
+            if (f.getModificationTime > cutoff) youngSkipped = true
+            else { toDelete += f.getPath; deleted += rel }
+          }
         }
       }
       toDelete.foreach(fs.delete(_, false))
@@ -197,7 +345,12 @@ object StoreManifest {
       while (remaining.hasNext) { remaining.next(); any = true }
       if (!any) fs.delete(b.getPath, true)
     }
-    drop.foreach(v => fs.delete(new Path(mdir, f"v-$v%012d.list"), false))
+    // a dropped manifest is only removed once its files are actually
+    // reclaimable — inside retention the version stays listable so a
+    // pinned reader (or an operator inspecting history) can still
+    // resolve it
+    if (!youngSkipped)
+      drop.foreach(v => fs.delete(new Path(mdir, f"v-$v%012d.list"), false))
     deleted.toSeq
   }
 

@@ -230,7 +230,7 @@ class SignatureStoreSpec extends SparkSpec {
     assert(graft.ops.StoreManifest.files(spark, root).isEmpty,
       "emptied cells must drop out of the manifest entirely")
     // vacuum reclaims the superseded version's data files
-    val deleted = graft.ops.StoreManifest.vacuum(spark, root)
+    val deleted = graft.ops.StoreManifest.vacuum(spark, root, retentionMs = 0L)
     assert(deleted.nonEmpty, "vacuum must reclaim the pre-compaction files")
     val batchDirs = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))

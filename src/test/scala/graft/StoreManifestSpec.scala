@@ -109,6 +109,122 @@ class StoreManifestSpec extends SparkSpec {
     assert(StoreManifest.compactSmallPartitions(spark, root, "cell").isEmpty)
   }
 
+  test("a failed commit put never becomes current (S3-semantics injection)") {
+    val root = tmpDir("manifest_failput")
+    SignatureStore.write(sigs(col("doc_id") < 300), root)
+    val batch = sigs(col("doc_id") >= 480)
+    val preVersion = StoreManifest.currentVersion(spark, root).get
+    val preFiles = StoreManifest.files(spark, root)
+    val preVerdicts = verdictSet(root, batch)
+    // inject the object-store failure mode: the conditional put does not
+    // take effect (copy+delete rename lost the race / If-None-Match 412)
+    val realPut = StoreManifest.commitPut
+    StoreManifest.commitPut = (_, _, _) => false
+    try {
+      // an overwrite write with NEW geometry — the exact scenario where a
+      // torn commit would leave new geometry over old postings
+      val thrown = intercept[IllegalArgumentException] {
+        SignatureStore.write(sigs(col("doc_id") < 300), root, bands = 16)
+      }
+      assert(thrown.getMessage.contains("commit put failed"))
+    } finally StoreManifest.commitPut = realPut
+    // nothing published: version, file list, geometry, and every answer
+    // are exactly the pre-failure state
+    assert(StoreManifest.currentVersion(spark, root).get == preVersion,
+      "a failed put must not advance the version")
+    assert(StoreManifest.files(spark, root) == preFiles,
+      "a failed put must not change the pinned file list")
+    assert(verdictSet(root, batch) == preVerdicts,
+      "a failed put must not change a single answer")
+    // and a retry with the real put succeeds cleanly
+    SignatureStore.write(sigs(col("doc_id") < 300), root, bands = 16)
+    assert(StoreManifest.meta(spark, root)("bands") == "16")
+  }
+
+  test("geometry commits atomically with the file list (one pin, one version)") {
+    val root = tmpDir("manifest_geom")
+    SignatureStore.write(sigs(col("doc_id") < 200), root, bands = 8)
+    assert(StoreManifest.meta(spark, root)("bands") == "8")
+    val (files8, meta8) = StoreManifest.pin(spark, root)
+    // re-band the store: a fresh pin sees (16-band files, 16-band meta);
+    // the OLD pin still pairs the 8-band files with the 8-band geometry
+    SignatureStore.write(sigs(col("doc_id") < 200), root, bands = 16)
+    val (files16, meta16) = StoreManifest.pin(spark, root)
+    assert(meta16("bands") == "16" && meta8("bands") == "8")
+    assert(files8.toSet.intersect(files16.toSet).isEmpty,
+      "a re-band write must replace every data file")
+    // both snapshots stay readable under their own geometry
+    assert(StoreManifest.readFiles(spark, root, files8).count() > 0)
+    assert(StoreManifest.readFiles(spark, root, files16).count() > 0)
+    // appends key under the pinned version's geometry and carry it forward
+    SignatureStore.append(sigs(col("doc_id") >= 200 && col("doc_id") < 250), root)
+    assert(StoreManifest.meta(spark, root)("bands") == "16")
+  }
+
+  test("a pre-manifest store is adopted on first access and then appendable") {
+    val root = tmpDir("manifest_legacy")
+    // simulate a legacy store: cell-partitioned parquet directly under
+    // root (no _manifest), geometry in the old _geometry sidecar
+    import org.apache.spark.sql.functions.{lit => flit}
+    Tables.load(spark, sf0001, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 4).cast("int").as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!StoreManifest.hasManifest(spark, root))
+    // first manifest access adopts: files move under the legacy batch
+    // dir and version 1 publishes
+    val adopted = StoreManifest.files(spark, root)
+    assert(adopted.nonEmpty &&
+      adopted.forall(_.startsWith(StoreManifest.LegacyBatchDir)),
+      s"adoption must move every data file under the legacy batch dir: $adopted")
+    assert(StoreManifest.currentVersion(spark, root).contains(1L))
+    val rows = StoreManifest.readPinned(spark, root)
+    assert(rows.count() == 50, "every legacy row survives adoption")
+    assert(rows.columns.contains("cell"),
+      "partition columns survive the legacy move")
+    // adoption is idempotent: a second access re-reads, never re-adopts
+    assert(StoreManifest.files(spark, root) == adopted)
+    // and the adopted store accepts manifest-committed appends
+    val batch2 = "batch=000002-test"
+    Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") >= 50 && col("doc_id") < 60)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 4).cast("int").as("cell"))
+      .write.partitionBy("cell").parquet(s"$root/$batch2")
+    StoreManifest.publish(spark, root,
+      adopted ++ StoreManifest.listBatchFiles(spark, root, batch2))
+    assert(StoreManifest.readPinned(spark, root).count() == 60)
+  }
+
+  test("vacuum honors the retention clock: young files survive, aged files reclaim") {
+    val root = tmpDir("manifest_retention")
+    SignatureStore.write(sigs(col("doc_id") < 200), root)
+    val pin = StoreManifest.files(spark, root)
+    SignatureStore.compact(spark, root, sigs(col("doc_id") < 100))
+    // everything is seconds old: a default-retention vacuum must delete
+    // NOTHING, and the superseded pin must still read
+    assert(StoreManifest.vacuum(spark, root).isEmpty,
+      "files inside the retention window must survive vacuum")
+    val pinnedRows = StoreManifest.readFiles(spark, root, pin).count()
+    assert(pinnedRows > 0, "a pinned reader inside retention still reads")
+    // age every data file past the clock, then vacuum reclaims
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 8L * 24 * 60 * 60 * 1000
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile) fs.setTimes(f.getPath, old, -1)
+    }
+    val deleted = StoreManifest.vacuum(spark, root)
+    assert(deleted.nonEmpty, "aged unreferenced files must reclaim")
+    // the live snapshot is untouched either way
+    assert(StoreManifest.readPinned(spark, root).count() > 0)
+    intercept[IllegalArgumentException] {
+      StoreManifest.vacuum(spark, root, keepVersions = 0)
+    }
+  }
+
   test("vacuum keeps the live version readable and removes only superseded files") {
     val root = tmpDir("manifest_vacuum")
     SignatureStore.write(sigs(col("doc_id") < 300), root)
@@ -116,7 +232,7 @@ class StoreManifestSpec extends SparkSpec {
     SignatureStore.compact(spark, root, sigs(col("doc_id") < 100))
     val liveBefore = StoreManifest.readPinned(spark, root)
       .select("doc_id").distinct().count()
-    val deleted = StoreManifest.vacuum(spark, root)
+    val deleted = StoreManifest.vacuum(spark, root, retentionMs = 0L)
     assert(deleted.nonEmpty, "three versions must leave something to reclaim")
     val liveAfter = StoreManifest.readPinned(spark, root)
       .select("doc_id").distinct().count()
