@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * order assignment already paid), then a partitioned write. Reads are
   * pure sequential scans; the `ord` column stays in the data as the
   * resume cursor (skip rows with ord <= checkpoint after a restart).
+  *
+  * All writes commit through [[StoreManifest]] (fresh batch dir +
+  * write-last rename): a trainer mid-epoch keeps its pinned corpus
+  * across a re-materialization, and a resume after restart reads a
+  * committed pack, never a torn one.
   */
 object TrainStore {
 
@@ -25,12 +30,19 @@ object TrainStore {
   def writeShards(
       corpus: DataFrame, idCol: String, nShards: Int, path: String,
       columns: Seq[String]): Unit = {
+    val spark = corpus.sparkSession
     val ordered = Extensions6.trainingOrder(corpus, idCol, nShards)
       .select((Seq(idCol, "shard", "ord") ++ columns).distinct.map(col): _*)
+    // fresh batch dir + manifest rename: a trainer mid-epoch on the old
+    // corpus keeps its pinned files; the rewrite REPLACES the manifest
+    // list (a full materialization, not an append)
+    val batch = StoreManifest.newBatchDirName(spark, path)
     ordered
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"))
-      .write.partitionBy("shard").mode("overwrite").parquet(path)
+      .write.partitionBy("shard").parquet(s"$path/$batch")
+    StoreManifest.publish(spark, path,
+      StoreManifest.listBatchFiles(spark, path, batch))
   }
 
   /** Materialize PACKED shard directories from written shards: each
@@ -60,7 +72,7 @@ object TrainStore {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("ord"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val base = spark.read.parquet(shardsPath)
+    val base = StoreManifest.readPinned(spark, shardsPath)
       .select(col("shard"), col("ord"), split(col(textCol), " ").as("tk"))
       .withColumn("len", size(col("tk")).cast("long"))
       .withColumn("start", coalesce(sum(col("len")).over(w), lit(0L)))
@@ -74,6 +86,7 @@ object TrainStore {
           (least((col("chunk_ord") + 1L) * ctxLen - col("start"), col("len")) -
             greatest(col("chunk_ord") * ctxLen - col("start"), lit(0L))).cast("int"))
           .as("piece"))
+    val batch = StoreManifest.newBatchDirName(spark, outPath)
     pieces
       .groupBy(col("shard"), col("chunk_ord"))
       .agg(
@@ -84,16 +97,21 @@ object TrainStore {
         count(lit(1)).as("n_docs"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("chunk_ord"))
-      .write.partitionBy("shard").mode("overwrite").parquet(outPath)
+      .write.partitionBy("shard").parquet(s"$outPath/$batch")
+    StoreManifest.publish(spark, outPath,
+      StoreManifest.listBatchFiles(spark, outPath, batch))
   }
 
   /** Read one packed shard's batches in training order, resuming after
-    * `afterChunk` (the persisted cursor; -1 = from the start).
+    * `afterChunk` (the persisted cursor; -1 = from the start). The read
+    * pins the manifest snapshot — a re-pack racing a resuming trainer
+    * serves the old pack or the new pack, never a mix (which would
+    * corrupt the byte-equal-restart contract).
     */
   def readPackedShard(
       spark: SparkSession, path: String, shard: Long,
       afterChunk: Long = -1L): DataFrame =
-    spark.read.parquet(path)
+    StoreManifest.readPinned(spark, path)
       .filter(col("shard") === shard && col("chunk_ord") > afterChunk)
       .orderBy(col("chunk_ord"))
 
@@ -105,7 +123,7 @@ object TrainStore {
     * ord-sorted so the exchange feeds nearly-sorted runs.
     */
   def readShard(spark: SparkSession, path: String, shard: Long): DataFrame =
-    spark.read.parquet(path)
+    StoreManifest.readPinned(spark, path)
       .filter(col("shard") === shard)
       .orderBy(col("ord"))
 }

@@ -28,7 +28,7 @@ class EventLogIvmSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSet
 
   private def snapshot(dir: String) =
-    spark.read.parquet(dir).select("user_id", "n", "total", "lo", "hi")
+    EventLog.readSnapshot(spark, dir).select("user_id", "n", "total", "lo", "hi")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
 
@@ -49,18 +49,23 @@ class EventLogIvmSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivm2").toString + "/snap"
     EventLog.mergeAggregate(batch(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))),
       dir, "user_id", aggs, numBuckets = 4)
-    def filesOf(b: Int) = {
-      val d = new java.io.File(s"$dir/bucket=$b")
-      d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.lastModified()).toSet
-    }
+    import graft.ops.StoreManifest
+    def filesOf(b: Int): Set[String] =
+      StoreManifest.files(spark, dir)
+        .filter(f => StoreManifest.partValueOf(f, "bucket").contains(b.toString))
+        .toSet
     val before = (0 to 3).map(filesOf)
     val touched = EventLog.mergeAggregate(batch(Seq((5L, 9L))),
       dir, "user_id", aggs, numBuckets = 4)
     assert(touched == Set(1))
+    // untouched buckets keep the EXACT same immutable files in the new
+    // manifest version; the touched bucket's state moved to a new batch
     assert(filesOf(0) == before(0) && filesOf(2) == before(2) &&
       filesOf(3) == before(3), "buckets 0/2/3 must be byte-untouched")
     assert(filesOf(1) != before(1), "bucket 1 was rewritten")
+    before(1).foreach { old =>
+      assert(!filesOf(1).contains(old), "bucket 1's state must live in a fresh batch")
+    }
   }
 
   test("guards carry over: modulus mismatch refused, unknown op refused") {
@@ -90,7 +95,7 @@ class EventLogIvmSpec extends SparkSpec {
     EventLog.mergeSnapshot(Seq(
       graft.model.Event(1L, "PlayerUpdated", 2L, t0, """{"a":2}""")).toDF(),
       dir, numBuckets = 4)
-    val got = spark.read.parquet(dir).select("id", "version")
+    val got = EventLog.readSnapshot(spark, dir).select("id", "version")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }

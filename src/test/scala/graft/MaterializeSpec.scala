@@ -151,19 +151,26 @@ class MaterializeSpec extends SparkSpec {
     val w1 = EventLog.mergeSnapshot(initial.toDF(), dir, nb)
     assert(w1 == (1L to 6L).map(i => (i % nb).toInt).toSet)
     // incremental batch touches only id=3 (bucket 3)
+    import graft.ops.StoreManifest
+    val filesBefore = StoreManifest.files(spark, dir).toSet
     val w2 = EventLog.mergeSnapshot(
       Seq(Event(3, "PlayerUpdated", 1, ts(10), payload("New", "Name"))).toDF(), dir, nb)
     assert(w2 == Set(3), s"rewrote $w2")
-    // bucket files outside bucket=3 were not rewritten
-    val untouched = new java.io.File(s"$dir/bucket=1")
-    val touched = new java.io.File(s"$dir/bucket=3")
-    def newestMtime(d: java.io.File) = d.listFiles().map(_.lastModified()).max
-    assert(newestMtime(touched) >= newestMtime(untouched))
+    // files outside bucket=3 carry over into the new manifest untouched;
+    // bucket=3's state moved to a fresh immutable batch
+    val filesAfter = StoreManifest.files(spark, dir).toSet
+    def bucketOf(f: String) = StoreManifest.partValueOf(f, "bucket").get
+    assert(filesBefore.filter(bucketOf(_) != "3") ==
+      filesAfter.filter(bucketOf(_) != "3"),
+      "untouched buckets must keep their exact files across a merge")
+    assert(filesBefore.filter(bucketOf(_) == "3")
+      .intersect(filesAfter.filter(bucketOf(_) == "3")).isEmpty,
+      "the touched bucket's state must land in a fresh batch")
     // snapshot equals the from-scratch fold over the whole log
     val all = (initial :+ Event(3, "PlayerUpdated", 1, ts(10), payload("New", "Name"))).toDF()
     val expected = Materialize.latestState(all, "id", "version")
       .select($"id", $"version").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = spark.read.parquet(dir)
+    val got = EventLog.readSnapshot(spark, dir)
       .select($"id", $"version").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected, s"$got != $expected")
   }
@@ -199,71 +206,111 @@ class MaterializeSpec extends SparkSpec {
     // matching modulus still merges fine after the failed attempt
     EventLog.mergeSnapshot(
       Seq(Event(2, "PlayerCreated", 0, ts(1), payload("C", "D"))).toDF(), dir, numBuckets = 8)
-    assert(spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(EventLog.readSnapshot(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
-  test("mergeSnapshot crash windows: every torn state re-opens loudly or correctly") {
+  test("mergeSnapshot crash/legacy windows: every torn state re-opens loudly or correctly") {
     import spark.implicits._
+    import graft.ops.StoreManifest
     def ev(id: Long, v: Long) = Event(id, "PlayerCreated", v, ts(id), payload(s"F$id", s"L$id"))
+    // a LEGACY snapshot as the pre-manifest writer laid it down:
+    // bucket dirs at the root, modulus (maybe) in the _graft_buckets sidecar
+    def legacySnapshot(dir: String, events: Seq[Event], nb: Int,
+        sidecar: Option[String]): Unit = {
+      events.toDF()
+        .withColumn("bucket",
+          org.apache.spark.sql.functions.pmod($"id",
+            org.apache.spark.sql.functions.lit(nb)).cast("int"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+      sidecar.foreach(s =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_graft_buckets"), s))
+    }
 
-    // (a) crash AFTER the sidecar commit, BEFORE the data write: retry must
-    // see a first merge (sidecar alone is not evidence of data)
+    // (a) old-protocol crash artifact: a sidecar with NO data. The retry
+    // must see a first merge, not a corrupt snapshot.
     val a = tmpDir("crash_sidecar_only")
     new java.io.File(a).mkdirs()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(a, "_graft_buckets"), "8")
     EventLog.mergeSnapshot(Seq(ev(1, 0), ev(2, 0)).toDF(), a, numBuckets = 8)
-    assert(spark.read.parquet(a).select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(EventLog.readSnapshot(spark, a).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
 
-    // (b) crash between the temp write and the rename: a stale .tmp next to
-    // data whose sidecar is missing — re-open must either infer correctly
-    // (dirs bound the modulus) or refuse loudly; never silent corruption
-    val b = tmpDir("crash_tmp_left")
-    // id 7 -> bucket=7: a dir that PROVES the modulus exceeds 4 (see below)
-    EventLog.mergeSnapshot(Seq(ev(1, 0), ev(7, 0)).toDF(), b, numBuckets = 8)
-    java.nio.file.Files.delete(java.nio.file.Paths.get(b, "_graft_buckets"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(b, "_graft_buckets.tmp"), "8")
-    // same modulus: legacy inference path accepts (dirs all < 8) and merges
+    // (b) legacy snapshot whose sidecar was lost: the bucket dirs bound the
+    // modulus — same modulus adopts and merges; a smaller modulus against a
+    // dir that proves a larger one refuses loudly. Never silent corruption.
+    val b = tmpDir("crash_legacy_nosidecar")
+    legacySnapshot(b, Seq(ev(1, 0), ev(7, 0)), nb = 8, sidecar = None)
     EventLog.mergeSnapshot(Seq(ev(7, 1)).toDF(), b, numBuckets = 8)
-    val got = spark.read.parquet(b).groupBy("id")
+    val got = EventLog.readSnapshot(spark, b).groupBy("id")
       .agg(org.apache.spark.sql.functions.max("version").as("v"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 7L -> 1L))
-    // and the recovered merge re-committed a readable sidecar atomically
-    assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(b, "_graft_buckets")).trim == "8")
-    // smaller modulus against dirs that prove a larger one: loud refusal
-    java.nio.file.Files.delete(java.nio.file.Paths.get(b, "_graft_buckets"))
+    // the recovering merge committed the modulus into the manifest meta
+    assert(StoreManifest.meta(spark, b).get("buckets").contains("8"))
+    val b2 = tmpDir("crash_legacy_nosidecar_refuse")
+    legacySnapshot(b2, Seq(ev(7, 0)), nb = 8, sidecar = None)
     val eb = intercept[IllegalArgumentException] {
-      EventLog.mergeSnapshot(Seq(ev(2, 0)).toDF(), b, numBuckets = 4)
+      EventLog.mergeSnapshot(Seq(ev(2, 0)).toDF(), b2, numBuckets = 4)
     }
     assert(eb.getMessage.contains("no _graft_buckets sidecar"))
 
-    // (c) torn sidecar from a pre-atomic writer: loud, actionable error —
-    // not a bare NumberFormatException
+    // (c) legacy snapshot with a torn sidecar (pre-atomic writer): loud,
+    // actionable error — not a bare NumberFormatException
     val c = tmpDir("crash_torn_sidecar")
-    EventLog.mergeSnapshot(Seq(ev(1, 0)).toDF(), c, numBuckets = 8)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(c, "_graft_buckets"), "")
+    legacySnapshot(c, Seq(ev(1, 0)), nb = 8, sidecar = Some(""))
     val ec = intercept[IllegalArgumentException] {
       EventLog.mergeSnapshot(Seq(ev(2, 0)).toDF(), c, numBuckets = 8)
     }
     assert(ec.getMessage.contains("unreadable _graft_buckets"))
+
+    // (d) the manifest protocol's ONLY crash window: a batch dir written
+    // but never published (crash before the manifest rename). It must be
+    // invisible to reads and harmless to the next merge.
+    val d = tmpDir("crash_orphan_batch")
+    EventLog.mergeSnapshot(Seq(ev(1, 0)).toDF(), d, numBuckets = 8)
+    Seq(ev(9, 99)).toDF()
+      .withColumn("bucket", org.apache.spark.sql.functions.lit(1))
+      .write.partitionBy("bucket").parquet(s"$d/batch=000099-orphan")
+    assert(EventLog.readSnapshot(spark, d).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "an unpublished batch must be invisible")
+    EventLog.mergeSnapshot(Seq(ev(2, 0)).toDF(), d, numBuckets = 8)
+    val ids = EventLog.readSnapshot(spark, d).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L), s"orphan rows leaked into the snapshot: $ids")
   }
 
-  test("mergeSnapshot never recreates a committed sidecar (no delete→rename window once data exists)") {
+  test("a reader racing a merge sees pre- or post-state, never a torn bucket mix") {
     import spark.implicits._
     def ev(id: Long, v: Long) = Event(id, "PlayerCreated", v, ts(id), payload(s"F$id", s"L$id"))
-    val dir = tmpDir("sidecar_untouched")
-    EventLog.mergeSnapshot(Seq(ev(1, 0)).toDF(), dir, numBuckets = 8)
-    val p = java.nio.file.Paths.get(dir, "_graft_buckets")
-    def inode = java.nio.file.Files.readAttributes(
-      p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-    val before = inode
-    EventLog.mergeSnapshot(Seq(ev(2, 0)).toDF(), dir, numBuckets = 8)
-    // same file, not a same-content recreation: a rewrite would reopen the
-    // crash window where data exists with no sidecar (guard downgrade)
-    assert(inode == before,
-      "sidecar was recreated on a steady-state merge — delete→rename window is back")
-    assert(java.nio.file.Files.readString(p).trim == "8")
+    val dir = tmpDir("merge_race")
+    // seed: 16 ids across all 8 buckets at version 0
+    EventLog.mergeSnapshot((1L to 16L).map(ev(_, 0)).toDF(), dir, numBuckets = 8)
+    def state(): Map[Long, Long] =
+      EventLog.readSnapshot(spark, dir).select("id", "version")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pre = state()
+    val post = pre.map { case (id, _) => id -> 1L }
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Map[Long, Long]]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try while (!stop.get()) observed.add(state())
+      catch { case t: Throwable => failures.add(t) }
+    })
+    reader.start()
+    // the merge bumps EVERY id to version 1 — it touches all 8 buckets, so
+    // any torn observation would mix version-0 and version-1 buckets
+    try EventLog.mergeSnapshot((1L to 16L).map(ev(_, 1)).toDF(), dir, numBuckets = 8)
+    finally { stop.set(true); reader.join(120000) }
+    observed.add(state())
+    assert(failures.isEmpty, s"reader crashed mid-merge: ${failures.peek()}")
+    import scala.jdk.CollectionConverters._
+    observed.asScala.zipWithIndex.foreach { case (o, i) =>
+      assert(o == pre || o == post, s"read $i saw a torn bucket mix: $o")
+    }
+    assert(observed.asScala.last == post)
   }
 
   test("allocateIds is deterministic when orderCol ties (stable whole-row tiebreak)") {

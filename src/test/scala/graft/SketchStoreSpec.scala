@@ -48,7 +48,44 @@ class SketchStoreSpec extends SparkSpec {
     val store = tmpDir("graft-sketchstore-size")
     SketchStore.append(store, events, "event_type", "user_id")
     SketchStore.append(store, events, "event_type", "user_id")
-    val rows = spark.read.parquet(store).count()
+    val rows = graft.ops.StoreManifest.readPinned(spark, store).count()
     assert(rows == 10L, s"2 batches x 5 types = 10 sketch rows, got $rows")
+  }
+
+  test("a reader racing appends sees a committed batch prefix, never a torn batch") {
+    val store = tmpDir("graft-sketchstore-race")
+    val batches = (0 until 4).map(i => events.filter(col("event_id") % 4 === i))
+    // every committed prefix's expected estimates, computed on a twin store
+    val twin = tmpDir("graft-sketchstore-race-twin")
+    def estimates(s: String): Map[String, Long] =
+      SketchStore.estimate(spark, s)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    SketchStore.append(store, batches(0), "event_type", "user_id")
+    SketchStore.append(twin, batches(0), "event_type", "user_id")
+    val valid = scala.collection.mutable.Set(estimates(twin))
+    val expectedPrefixes = (1 until 4).map { i =>
+      SketchStore.append(twin, batches(i), "event_type", "user_id")
+      estimates(twin)
+    }
+    valid ++= expectedPrefixes
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Long]]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try while (!stop.get()) observed.add(estimates(store))
+      catch { case t: Throwable => failures.add(t) }
+    })
+    reader.start()
+    try (1 until 4).foreach(i =>
+      SketchStore.append(store, batches(i), "event_type", "user_id"))
+    finally { stop.set(true); reader.join(120000) }
+    observed.add(estimates(store))
+    assert(failures.isEmpty, s"reader crashed mid-append: ${failures.peek()}")
+    import scala.jdk.CollectionConverters._
+    observed.asScala.zipWithIndex.foreach { case (o, i) =>
+      assert(valid.contains(o),
+        s"read $i is not the estimate of any committed batch prefix: $o")
+    }
+    assert(observed.asScala.last == expectedPrefixes.last)
   }
 }

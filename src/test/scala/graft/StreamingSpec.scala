@@ -97,6 +97,72 @@ class StreamingSpec extends SparkSpec {
     assert(counts.contains(2L) && !counts.contains(3L))
   }
 
+  test("planned watermark: measured drop on the planted-latency stream matches the plan") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val n = 1200
+    val batchSize = 100L
+    val base = 1700000000000L
+    def evAt(i: Int) = Event(i.toLong, "click", i.toLong,
+      new Timestamp(base + i * 60000L), "{}")
+    // arrival order: event i arrives at position i, except every 97th,
+    // which arrives 450 positions late (≈ 350-450 minutes of lateness
+    // once the high watermark has advanced past it)
+    val arrivals = (0 until n).map { i =>
+      val pos = if (i % 97 == 0 && i + 450 < n) i + 450 else i
+      (pos, evAt(i))
+    }.sortBy(_._1).map(_._2)
+    val history = arrivals.zipWithIndex
+      .map { case (e, pos) => (pos.toLong, e.date) }.toDF("arr", "date")
+
+    // target 0.1% is unreachable at 60 min (the stragglers are ~400 min
+    // late) and the only bound offered is 60 — the planner falls back to
+    // the largest bound and reports the residual drops it PREDICTS
+    val (delay60, predicted60) = Materializer.plannedWatermark(
+      history, "arr", "date", batchSize, Seq(60L), targetDropShare = 0.001)
+    assert(delay60 == 60L && predicted60 > 0,
+      s"fixture must predict drops at 60 min: $predicted60")
+    // offered a wide menu, the planner picks the cheapest bound that
+    // actually covers the planted 450-position lateness
+    val (delayWide, predictedWide) = Materializer.plannedWatermark(
+      history, "arr", "date", batchSize, Seq(0L, 60L, 240L, 480L),
+      targetDropShare = 0.001)
+    assert(delayWide == 480L && predictedWide == 0,
+      s"480 min covers every straggler: chose $delayWide with $predictedWide")
+
+    // apply the 60-minute plan to the REAL stream, batched exactly as
+    // the plan modeled, and measure the drops
+    val stream = MemoryStream[Event]
+    val (windowed, applied) = Materializer.windowedCountsPlanned(
+      stream.toDS(), history, "arr", batchSize, Seq(60L),
+      targetDropShare = 0.001, windowLen = "1 minute")
+    assert(applied == 60L)
+    val q = windowed.writeStream
+      .outputMode("append")
+      .format("memory").queryName("planned_wm")
+      .option("checkpointLocation", tmpDir("ckpt_wm"))
+      .start()
+    arrivals.grouped(batchSize.toInt).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    // sentinel far in the future closes every real window so append mode
+    // emits them all; its own window is excluded from the count below
+    val sentinel = Event(-1L, "click", -1L,
+      new Timestamp(base + 10L * 365 * 24 * 3600 * 1000), "{}")
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+    val arrived = spark.table("planned_wm")
+      .filter($"window_start" < new Timestamp(base + 10L * 365 * 24 * 3600 * 1000))
+      .agg(sum($"n")).collect()(0).getLong(0)
+    val measuredDrops = n - arrived
+    // the plan's high-watermark model IS Spark's (max event time of prior
+    // micro-batches, minus the delay): with 1-minute windows the planted
+    // ~400-minute stragglers drop under both, in-order rows under neither
+    assert(measuredDrops == predicted60,
+      s"measured $measuredDrops drops vs planned $predicted60 at $delay60 min")
+  }
+
   test("streaming PK dedup: redelivered events collapse across micro-batches (A2 on the stream)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

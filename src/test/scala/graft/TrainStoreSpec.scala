@@ -30,6 +30,28 @@ class TrainStoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), s"shard read must prune:\n$plan")
   }
 
+  test("a trainer mid-epoch keeps its pinned corpus across a re-materialization") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val root = tmpDir("trainstore_pin")
+    TrainStore.writeShards(docs.filter(col("doc_id") < 300), "doc_id",
+      nShards = 2, root, Seq("text"))
+    // the trainer opens its shard: the manifest pin happens HERE
+    val epochRead = TrainStore.readShard(spark, root, 1L)
+    val before = epochRead.select("doc_id").collect().map(_.getLong(0)).toSeq
+    // a re-materialization lands mid-epoch (different corpus, REPLACES the list)
+    TrainStore.writeShards(docs.filter(col("doc_id") >= 300), "doc_id",
+      nShards = 2, root, Seq("text"))
+    // the open epoch still reads its exact corpus (immutable pinned files)
+    val during = epochRead.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(during == before,
+      "a pinned shard read must survive a concurrent re-materialization")
+    // a FRESH read sees only the new corpus
+    val fresh = TrainStore.readShard(spark, root, 1L)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(fresh.nonEmpty && fresh.forall(_ >= 300L),
+      "a fresh read must see only the re-materialized corpus")
+  }
+
   test("packed shards: ctx-length batches, lossless token stream, byte-equal batches across a simulated restart") {
     val ctx = 128
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
