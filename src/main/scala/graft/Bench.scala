@@ -1,25 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: spin up executor threads, codegen, and the parquet
-    // reader path once so JVM/JIT startup is not attributed to whichever
-    // query happens to run first. Timed numbers below are unaffected
-    // otherwise (each query is still a cold plan).
-    try {
-      spark.range(1000000L).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .selectExpr("count(*)", "sum(l_quantity)").collect()
-    } catch { case _: Throwable => () }
+
+  /** One timed pass over `names` (or all queries) in a fresh session:
+    * warm-up, then per query REPEATS runs with a state reset between,
+    * returning name -> times. Shared by the in-suite pass and the
+    * isolated child JVMs.
+    */
+  private def timeQueries(
+      spark: SparkSession, sfDir: String, repeats: Int,
+      only: Option[Set[String]],
+      failed: scala.collection.mutable.LinkedHashSet[String]): Seq[(String, Seq[Double])] = {
     // Reset shared-JVM state between queries so each timed number measures
     // the query, not the decay of everything that ran before it. Round-2
     // data: x02 measured 26.5s in-suite vs 7.0s isolated (same JVM, same
@@ -32,8 +24,6 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
-    // optional args: query names (dev iteration filter; driver passes none)
-    val only = if (args.nonEmpty) Some(args.toSet) else None
     // Per query: REPEATS timed runs (reset between each), report the MIN.
     // Round-3 data: the driver's recording showed 21.0s for a query that
     // costs 2.8s in any clean run — one co-tenant load spike on a single
@@ -51,8 +41,7 @@ object Bench {
     // plan time in milliseconds, so silently swallowing it would record a
     // tiny number that reads as a speedup. Failed queries are listed in an
     // "errors" array and excluded from the total.
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries
+    SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
         val times = (1 to math.max(1, repeats)).map { _ =>
@@ -69,35 +58,156 @@ object Bench {
         name -> times
       }
       .filter { case (name, _) => !failed.contains(name) }
-    def fmt(d: Double): String = BigDecimal(d)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    // Median (upper median for even n) alongside min: min is robust to
-    // one-sided noise but can't distinguish "this recording was noisy"
-    // from "this query regressed" when ALL repeats are inflated (round-5
-    // driver artifact: slowest entries 2-3x their clean cost even at
-    // min-of-3). min ≈ median → the number is trustworthy; min << median
-    // → the environment was loaded and only min is usable.
-    def med(v: Seq[Double]): Double = { val s = v.sorted; s(s.size / 2) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v.min) }
-      .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, v) => s"\"" + k + "\":" + fmt(med(v)) }
-      .mkString("{", ",", "}")
-    val spread = results
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v.max / math.max(1e-9, v.min)) }
-      .mkString("{", ",", "}")
-    val total = results.values.map(_.min).sum
-    val totalMed = results.values.map(med).sum
+  }
+
+  private def newSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    // Untimed warm-up: spin up executor threads, codegen, and the parquet
+    // reader path once so JVM/JIT startup is not attributed to whichever
+    // query happens to run first. Timed numbers below are unaffected
+    // otherwise (each query is still a cold plan).
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("count(*)", "sum(l_quantity)").collect()
+    } catch { case _: Throwable => () }
+  }
+
+  private def fmt(d: Double): String = BigDecimal(d)
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+  // Median (upper median for even n) alongside min: min is robust to
+  // one-sided noise but can't distinguish "this recording was noisy"
+  // from "this query regressed" when ALL repeats are inflated (round-5
+  // driver artifact: slowest entries 2-3x their clean cost even at
+  // min-of-3). min ≈ median → the number is trustworthy; min << median
+  // → the environment was loaded and only min is usable.
+  private def med(v: Seq[Double]): Double = { val s = v.sorted; s(s.size / 2) }
+
+  private def jsonMap(m: Seq[(String, String)]): String =
+    m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** Fork ONE fresh JVM running this main in isolated-child mode over
+    * `names`; parse the child's single JSON line back into name -> min
+    * seconds. Fresh JVM = zero suite pressure: no accumulated broadcast
+    * blocks, no code-cache/metaspace load from the 300+ plans compiled
+    * before, no heap churn — the round-9 verdict's open question (x99's
+    * in-suite min drifted 9.4→14.2s across rounds with zero code change)
+    * is answerable only by this number. Returns None when forking is
+    * unavailable (classpath not visible, java binary missing).
+    */
+  private def runIsolated(names: Seq[String]): Option[Map[String, Double]] = {
+    if (names.isEmpty) return Some(Map.empty)
+    try {
+      val javaBin = new java.io.File(new java.io.File(
+        sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val cp = sys.props("java.class.path")
+      if (cp == null || !cp.contains("classes")) return None
+      import scala.jdk.CollectionConverters._
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") ||
+          a.startsWith("-D"))
+      // --add-opens pairs arrive as single "--add-opens=..." or split; the
+      // MXBean reports them joined with '=' so pass-through is safe
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench") ++ names
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_ISOLATED", "1")
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+        .getLines().toList
+      proc.waitFor()
+      out.reverseIterator.find(_.startsWith("{\"isolated\":")).map { line =>
+        // minimal parse of {"isolated":{"name":1.23,...}}
+        val body = line.stripPrefix("{\"isolated\":{").stripSuffix("}}")
+        if (body.isEmpty) Map.empty[String, Double]
+        else body.split(",").map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          k.stripPrefix("\"").stripSuffix("\"") -> v.toDouble
+        }.toMap
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] isolated fork unavailable: ${e.getMessage}")
+      None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val isolatedChild = sys.env.get("SPARK_GRAFT_ISOLATED").contains("1")
+    val spark = newSession(cpus)
+    warmup(spark, sfDir)
+    // optional args: query names (dev iteration filter / the isolated
+    // child's worklist; driver passes none)
+    val only = if (args.nonEmpty) Some(args.toSet) else None
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val results = timeQueries(spark, sfDir, repeats, only, failed)
+    if (isolatedChild) {
+      // child contract: ONE JSON line, min per query, exit
+      val body = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v.min) }
+        .mkString(",")
+      println(s"""{"isolated":{$body}}""")
+      spark.stop()
+      return
+    }
+    val qs = jsonMap(results.map { case (k, v) => k -> fmt(v.min) })
+    val qsMed = jsonMap(results.map { case (k, v) => k -> fmt(med(v)) })
+    val spread = jsonMap(results.map { case (k, v) =>
+      k -> fmt(v.max / math.max(1e-9, v.min)) })
+    val total = results.map(_._2.min).sum
+    val totalMed = results.map { case (_, v) => med(v) }.sum
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+    // Isolated-JVM triage of the slowest queries: a fresh JVM per batch,
+    // so in-suite vs isolated separates real query cost from suite-JVM
+    // pressure (the round-9 x99 question). Skipped when the classpath is
+    // not forkable or SPARK_GRAFT_ISOLATE_TOP=0.
+    val isolateTop = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_TOP", "5").toInt
+    val slowNames = results.sortBy { case (_, v) => -v.min }
+      .take(math.max(0, isolateTop)).map(_._1)
+    val isolated = if (isolateTop <= 0) None else runIsolated(slowNames)
+    val isoJson = isolated match {
+      case Some(m) => jsonMap(slowNames.flatMap(n => m.get(n).map(n -> fmt(_))))
+      case None => "{}"
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"isolated_min":$isoJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+    // The FULL per-query artifact as a standalone file: the driver's tail
+    // capture truncates the line above past ~56 queries, leaving 84% of
+    // queries invisible to cross-round regression triage (round-9 item 7).
+    // bench_full.json carries every map whole.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(fullPath), "UTF-8")
+      try w.println(
+        s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"isolated_min":$isoJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
     // The driver keeps only the TAIL of stdout, and the full line above
     // grows with the query count — round 4's artifact lost the leading
     // "total" field to truncation. Emit a compact summary as the FINAL
     // line so any tail capture still contains the verdict-relevant
-    // numbers (total min+median, count, errors, top-5 slowest with both).
-    val slowest = results.toSeq.sortBy { case (_, v) => -v.min }.take(5)
-      .map { case (k, v) => s"\"" + k + "\":{\"min\":" + fmt(v.min) + ",\"med\":" + fmt(med(v)) + "}" }
+    // numbers (total min+median, count, errors, top-5 slowest with
+    // in-suite min+median AND the isolated fresh-JVM min).
+    val slowest = results.sortBy { case (_, v) => -v.min }.take(5)
+      .map { case (k, v) =>
+        val iso = isolated.flatMap(_.get(k)).map(d => ",\"iso\":" + fmt(d)).getOrElse("")
+        s"\"" + k + "\":{\"min\":" + fmt(v.min) + ",\"med\":" + fmt(med(v)) + iso + "}"
+      }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"bench_full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
