@@ -48,8 +48,8 @@ object Extensions116 {
     */
   def unigramPieces(
       corpus: DataFrame, textCol: String, maxK: Int = 6, minCount: Long = 4,
-      iters: Int = 2, topN: Int = 40): DataFrame =
-    unigramVocab(corpus, textCol, maxK, minCount, iters)
+      iters: Int = 2, topN: Int = 40, keepPermille: Int = 1000): DataFrame =
+    unigramVocab(corpus, textCol, maxK, minCount, iters, keepPermille)
       .orderBy(col("cnt").desc, col("piece"))
       .limit(topN)
       .select(col("piece"), col("cnt"), col("cost"))
@@ -57,10 +57,23 @@ object Extensions116 {
   /** The FULL trained vocabulary (piece, cnt, cost) after `iters`
     * hard-EM rounds — [[unigramPieces]] is its top slice; the encode
     * path (x264) segments under all of it.
+    *
+    * `keepPermille < 1000` adds the SentencePiece prune schedule
+    * (round-9 item 8): after each round's recount, multi-char pieces
+    * rank by LOSS CONTRIBUTION — cnt · cost, the total micro-nats the
+    * piece pays into the corpus segmentation under this round's model,
+    * an exact integer both engines compute identically — and only the
+    * top ⌈keepPermille/1000⌉ share survives into the next round
+    * (single chars are pinned: every word must stay segmentable). The
+    * kept count is integer arithmetic ((n·permille + 999) DIV 1000),
+    * never a float boundary. The rank window is a single partition BY
+    * DESIGN: it ranks the O(vocab) model table (thousands of rows),
+    * not data — the same driver-adjacent scale as the EM loop itself.
     */
   def unigramVocab(
       corpus: DataFrame, textCol: String, maxK: Int = 6, minCount: Long = 4,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, keepPermille: Int = 1000): DataFrame = {
+    require(iters >= 1 && keepPermille >= 1 && keepPermille <= 1000)
     val words = Extensions.materialized(
       corpus.select(explode(split(lower(col(textCol)), " ")).as("w"))
         .filter(length(col("w")) > 0)
@@ -81,11 +94,25 @@ object Extensions116 {
       val counts = segmented
         .select(col("wn"), explode(col("pieces")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("wn")).as("cnt"))
+      val merged = counts.join(chars, Seq("piece"), "full")
+        .select(col("piece"), greatest(coalesce(col("cnt"), lit(0L)),
+          when(length(col("piece")) === 1, 1L).otherwise(0L)).as("cnt"))
+        .filter(col("cnt") >= 1)
       pieces = Extensions.materialized(
-        counts.join(chars, Seq("piece"), "full")
-          .select(col("piece"), greatest(coalesce(col("cnt"), lit(0L)),
-            when(length(col("piece")) === 1, 1L).otherwise(0L)).as("cnt"))
-          .filter(col("cnt") >= 1))
+        if (keepPermille >= 1000) merged
+        else {
+          val costed = Extensions.materialized(withCost(merged))
+          val nMulti = costed.filter(length(col("piece")) > 1).count()
+          val keepN = (nMulti * keepPermille + 999L) / 1000L
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy((col("cnt") * col("cost")).desc, col("piece"))
+          costed.filter(length(col("piece")) > 1)
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= keepN)
+            .select(col("piece"), col("cnt"))
+            .unionByName(costed.filter(length(col("piece")) === 1)
+              .select(col("piece"), col("cnt")))
+        })
     }
     withCost(pieces)
   }
@@ -175,8 +202,8 @@ object Extensions116 {
     */
   def unigramFertility(
       corpus: DataFrame, idCol: String, textCol: String, maxK: Int = 6,
-      minCount: Long = 4, iters: Int = 2): DataFrame = {
-    val vocab = unigramVocab(corpus, textCol, maxK, minCount, iters)
+      minCount: Long = 4, iters: Int = 2, keepPermille: Int = 1000): DataFrame = {
+    val vocab = unigramVocab(corpus, textCol, maxK, minCount, iters, keepPermille)
     val words = corpus.select(explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wn"))
@@ -198,7 +225,7 @@ object Extensions116 {
     unigramFertility(Tables.load(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  private def pathRound(i: Int, pieceTable: String): String = s"""
+  private[ops] def pathRound(i: Int, pieceTable: String): String = s"""
     seg$i AS (
       SELECT w, wn, 0 AS pos, CAST([] AS VARCHAR[]) AS pcs,
              CAST([] AS BIGINT[]) AS lens, CAST(0 AS BIGINT) AS cost
@@ -229,8 +256,7 @@ object Extensions116 {
              CAST(round(1e6 * ln(CAST(t.t AS DOUBLE) / cnt), 0) AS BIGINT) AS cost
       FROM pieces$i, t$i t)"""
 
-  private val x263OracleSql: String = {
-    val head = """WITH RECURSIVE tok AS (
+  private[ops] val oracleHead: String = """WITH RECURSIVE tok AS (
       SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
     words AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS wn FROM tok WHERE w <> '' GROUP BY 1),
@@ -248,16 +274,17 @@ object Extensions116 {
       SELECT piece, cnt,
              CAST(round(1e6 * ln(CAST(t.t AS DOUBLE) / cnt), 0) AS BIGINT) AS cost
       FROM cands, t0 t)"""
-    head + "," + pathRound(1, "cost0") + "," + pathRound(2, "cost1") + """
+
+  private val x263OracleSql: String =
+    oracleHead + "," + pathRound(1, "cost0") + "," + pathRound(2, "cost1") + """
       SELECT piece, cnt, cost FROM cost2
       ORDER BY cnt DESC, piece
       LIMIT 40"""
-  }
 
   /** The trained-vocab segmentation of round `i` only (no recount) —
     * x264's oracle applies cost2 once more and reads piece counts.
     */
-  private def segOnly(i: Int, pieceTable: String): String = s"""
+  private[ops] def segOnly(i: Int, pieceTable: String): String = s"""
     seg$i AS (
       SELECT w, wn, 0 AS pos, CAST([] AS VARCHAR[]) AS pcs,
              CAST([] AS BIGINT[]) AS lens, CAST(0 AS BIGINT) AS cost
