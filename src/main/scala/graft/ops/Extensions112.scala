@@ -78,19 +78,25 @@ object Extensions112 {
       val d = ppm + BigInt(Micro - p) * pu
       halfUp(ppm * Micro, d)
     }.toArray
+    require(nTot > 0,
+      "fellegiSunterLinkage: the candidate-pair table is empty — nothing to fit " +
+        "(check the blocker actually produced pairs)")
     for (_ <- 1 to iters) {
       val g = eStep()
-      // M-step: rates from exact integer sums, half-up rounded, clamped
+      // M-step: rates from exact integer sums, half-up rounded, clamped.
+      // A class whose total mass rounds to zero (fully-separable input —
+      // the clamp keeps rates in [1, 999999] but weighted sums can still
+      // vanish) keeps its previous rates instead of dividing by zero.
       val gn = patterns.zip(g).map { case ((_, n), gj) => BigInt(gj) * n }
       val s = gn.sum
       val t = patterns.zip(g).map { case ((_, n), gj) =>
         BigInt(Micro - gj) * n }.sum
-      m = (0 until k).map { i =>
+      if (s > 0) m = (0 until k).map { i =>
         val sm = patterns.zip(gn).collect {
           case ((bits, _), w) if bits(i) == 1 => w }.sum
         clampMicro(halfUp(sm * Micro, s))
       }.toArray
-      u = (0 until k).map { i =>
+      if (t > 0) u = (0 until k).map { i =>
         val tu = patterns.zip(g).collect { case ((bits, n), gj) if bits(i) == 1 =>
           BigInt(Micro - gj) * n }.sum
         clampMicro(halfUp(tu * Micro, t))

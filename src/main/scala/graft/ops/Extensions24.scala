@@ -129,7 +129,17 @@ object Extensions24 {
     * rejects — true pairs always share a key because equal strings hash
     * equal, so the result is exact regardless.
     */
-  def editDistance1Pairs(rel: DataFrame, strCol: String): DataFrame = {
+  def editDistance1Pairs(rel: DataFrame, strCol: String): DataFrame =
+    deletion1Candidates(rel, strCol)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+
+  /** The FastSS candidate stage alone — (name_a, name_b), name_a <
+    * name_b, distinct string pairs sharing a deletion-1 neighborhood
+    * key. Exposed so the blocking-family planner (x270) can price this
+    * family's candidate volume against the other blockers.
+    */
+  private[graft] def deletion1Candidates(rel: DataFrame, strCol: String): DataFrame = {
     val base = rel.select(col(strCol).as("s"))
       .filter(col("s").isNotNull).distinct()
     val keyed = base.select(col("s"), explode(array_union(
@@ -138,14 +148,11 @@ object Extensions24 {
         concat(col("s").substr(lit(1), i - 1),
           col("s").substr(i + 1, length(col("s")) - i))))).as("kstr"))
       .select(col("s"), xxhash64(col("kstr")).as("k"))
-    val cands = keyed.select(col("s").as("name_a"), col("k"))
+    keyed.select(col("s").as("name_a"), col("k"))
       .join(keyed.select(col("s").as("name_b"), col("k")), Seq("k"))
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b"))
       .distinct()
-    cands
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 1)
   }
 
   /** x89: [[editDistance1Pairs]] over customer names (the record-linkage
