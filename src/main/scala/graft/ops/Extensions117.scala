@@ -113,7 +113,7 @@ object Extensions117 {
     * names prefixed, training rows filtered by `trainWhere` — the x94
     * generated-SQL discipline, parametrized for G+1 replays.
     */
-  private def chainG(p: String, iters: Int, trainWhere: String): String = {
+  private[ops] def chainG(p: String, iters: Int, trainWhere: String): String = {
     val F = NumBuckets
     val base = s"""
     ${p}tf AS MATERIALIZED (SELECT y, x FROM feat WHERE $trainWhere),
