@@ -122,7 +122,8 @@ object EventLog {
       snapshotPath: String,
       idCol: String,
       aggs: Seq[(String, String, String)],
-      numBuckets: Int = 64): Set[Int] = {
+      numBuckets: Int = 64,
+      extraMeta: Map[String, String] = Map.empty): Set[Int] = {
     import org.apache.spark.sql.functions._
     require(aggs.nonEmpty, "mergeAggregate needs at least one aggregate")
     def fold(op: String, c: Column): Column = op match {
@@ -138,7 +139,7 @@ object EventLog {
       aggs.tail.map { case (out, src, op) =>
         fold(op, if (op == "count") lit(1L) else col(src)).as(out)
       }: _*)
-    mergeBucketed(delta, snapshotPath, idCol, numBuckets) { combined =>
+    mergeBucketed(delta, snapshotPath, idCol, numBuckets, extraMeta) { combined =>
       // merging two states re-applies the fold, except count-states ADD
       combined.groupBy(col(idCol)).agg(
         fold(if (aggs.head._3 == "count") "sum" else aggs.head._3,
@@ -161,6 +162,37 @@ object EventLog {
 
   /** The manifest meta key carrying the bucket modulus. */
   private val BucketsKey = "buckets"
+
+  /** [[mergeAggregate]] made EXACTLY-ONCE for streaming redelivery:
+    * foreachBatch is at-least-once, and a redelivered micro-batch
+    * re-folded into a sum/count aggregate double-counts — the one
+    * failure mode the keyed latest-wins merge is naturally immune to
+    * and the monoid fold is not. The applied-batch watermark commits
+    * INSIDE the same manifest rename as the merged data (meta
+    * `last_batch`), so there is NO window between "data merged" and
+    * "batch recorded": a crash anywhere leaves either the old manifest
+    * (redelivery re-merges cleanly) or the new one (redelivery is a
+    * no-op). Requires monotone batch ids (Structured Streaming's
+    * contract per checkpoint). Returns the touched buckets, or None
+    * when the batch had already been applied.
+    */
+  def mergeAggregateOnce(
+      newRows: DataFrame,
+      snapshotPath: String,
+      idCol: String,
+      aggs: Seq[(String, String, String)],
+      batchId: Long,
+      numBuckets: Int = 64): Option[Set[Int]] = {
+    val spark = newRows.sparkSession
+    val applied = graft.ops.StoreManifest.currentVersion(spark, snapshotPath)
+      .map(v => graft.ops.StoreManifest.metaAt(spark, snapshotPath, v))
+      .flatMap(_.get(LastBatchKey)).map(_.toLong)
+    if (applied.exists(_ >= batchId)) None
+    else Some(mergeAggregate(newRows, snapshotPath, idCol, aggs, numBuckets,
+      extraMeta = Map(LastBatchKey -> batchId.toString)))
+  }
+
+  private val LastBatchKey = "last_batch"
 
   /** The shared bucketed-snapshot commit: modulus guards, the
     * touched-bucket read, and a [[graft.ops.StoreManifest]] publish.
@@ -189,7 +221,9 @@ object EventLog {
       updates: DataFrame,
       snapshotPath: String,
       idCol: String,
-      numBuckets: Int)(mergeStates: DataFrame => DataFrame): Set[Int] = {
+      numBuckets: Int,
+      extraMeta: Map[String, String] = Map.empty)(
+      mergeStates: DataFrame => DataFrame): Set[Int] = {
     import org.apache.spark.sql.functions._
     import graft.ops.StoreManifest
     val spark = updates.sparkSession
@@ -291,7 +325,7 @@ object EventLog {
       .getOrElse(Nil)
     StoreManifest.publish(spark, snapshotPath,
       untouched ++ StoreManifest.listBatchFiles(spark, snapshotPath, batch),
-      meta = Map(BucketsKey -> numBuckets.toString))
+      meta = extraMeta + (BucketsKey -> numBuckets.toString))
     touched
   }
 

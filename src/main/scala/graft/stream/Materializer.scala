@@ -271,4 +271,32 @@ object Materializer {
     graft.log.EventLog.readSnapshot(spark, snapshotDir)
       .filter(!col("deleted"))
       .drop("bucket")
+
+  /** Streaming INCREMENTAL-AGGREGATE maintenance, exactly-once: each
+    * micro-batch monoid-folds into the bucketed aggregate snapshot via
+    * [[graft.log.EventLog.mergeAggregateOnce]] — the batch-id
+    * watermark commits in the SAME manifest rename as the merged data,
+    * so foreachBatch's at-least-once redelivery can never double-count
+    * a sum (the failure mode the keyed latest-wins snapshot is immune
+    * to and a monoid fold is not; StreamingSpec delivers every batch
+    * twice to prove it). The aggregate spec is the mergeAggregate
+    * contract: (outCol, srcCol, op) with op ∈ sum|count|min|max.
+    */
+  def startAggregateSnapshot(
+      rows: DataFrame,
+      snapshotDir: String,
+      checkpointDir: String,
+      idCol: String,
+      aggs: Seq[(String, String, String)],
+      numBuckets: Int = 64): StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.log.EventLog.mergeAggregateOnce(
+          batch, snapshotDir, idCol, aggs, batchId, numBuckets)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

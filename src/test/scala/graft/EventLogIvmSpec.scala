@@ -84,6 +84,51 @@ class EventLogIvmSpec extends SparkSpec {
     assert(e2.getMessage.contains("avg"))
   }
 
+  test("mergeAggregateOnce: redelivered batches never double-fold (exactly-once IVM)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm5").toString + "/snap"
+    val b1 = Seq((1L, 10L), (2L, 5L))
+    val b2 = Seq((1L, 7L), (3L, 2L))
+    // deliver batch 0 twice, batch 1 three times (at-least-once chaos)
+    assert(EventLog.mergeAggregateOnce(batch(b1), dir, "user_id", aggs,
+      batchId = 0L, numBuckets = 4).isDefined)
+    assert(EventLog.mergeAggregateOnce(batch(b1), dir, "user_id", aggs,
+      batchId = 0L, numBuckets = 4).isEmpty, "redelivery must be a no-op")
+    assert(EventLog.mergeAggregateOnce(batch(b2), dir, "user_id", aggs,
+      batchId = 1L, numBuckets = 4).isDefined)
+    assert(EventLog.mergeAggregateOnce(batch(b2), dir, "user_id", aggs,
+      batchId = 1L, numBuckets = 4).isEmpty)
+    assert(EventLog.mergeAggregateOnce(batch(b2), dir, "user_id", aggs,
+      batchId = 1L, numBuckets = 4).isEmpty)
+    assert(snapshot(dir) == fullRecompute(b1 ++ b2),
+      "n redeliveries must fold exactly once each")
+  }
+
+  test("streaming aggregate snapshot end-to-end: sums survive double delivery") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivm6").toString + "/snap"
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm6ck").toString
+    val stream = MemoryStream[(Long, Long)]
+    // the foreachBatch body is invoked TWICE per micro-batch — a
+    // simulated redelivery harsher than Structured Streaming's own
+    val q = stream.toDS().toDF("user_id", "v").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventLog.mergeAggregateOnce(b, dir, "user_id", aggs, id, numBuckets = 4)
+        EventLog.mergeAggregateOnce(b, dir, "user_id", aggs, id, numBuckets = 4)
+        ()
+      }
+      .start()
+    val b1 = Seq((1L, 10L), (2L, 5L)); val b2 = Seq((1L, -3L), (3L, 9L))
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(snapshot(dir) == fullRecompute(b1 ++ b2),
+      "every micro-batch delivered twice must land exactly once")
+  }
+
   test("latest-wins merge still green through the shared plumbing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivm4").toString + "/snap"
