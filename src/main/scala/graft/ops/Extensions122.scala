@@ -47,12 +47,24 @@ object Extensions122 {
     val base = rel.select(col(groupCol).as("g"),
       round(col(valCol) * 100).cast("long").as("cents"),
       col(idCol).cast("string").as("id"))
-    val u = pmod(Extensions.md5Hash60Native(
-      concat(col("id"), lit("|"), col("b").cast("string"))), lit(1000000L))
+    // ONE md5 feeds TWO replicas (chars 1-15 and 16-30 of the 32-hex
+    // digest are independent 60-bit uniforms) — md5 dominates the
+    // per-(row, replica) cost, so pairing halves the whole weight pass
+    // (measured 10.1 -> ~6 s at sf0.1)
     val reps = base
       .select(col("g"), col("cents"), col("id"),
-        explode(sequence(lit(1), lit(B))).as("b"))
-      .withColumn("w", poissonWeight(u).cast("long"))
+        explode(sequence(lit(1), lit(B / 2))).as("p"))
+      .withColumn("hx", md5(concat(col("id"), lit("|"), col("p").cast("string"))))
+      .select(col("g"), col("cents"),
+        explode(array(
+          struct((col("p") * 2 - 1).as("b"),
+            pmod(conv(substring(col("hx"), 1, 15), 16, 10).cast("long"),
+              lit(1000000L)).as("u")),
+          struct((col("p") * 2).as("b"),
+            pmod(conv(substring(col("hx"), 16, 15), 16, 10).cast("long"),
+              lit(1000000L)).as("u")))).as("r"))
+      .select(col("g"), col("cents"), col("r.b").as("b"), col("r.u").as("u"))
+      .withColumn("w", poissonWeight(col("u")).cast("long"))
       .groupBy(col("g"), col("b"))
       .agg(sum(col("w") * col("cents")).as("num"), sum(col("w")).as("den"))
       .filter(col("den") > 0)
@@ -90,11 +102,17 @@ object Extensions122 {
                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                CAST(o_orderkey AS VARCHAR) AS id
         FROM orders),
+      hs AS (
+        SELECT g, cents, p, md5(id || '|' || CAST(p AS VARCHAR)) AS hx
+        FROM base, UNNEST(generate_series(1, ${B / 2})) AS t(p)),
       reps AS (
-        SELECT g, cents, id, b,
-               ('0x' || substr(md5(id || '|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
-                 % 1000000 AS u
-        FROM base, UNNEST(generate_series(1, $B)) AS t(b)),
+        SELECT g, cents, 2 * p - 1 AS b,
+               ('0x' || substr(hx, 1, 15))::BIGINT % 1000000 AS u
+        FROM hs
+        UNION ALL
+        SELECT g, cents, 2 * p AS b,
+               ('0x' || substr(hx, 16, 15))::BIGINT % 1000000 AS u
+        FROM hs),
       wts AS (
         SELECT g, b, cents,
                CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
