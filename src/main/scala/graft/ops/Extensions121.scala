@@ -39,7 +39,7 @@ object Extensions121 {
     * `w` positions. Per-doc windows (partitioned, never global); the
     * fingerprint set is ~n/w keys per doc.
     */
-  private[ops] def winnowFingerprints(
+  private[graft] def winnowFingerprints(
       corpus: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1)
