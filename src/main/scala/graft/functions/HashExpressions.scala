@@ -68,9 +68,75 @@ object Md5Bucket60 {
   }
 }
 
+/** BOTH independent 60-bit values of one md5 digest — hex chars 1-15
+  * and 16-30 — as a 2-element long array from a single digest pass.
+  * The consumer that needs two deterministic uniforms per input (the
+  * x273 Poisson-bootstrap replica pair) would otherwise hash twice or
+  * round-trip the digest through a 32-char hex string and a generic
+  * base parser per element; this computes both with shifts, one
+  * digest, zero strings, fused into whole-stage codegen.
+  *
+  * Bit-identical to `('0x'||substr(md5(x),1,15))::BIGINT` and
+  * `('0x'||substr(md5(x),16,15))::BIGINT` by construction (nibbles
+  * 0-14 and 15-29 big-endian) — HashPairSpec asserts both lanes
+  * against the composable conv form.
+  */
+case class Md5Pair60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(
+      input.asInstanceOf[UTF8String].getBytes)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(Md5Pair60.lane1(d), Md5Pair60.lane2(d)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("digest")
+      s"""
+        byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5($c.getBytes());
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new long[]{graft.functions.Md5Pair60.lane1($d),
+                     graft.functions.Md5Pair60.lane2($d)});
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_pair60"
+}
+
+object Md5Pair60 {
+  /** Hex chars 1-15: digest nibbles 0-14 big-endian (= Md5Bucket60). */
+  def lane1(d: Array[Byte]): Long = Md5Bucket60.fold(d)
+
+  /** Hex chars 16-30: nibble 15 (low nibble of byte 7) then bytes 8-14. */
+  def lane2(d: Array[Byte]): Long = {
+    var v = (d(7) & 0x0fL)
+    var i = 8
+    while (i < 15) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+}
+
 /** Column-level API for the native hash expressions. */
 object HashFunctions {
   /** 60-bit md5 bucket of a string column as a codegen'd long. */
   def md5_bucket60(c: Column): Column =
     GraftSqlBridge.column(Md5Bucket60(GraftSqlBridge.expression(c)))
+
+  /** Both 60-bit md5 lanes of a string column as a codegen'd array. */
+  def md5_pair60(c: Column): Column =
+    GraftSqlBridge.column(Md5Pair60(GraftSqlBridge.expression(c)))
 }

@@ -49,20 +49,21 @@ object Extensions122 {
       col(idCol).cast("string").as("id"))
     // ONE md5 feeds TWO replicas (chars 1-15 and 16-30 of the 32-hex
     // digest are independent 60-bit uniforms) — md5 dominates the
-    // per-(row, replica) cost, so pairing halves the whole weight pass
-    // (measured 10.1 -> ~6 s at sf0.1)
+    // per-(row, replica) cost, so pairing halves the whole weight pass;
+    // the native Md5Pair60 expression computes both lanes from the
+    // digest bytes with zero hex-string round-trips (bit-identical to
+    // the conv form the oracle replays — HashPairSpec)
     val reps = base
       .select(col("g"), col("cents"), col("id"),
         explode(sequence(lit(1), lit(B / 2))).as("p"))
-      .withColumn("hx", md5(concat(col("id"), lit("|"), col("p").cast("string"))))
+      .withColumn("hp", graft.functions.HashFunctions.md5_pair60(
+        concat(col("id"), lit("|"), col("p").cast("string"))))
       .select(col("g"), col("cents"),
         explode(array(
           struct((col("p") * 2 - 1).as("b"),
-            pmod(conv(substring(col("hx"), 1, 15), 16, 10).cast("long"),
-              lit(1000000L)).as("u")),
+            pmod(element_at(col("hp"), 1), lit(1000000L)).as("u")),
           struct((col("p") * 2).as("b"),
-            pmod(conv(substring(col("hx"), 16, 15), 16, 10).cast("long"),
-              lit(1000000L)).as("u")))).as("r"))
+            pmod(element_at(col("hp"), 2), lit(1000000L)).as("u")))).as("r"))
       .select(col("g"), col("cents"), col("r.b").as("b"), col("r.u").as("u"))
       .withColumn("w", poissonWeight(col("u")).cast("long"))
       .groupBy(col("g"), col("b"))
