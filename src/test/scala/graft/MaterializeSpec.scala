@@ -139,6 +139,17 @@ class MaterializeSpec extends SparkSpec {
     val scan = filtered.queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,1)]"),
       s"ORC scan must receive the id predicate:\n$scan")
+
+    // XML: built into spark-sql since Spark 4 — the interchange format
+    // enterprise event feeds still arrive in; same pinned-schema
+    // discipline (rowTag per event, never inference)
+    val xmlDir = tmpDir("log_xml")
+    events.write.mode("overwrite").format("xml")
+      .option("rootTag", "events").option("rowTag", "event").save(xmlDir)
+    val fromXml = spark.read.schema(graft.model.Schemas.event)
+      .format("xml").option("rowTag", "event").load(xmlDir)
+    assert(Materialize.latestState(fromXml, "id", "version")
+      .collect().map(_.getLong(0)).sorted.toSeq == expected)
   }
 
   test("incremental snapshot merge rewrites only touched buckets and equals the full fold") {
