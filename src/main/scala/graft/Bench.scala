@@ -122,11 +122,23 @@ object Bench {
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench") ++ names
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_ISOLATED", "1")
-      pb.redirectErrorStream(false)
+      // The child is a full Spark JVM whose log4j output lands on stderr.
+      // Left unconsumed, the ~64KB pipe fills, the child blocks writing
+      // stderr while this parent blocks reading stdout — a mutual-wait
+      // hang. INHERIT routes child stderr straight to the parent's stderr
+      // (no pipe, no drain thread needed).
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
         .getLines().toList
-      proc.waitFor()
+      // stdout hit EOF above, so the child is exiting; the bounded wait +
+      // forcible kill is a backstop against a child wedged after closing
+      // stdout (e.g. a non-daemon thread refusing shutdown).
+      if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
+        System.err.println("[bench] isolated child did not exit; killing")
+        proc.destroyForcibly()
+        proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
       out.reverseIterator.find(_.startsWith("{\"isolated\":")).map { line =>
         // minimal parse of {"isolated":{"name":1.23,...}}
         val body = line.stripPrefix("{\"isolated\":{").stripSuffix("}}")
@@ -174,8 +186,16 @@ object Bench {
     // pressure (the round-9 x99 question). Skipped when the classpath is
     // not forkable or SPARK_GRAFT_ISOLATE_TOP=0.
     val isolateTop = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_TOP", "5").toInt
-    val slowNames = results.sortBy { case (_, v) => -v.min }
-      .take(math.max(0, isolateTop)).map(_._1)
+    // {slowest N by min} ∪ {spread > 2}: a query whose max/min spread
+    // exceeds 2 was visibly perturbed by suite or box pressure in at least
+    // one repeat — fork those too so contention is self-diagnosing per
+    // query, not only for the headline slowest (round-10 verdict item 6).
+    val spreadThresh =
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATE_SPREAD", "2.0").toDouble
+    val slowNames = (results.sortBy { case (_, v) => -v.min }
+      .take(math.max(0, isolateTop)).map(_._1) ++
+      results.collect { case (n, v)
+        if v.max / math.max(1e-9, v.min) > spreadThresh => n }).distinct
     val isolated = if (isolateTop <= 0) None else runIsolated(slowNames)
     val isoJson = isolated match {
       case Some(m) => jsonMap(slowNames.flatMap(n => m.get(n).map(n -> fmt(_))))

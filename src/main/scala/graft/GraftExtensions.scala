@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, JaroWinkler, Md5Bucket60, RepetitionMetrics}
+import graft.functions.{CosineSimilarity, JaroWinkler, Md5Bucket60, Md5Pair60, RepetitionMetrics}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions into the SQL function registry so `spark.sql` users get them
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineSimilarityFn)
     e.injectFunction(GraftExtensions.repetitionMetricsFn)
     e.injectFunction(GraftExtensions.md5Bucket60Fn)
+    e.injectFunction(GraftExtensions.md5Pair60Fn)
     e.injectFunction(GraftExtensions.jaroWinklerFn)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPruning)
@@ -57,6 +58,14 @@ object GraftExtensions {
       Md5Bucket60(exprs.head)
     })
 
+  private val md5Pair60Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_pair60"),
+    new ExpressionInfo(classOf[Md5Pair60].getName, "md5_pair60"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "md5_pair60 takes exactly 1 argument")
+      Md5Pair60(exprs.head)
+    })
+
   private val jaroWinklerFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("jaro_winkler"),
     new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
@@ -70,7 +79,7 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimilarityFn, repetitionMetricsFn, md5Bucket60Fn,
-        jaroWinklerFn).foreach { fn =>
+        md5Pair60Fn, jaroWinklerFn).foreach { fn =>
       org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, fn._1, fn._2, fn._3)
     }
 }

@@ -323,9 +323,14 @@ object EventLog {
     val untouched = pinnedOpt.map(_._1.filterNot(f =>
       StoreManifest.partValueOf(f, "bucket").exists(v => touched.contains(v.toInt))))
       .getOrElse(Nil)
+    // Carry the PINNED version's meta forward under the new keys: a plain
+    // mergeAggregate interleaved between two mergeAggregateOnce calls must
+    // not drop the `last_batch` watermark — losing it re-enables exactly
+    // the redelivery double-fold mergeAggregateOnce exists to prevent.
+    val carried = pinnedOpt.map(_._2).getOrElse(Map.empty)
     StoreManifest.publish(spark, snapshotPath,
       untouched ++ StoreManifest.listBatchFiles(spark, snapshotPath, batch),
-      meta = extraMeta + (BucketsKey -> numBuckets.toString))
+      meta = carried ++ extraMeta + (BucketsKey -> numBuckets.toString))
     touched
   }
 

@@ -38,7 +38,8 @@ object Extensions120 {
       records: DataFrame, strCol: String,
       jwThreshold: Double = 0.9, window: Int = 10,
       tNum: Long = 1L, tDen: Long = 2L,
-      targetRecall: Double = 0.9): DataFrame = {
+      targetRecall: Double = 0.9,
+      maxSample: Long = 50000L): DataFrame = {
     import graft.functions.JaroWinkler.jaroWinkler
     val spark = records.sparkSession
     import spark.implicits._
@@ -46,6 +47,18 @@ object Extensions120 {
       records.select(lower(col(strCol)).as("s"))
         .filter(col("s").isNotNull && length(col("s")) > 0)
         .distinct())
+    // The gold standard below is an ALL-PAIRS theta-join — n² by design,
+    // priced ONCE on a calibration sample. Nothing else in the repo runs
+    // an unguarded quadratic join, so ENFORCE the sample bound instead of
+    // trusting the caller (the saltDecisionSampled discipline): a full
+    // corpus here is a BNLJ scale-killer, and the refusal names the
+    // sampled entry point that handles it.
+    val nStrs = strs.count()
+    require(nStrs <= maxSample,
+      s"blockingPlan prices an ALL-PAIRS Jaro-Winkler gold standard " +
+        s"(~${nStrs * nStrs / 2} comparisons at n=$nStrs distinct strings) — " +
+        s"that exceeds maxSample=$maxSample; pass a calibration sample, or " +
+        "use blockingPlanSampled, which md5-samples one deterministically")
     // gold standard: every true match pair on the calibration sample
     val truth = Extensions.materialized(
       strs.as("a").join(strs.as("b"), col("a.s") < col("b.s"))
@@ -73,6 +86,38 @@ object Extensions120 {
     rows.sortBy(_._1)
       .map { case (f, nc, nt, ca, rec) => (f, nc, nt, ca, rec, f == chosen) }
       .toDF("family", "n_candidates", "n_truth", "n_caught", "recall", "chosen")
+  }
+
+  /** [[blockingPlan]] over a DETERMINISTIC md5-derived sample of the
+    * records — the 100 TB entry point. The keep-set is a fixed-threshold
+    * filter on the string's 60-bit md5 lane (no RNG, no partition
+    * seeding: the same corpus always prices the same sample, and a
+    * retry replays it bit-identically), sized so the expected kept
+    * count is ~`maxSample`; the guard inside [[blockingPlan]] then
+    * enforces the bound the filter targeted.
+    */
+  def blockingPlanSampled(
+      records: DataFrame, strCol: String,
+      jwThreshold: Double = 0.9, window: Int = 10,
+      tNum: Long = 1L, tDen: Long = 2L,
+      targetRecall: Double = 0.9,
+      maxSample: Long = 50000L): DataFrame = {
+    import graft.functions.HashFunctions.md5_bucket60
+    val n = records.select(lower(col(strCol)).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > 0)
+      .distinct().count()
+    if (n <= maxSample)
+      return blockingPlan(records, strCol, jwThreshold, window, tNum, tDen,
+        targetRecall, maxSample)
+    // expected-keep sizing with headroom under the hard cap: thr/m = 0.9 ·
+    // maxSample/n, so the binomial draw stays below maxSample w.h.p. at
+    // these sizes (maxSample ≫ 1/0.01²)
+    val m = 1L << 32
+    val thr = math.max(1L,
+      (BigInt(m) * 9 * maxSample / (BigInt(10) * n)).toLong)
+    blockingPlan(
+      records.filter(pmod(md5_bucket60(lower(col(strCol))), lit(m)) < lit(thr)),
+      strCol, jwThreshold, window, tNum, tDen, targetRecall, maxSample)
   }
 
   /** FastSS deletion-1 candidates keyed by the variant STRING (exact —

@@ -28,9 +28,16 @@ object Extensions126 {
     * and microsecond timestamps, so any fidelity loss through the
     * format breaks the hash.
     */
-  def xmlRoundTripCard(events: DataFrame): DataFrame = {
+  def xmlRoundTripCard(events: DataFrame, scratchDir: Option[String] = None): DataFrame = {
     val spark = events.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_xml_rt").toString
+    // a DETERMINISTIC scratch path overwritten per run — a fresh
+    // createTempDirectory per invocation leaked one copy of the events
+    // table per bench repeat (never cleaned: the returned aggregate is
+    // lazy, so the dir must outlive this call). mode("overwrite")
+    // bounds residue to exactly one copy, reclaimed by the OS tmp
+    // sweeper; callers needing isolation pass their own scratchDir.
+    val dir = scratchDir.getOrElse(
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_xml_rt_scratch")
     // the default XML timestamp pattern truncates to milliseconds —
     // pin a microsecond format on BOTH sides (caught by the oracle:
     // last_us ...262777 came back ...262000 under the default)

@@ -128,6 +128,22 @@ object IvfStore {
     cells.toSet
   }
 
+  /** Store-level vacuum: reclaim superseded index batch dirs AND the
+    * versioned `centroids-<rand>` quantizer dirs no surviving manifest
+    * meta names (each [[writeIndex]] lands a fresh one; without this
+    * they leak forever — the quantizers live at `path`, outside the
+    * `path/index` root [[StoreManifest.vacuum]] sweeps). Same retention
+    * clock on both. Returns (deleted data files, deleted sidecar dirs).
+    */
+  def vacuumStore(spark: SparkSession, path: String, keepVersions: Int = 1,
+      retentionMs: Long = StoreManifest.DefaultRetentionMs): (Seq[String], Seq[String]) = {
+    val root = s"$path/index"
+    val sidecars = StoreManifest.vacuumSidecars(
+      spark, path, root, Seq(CentroidsKey), keepVersions, retentionMs)
+    val files = StoreManifest.vacuum(spark, root, keepVersions, retentionMs)
+    (files, sidecars)
+  }
+
   /** Top-k cosine neighbors for a query batch against a written index,
     * reading only the probed cells. Same semantics as
     * [[Extensions2.ivfTopK]] (round-before-rank, id tie-break) — the two

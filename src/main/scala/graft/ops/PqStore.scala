@@ -78,6 +78,22 @@ object PqStore {
       meta = Map(CentroidsKey -> centDir, CodebookKey -> bookDir))
   }
 
+  /** Store-level vacuum: superseded codes batches AND the versioned
+    * `centroids-<rand>` / `codebook-<rand>` quantizer dirs no surviving
+    * manifest meta names — every [[writeIndex]] lands a fresh pair and
+    * they live at `path`, outside the `path/codes` root the batch-dir
+    * vacuum sweeps, so without this they leak forever. Retention clock
+    * applies to both. Returns (deleted data files, deleted sidecar dirs).
+    */
+  def vacuumStore(spark: SparkSession, path: String, keepVersions: Int = 1,
+      retentionMs: Long = StoreManifest.DefaultRetentionMs): (Seq[String], Seq[String]) = {
+    val root = s"$path/codes"
+    val sidecars = StoreManifest.vacuumSidecars(
+      spark, path, root, Seq(CentroidsKey, CodebookKey), keepVersions, retentionMs)
+    val files = StoreManifest.vacuum(spark, root, keepVersions, retentionMs)
+    (files, sidecars)
+  }
+
   /** The pinned version's coarse centroids, cell-ordered (bounded:
     * nCells rows). Legacy stores (no meta) fall back to the classic
     * mutable `centroids` sidecar path.

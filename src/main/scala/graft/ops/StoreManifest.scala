@@ -127,26 +127,50 @@ object StoreManifest {
     finally in.close()
   }
 
+  /** Non-mutating legacy listing: the data files a pre-manifest store
+    * holds, served IN PLACE. Read paths fall back to this instead of
+    * adopting (renaming) — a pure read must never mutate the store, or
+    * two concurrent readers race each other's renames ('legacy adoption
+    * failed' crashes, widened on object stores where rename is not
+    * atomic). Orphan `batch=` dirs (a crashed writer's uncommitted
+    * output) stay invisible — except [[LegacyBatchDir]], which a crashed
+    * explicit adoption may have half-filled and whose contents are real.
+    */
+  private[graft] def legacyFiles(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, rootP) = fsOf(spark, root)
+    if (!fs.exists(rootP)) return Nil
+    fs.listStatus(rootP).toSeq.filter { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") &&
+        (!n.startsWith("batch=") || n == LegacyBatchDir)
+    }.flatMap { e =>
+      if (e.isFile) Seq(e.getPath.getName)
+      else listBatchFiles(spark, root, e.getPath.getName)
+    }
+  }
+
   /** Current version's file list — one metadata read; the atomic pin.
     * A pre-manifest store (data written before the manifest layer, or
-    * by a plain parquet writer) is ADOPTED on first access: its files
-    * move into [[LegacyBatchDir]] (rename — a metadata op, no data
-    * copied) and become committed version 1, so every legacy store
-    * keeps working instead of failing on the missing `_manifest`.
+    * by a plain parquet writer) is served via a NON-MUTATING in-place
+    * listing; the first [[publish]] (a write path, covered by the
+    * single-writer contract) adopts it into [[LegacyBatchDir]].
     */
   def files(spark: SparkSession, root: String): Seq[String] =
-    currentVersion(spark, root).orElse(adoptLegacy(spark, root)) match {
+    currentVersion(spark, root) match {
       case Some(v) => filesAt(spark, root, v)
-      case None => throw new IllegalStateException(
-        s"StoreManifest: no committed version under $root/$ManifestDir")
+      case None =>
+        val legacy = legacyFiles(spark, root)
+        if (legacy.nonEmpty) legacy
+        else throw new IllegalStateException(
+          s"StoreManifest: no committed version under $root/$ManifestDir")
     }
 
-  /** Current version's committed metadata (empty for adopted legacy
-    * stores — their geometry sidecars remain the fallback, read by the
-    * store that owns them).
+  /** Current version's committed metadata (empty for legacy stores —
+    * their geometry sidecars remain the fallback, read by the store
+    * that owns them).
     */
   def meta(spark: SparkSession, root: String): Map[String, String] =
-    currentVersion(spark, root).orElse(adoptLegacy(spark, root))
+    currentVersion(spark, root)
       .map(metaAt(spark, root, _)).getOrElse(Map.empty)
 
   /** One consistent (files, meta) pin — a single manifest read, so the
@@ -154,10 +178,13 @@ object StoreManifest {
     * even when a writer publishes between two calls.
     */
   def pin(spark: SparkSession, root: String): (Seq[String], Map[String, String]) =
-    currentVersion(spark, root).orElse(adoptLegacy(spark, root)) match {
+    currentVersion(spark, root) match {
       case Some(v) => (filesAt(spark, root, v), metaAt(spark, root, v))
-      case None => throw new IllegalStateException(
-        s"StoreManifest: no committed version under $root/$ManifestDir")
+      case None =>
+        val legacy = legacyFiles(spark, root)
+        if (legacy.nonEmpty) (legacy, Map.empty)
+        else throw new IllegalStateException(
+          s"StoreManifest: no committed version under $root/$ManifestDir")
     }
 
   /** [[pin]] for append-creates-the-store call sites: an absent or empty
@@ -165,9 +192,9 @@ object StoreManifest {
     * append's publish then commits version 1.
     */
   def pinOrEmpty(spark: SparkSession, root: String): (Seq[String], Map[String, String]) =
-    currentVersion(spark, root).orElse(adoptLegacy(spark, root)) match {
+    currentVersion(spark, root) match {
       case Some(v) => (filesAt(spark, root, v), metaAt(spark, root, v))
-      case None => (Nil, Map.empty)
+      case None => (legacyFiles(spark, root), Map.empty)
     }
 
   /** Promote a pre-manifest store: move every top-level data entry
@@ -188,22 +215,37 @@ object StoreManifest {
       case Some(v) => return Some(v) // already manifest-backed
       case None =>
     }
-    val legacy = new Path(rootP, LegacyBatchDir)
-    val entries = fs.listStatus(rootP).filter { s =>
-      val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".") && n != LegacyBatchDir
-    }
-    if (entries.nonEmpty) fs.mkdirs(legacy)
-    entries.foreach { e =>
-      require(fs.rename(e.getPath, new Path(legacy, e.getPath.getName)),
-        s"StoreManifest: legacy adoption failed moving ${e.getPath} under $legacy")
-    }
-    if (!fs.exists(legacy)) None
+    moveLegacyEntries(fs, rootP)
+    if (!fs.exists(new Path(rootP, LegacyBatchDir))) None
     else {
       val adopted = listBatchFiles(spark, root, LegacyBatchDir)
       if (adopted.isEmpty) None
       else Some(publish(spark, root, adopted))
     }
+  }
+
+  /** Rename every top-level legacy entry (anything not `_`/`.`-prefixed
+    * and not a `batch=` dir — orphan uncommitted batches stay where they
+    * are, invisible) under [[LegacyBatchDir]]. Returns the moved entry
+    * names. Per-entry metadata renames, no data copied; the target dir
+    * is deterministic so a crashed adoption retries into the same
+    * layout. WRITE paths only ([[publish]] / [[adoptLegacy]]) — the
+    * single-writer contract serializes it; read paths use the
+    * non-mutating [[legacyFiles]] instead.
+    */
+  private def moveLegacyEntries(fs: FileSystem, rootP: Path): Set[String] = {
+    val legacy = new Path(rootP, LegacyBatchDir)
+    val entries = fs.listStatus(rootP).filter { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && !n.startsWith("batch=")
+    }
+    if (entries.isEmpty) return Set.empty
+    fs.mkdirs(legacy)
+    entries.foreach { e =>
+      require(fs.rename(e.getPath, new Path(legacy, e.getPath.getName)),
+        s"StoreManifest: legacy adoption failed moving ${e.getPath} under $legacy")
+    }
+    entries.map(_.getPath.getName).toSet
   }
 
   /** A fresh, unique batch directory name for the NEXT commit. Unique by
@@ -260,13 +302,27 @@ object StoreManifest {
     val (fs, rootP) = fsOf(spark, root)
     val mdir = new Path(rootP, ManifestDir)
     fs.mkdirs(mdir)
+    // First commit over a pre-manifest store: ADOPT here, on the write
+    // path (single-writer contract), never on reads. Legacy entries move
+    // under LegacyBatchDir and any incoming in-place legacy paths (from a
+    // pinOrEmpty fallback) are remapped to their adopted location, so the
+    // committed list and the moved files agree.
+    val committed =
+      if (currentVersion(spark, root).isDefined) files
+      else {
+        val moved = moveLegacyEntries(fs, rootP)
+        if (moved.isEmpty) files
+        else files.map { f =>
+          if (moved.contains(f.split('/').head)) s"$LegacyBatchDir/$f" else f
+        }
+      }
     var v = currentVersion(spark, root).getOrElse(0L) + 1L
     while (fs.exists(new Path(mdir, f"v-$v%012d.list"))) v += 1L
     val tmp = new Path(mdir,
       s".tmp-$v-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, true)
     val metaLines = meta.toSeq.sortBy(_._1).map { case (k, x) => s"$MetaPrefix$k=$x" }
-    try out.write(((metaLines ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((metaLines ++ committed).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val dest = new Path(mdir, f"v-$v%012d.list")
     require(commitPut(fs, tmp, dest),
@@ -351,6 +407,54 @@ object StoreManifest {
     // resolve it
     if (!youngSkipped)
       drop.foreach(v => fs.delete(new Path(mdir, f"v-$v%012d.list"), false))
+    deleted.toSeq
+  }
+
+  /** Reclaim versioned SIDECAR directories (IvfStore/PqStore quantizer
+    * dirs: `centroids-<rand>`, `codebook-<rand>`) that no surviving
+    * manifest's meta names. These live at the STORE path, outside the
+    * manifest root, so [[vacuum]]'s batch-dir sweep never sees them —
+    * without this, every `writeIndex` permanently leaks the superseded
+    * quantizer directories. Same retention discipline as [[vacuum]]:
+    * the newest `keepVersions` manifests' meta values stay referenced,
+    * and dirs younger than `retentionMs` are never deleted (a reader
+    * pinned to a just-superseded version keeps its quantizers until the
+    * clock passes). The legacy un-versioned dirs (bare `centroids`,
+    * `codebook` — no `-<rand>` suffix) never match a prefix and are
+    * never touched. Returns the deleted directory names.
+    */
+  def vacuumSidecars(spark: SparkSession, storePath: String,
+      manifestRoot: String, metaKeys: Seq[String], keepVersions: Int = 1,
+      retentionMs: Long = DefaultRetentionMs): Seq[String] = {
+    require(keepVersions >= 1,
+      "vacuumSidecars must keep at least the current version (keepVersions >= 1)")
+    require(retentionMs >= 0L)
+    val (fs, storeP) = fsOf(spark, storePath)
+    if (!fs.exists(storeP)) return Nil
+    val versions = currentVersion(spark, manifestRoot) match {
+      case None => return Nil // nothing committed — nothing is superseded
+      case Some(_) =>
+        val (mfs, mrootP) = fsOf(spark, manifestRoot)
+        mfs.listStatus(new Path(mrootP, ManifestDir)).iterator
+          .map(_.getPath.getName)
+          .collect { case VersionRe(v) => v.toLong }.toSeq.sorted
+    }
+    val keep = versions.takeRight(keepVersions)
+    val referenced = keep.flatMap { v =>
+      val m = metaAt(spark, manifestRoot, v)
+      metaKeys.flatMap(m.get)
+    }.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val prefixes = metaKeys.map(_ + "-")
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    fs.listStatus(storeP).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && prefixes.exists(n.startsWith) &&
+          !referenced.contains(n) && s.getModificationTime <= cutoff) {
+        fs.delete(s.getPath, true)
+        deleted += n
+      }
+    }
     deleted.toSeq
   }
 

@@ -82,4 +82,32 @@ class BlockingPlanSpec extends SparkSpec {
       ab, Seq("key_agree", "tok_agree"), iters = 5)
     assert(fit.count() == 4, "the FS fit must produce the 2^k pattern table")
   }
+
+  test("the all-pairs gold is guarded: over-cap input refuses loudly; the sampled mode prices a deterministic subset") {
+    import spark.implicits._
+    val recs = (0 until 500).flatMap { i =>
+      val base = hex(i) + "tail"
+      Seq(base + "ab", base + "qz")
+    }.toDF("name")
+    // a corpus above the cap must REFUSE — the n-squared gold pass on a
+    // non-sample is the one quadratic scale-killer the engine bans
+    val e = intercept[IllegalArgumentException] {
+      Extensions120.blockingPlan(recs, "name", maxSample = 100L)
+    }
+    assert(e.getMessage.contains("ALL-PAIRS") &&
+      e.getMessage.contains("blockingPlanSampled"),
+      s"the refusal must name the sampled entry point: ${e.getMessage}")
+    // the sampled entry point prices a deterministic md5 subset under the
+    // cap — same call twice, bit-identical card
+    val c1 = Extensions120.blockingPlanSampled(recs, "name", maxSample = 400L)
+      .collect().map(_.toSeq).toSeq
+    val c2 = Extensions120.blockingPlanSampled(recs, "name", maxSample = 400L)
+      .collect().map(_.toSeq).toSeq
+    assert(c1 == c2, "the md5 sample must replay bit-identically")
+    assert(c1.nonEmpty && c1.exists(_.last == true))
+    // under the cap the sampled mode IS the exact planner
+    val small = recs.filter(col("name") < "2")
+    assert(Extensions120.blockingPlanSampled(small, "name").collect().map(_.toSeq).toSeq ==
+      Extensions120.blockingPlan(small, "name").collect().map(_.toSeq).toSeq)
+  }
 }

@@ -103,6 +103,24 @@ class EventLogIvmSpec extends SparkSpec {
       "n redeliveries must fold exactly once each")
   }
 
+  test("an interleaved plain merge must not drop the last_batch watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm7").toString + "/snap"
+    val b1 = Seq((1L, 10L), (2L, 5L))
+    val manual = Seq((4L, 100L))
+    assert(EventLog.mergeAggregateOnce(batch(b1), dir, "user_id", aggs,
+      batchId = 0L, numBuckets = 4).isDefined)
+    // a plain (non-streaming) merge lands on the SAME snapshot — e.g. a
+    // batch backfill between micro-batches. It must carry the pinned
+    // meta forward: dropping last_batch here would re-enable the
+    // double-fold on the next redelivery.
+    EventLog.mergeAggregate(batch(manual), dir, "user_id", aggs, numBuckets = 4)
+    assert(EventLog.mergeAggregateOnce(batch(b1), dir, "user_id", aggs,
+      batchId = 0L, numBuckets = 4).isEmpty,
+      "redelivery after an interleaved plain merge must STILL be a no-op")
+    assert(snapshot(dir) == fullRecompute(b1 ++ manual),
+      "batch 0 must fold exactly once despite the interleaved merge")
+  }
+
   test("streaming aggregate snapshot end-to-end: sums survive double delivery") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

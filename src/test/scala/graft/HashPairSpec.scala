@@ -45,4 +45,16 @@ class HashPairSpec extends SparkSpec {
     }
     assert(viaPlan == direct)
   }
+
+  test("md5_pair60 is registered for SQL users and both lanes match the oracle form") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT md5_pair60('hello') AS p,
+                CAST(conv(substring(md5('hello'), 1, 15), 16, 10) AS LONG) AS r1,
+                CAST(conv(substring(md5('hello'), 16, 15), 16, 10) AS LONG) AS r2""")
+      .collect().head
+    val p = r.getSeq[Long](0)
+    assert(p(0) == r.getLong(1) && p(1) == r.getLong(2),
+      s"SQL md5_pair60 drifted from the conv(substr(md5)) oracle form: $r")
+  }
 }

@@ -96,4 +96,38 @@ class IvfStoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(served == truth, "compacted index must equal the never-had-them index")
   }
+
+  test("vacuumStore reclaims superseded quantizer dirs; the pinned version's survive") {
+    val root = tmpDir("ivfvacuum")
+    val centroids = Extensions3.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    IvfStore.writeIndex(emb, "vec_id", "embedding", centroids, root)
+    IvfStore.writeIndex(emb, "vec_id", "embedding", centroids, root) // supersedes v1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def centDirs(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.startsWith("centroids-")).toSet
+    assert(centDirs().size == 2, "each writeIndex lands a fresh quantizer dir")
+    val pinnedCent = graft.ops.StoreManifest.meta(spark, s"$root/index")("centroids")
+    // inside retention: nothing reclaims (a reader pinned to v1 keeps its
+    // quantizers until the clock passes)
+    val (f0, s0) = IvfStore.vacuumStore(spark, root)
+    assert(f0.isEmpty && s0.isEmpty, "young artifacts must survive default retention")
+    assert(centDirs().size == 2)
+    // retention passed: the superseded quantizer dir and v1's batch files
+    // reclaim; the live version still answers
+    val queries = emb.filter(col("vec_id") < 5)
+    val before = IvfStore.topKFromIndex(
+        spark, root, queries, "vec_id", "embedding", k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val (files, sidecars) = IvfStore.vacuumStore(spark, root, retentionMs = 0L)
+    assert(files.nonEmpty, "v1's superseded index files must reclaim")
+    assert(sidecars.size == 1 && !sidecars.contains(pinnedCent),
+      s"exactly the unreferenced quantizer dir reclaims: $sidecars (pinned $pinnedCent)")
+    assert(centDirs() == Set(pinnedCent))
+    val after = IvfStore.topKFromIndex(
+        spark, root, queries, "vec_id", "embedding", k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(after == before, "vacuum must not change a single answer")
+  }
 }

@@ -161,39 +161,135 @@ class StoreManifestSpec extends SparkSpec {
     assert(StoreManifest.meta(spark, root)("bands") == "16")
   }
 
-  test("a pre-manifest store is adopted on first access and then appendable") {
+  test("a pre-manifest store reads non-mutating; the first WRITE adopts it") {
     val root = tmpDir("manifest_legacy")
     // simulate a legacy store: cell-partitioned parquet directly under
-    // root (no _manifest), geometry in the old _geometry sidecar
-    import org.apache.spark.sql.functions.{lit => flit}
+    // root (no _manifest)
     Tables.load(spark, sf0001, "documents").filter(col("doc_id") < 50)
       .select(col("doc_id"), col("text"), (col("doc_id") % 4).cast("int").as("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(root)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!StoreManifest.hasManifest(spark, root))
-    // first manifest access adopts: files move under the legacy batch
-    // dir and version 1 publishes
-    val adopted = StoreManifest.files(spark, root)
-    assert(adopted.nonEmpty &&
-      adopted.forall(_.startsWith(StoreManifest.LegacyBatchDir)),
-      s"adoption must move every data file under the legacy batch dir: $adopted")
-    assert(StoreManifest.currentVersion(spark, root).contains(1L))
+    // read paths are PURE: the in-place files serve, nothing moves, no
+    // manifest publishes — a reader must never mutate the store it reads
+    // (two concurrent readers would race each other's renames otherwise)
+    val inPlace = StoreManifest.files(spark, root)
+    assert(inPlace.nonEmpty && inPlace.forall(!_.startsWith("batch=")),
+      s"legacy reads must serve files in place: $inPlace")
+    assert(!StoreManifest.hasManifest(spark, root),
+      "a pure read must not adopt (publish a manifest)")
     val rows = StoreManifest.readPinned(spark, root)
-    assert(rows.count() == 50, "every legacy row survives adoption")
+    assert(rows.count() == 50, "every legacy row is readable in place")
     assert(rows.columns.contains("cell"),
-      "partition columns survive the legacy move")
-    // adoption is idempotent: a second access re-reads, never re-adopts
-    assert(StoreManifest.files(spark, root) == adopted)
-    // and the adopted store accepts manifest-committed appends
+      "partition columns survive the in-place legacy read")
+    assert(StoreManifest.pin(spark, root)._2.isEmpty, "legacy pins carry no meta")
+    // the first WRITE (publish — single-writer contract) adopts: legacy
+    // entries move under the legacy batch dir and the incoming in-place
+    // paths are remapped, so the committed list and the files agree
     val batch2 = "batch=000002-test"
     Tables.load(spark, sf0001, "documents")
       .filter(col("doc_id") >= 50 && col("doc_id") < 60)
       .select(col("doc_id"), col("text"), (col("doc_id") % 4).cast("int").as("cell"))
       .write.partitionBy("cell").parquet(s"$root/$batch2")
     StoreManifest.publish(spark, root,
-      adopted ++ StoreManifest.listBatchFiles(spark, root, batch2))
+      inPlace ++ StoreManifest.listBatchFiles(spark, root, batch2))
+    assert(StoreManifest.currentVersion(spark, root).contains(1L))
+    val committed = StoreManifest.files(spark, root)
+    assert(committed.count(_.startsWith(StoreManifest.LegacyBatchDir)) == inPlace.size,
+      s"adoption must remap every in-place path under the legacy batch dir: $committed")
     assert(StoreManifest.readPinned(spark, root).count() == 60)
+    // explicit adoption on an already-manifest store is a no-op returning
+    // the current version
+    assert(StoreManifest.adoptLegacy(spark, root).contains(1L))
+  }
+
+  test("concurrent readers of a legacy store never mutate it or crash each other") {
+    val root = tmpDir("manifest_legacy_readers")
+    Tables.load(spark, sf0001, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 4).cast("int").as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(root)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val readers = (1 to 4).map(_ => new Thread(() => {
+      try (1 to 5).foreach { _ =>
+        counts.add(StoreManifest.readPinned(spark, root).count())
+      } catch { case t: Throwable => failures.add(t) }
+    }))
+    readers.foreach(_.start()); readers.foreach(_.join(120000))
+    assert(failures.isEmpty,
+      s"legacy readers must never race an implicit adoption: ${failures.peek()}")
+    import scala.jdk.CollectionConverters._
+    assert(counts.asScala.forall(_ == 40L))
+    assert(!StoreManifest.hasManifest(spark, root),
+      "20 reads must leave the legacy store physically untouched")
+  }
+
+  test("two racing publishers: exactly one wins, the loser fails loudly, a retry lands, readers never tear") {
+    val root = tmpDir("manifest_two_writers")
+    def docsBatch(lo: Int, hi: Int): String = {
+      val batch = StoreManifest.newBatchDirName(spark, root)
+      Tables.load(spark, sf0001, "documents")
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"), col("text"), (col("doc_id") % 4).cast("int").as("cell"))
+        .write.partitionBy("cell").parquet(s"$root/$batch")
+      batch
+    }
+    // seed v1
+    StoreManifest.publish(spark, root,
+      StoreManifest.listBatchFiles(spark, root, docsBatch(0, 50)))
+    assert(StoreManifest.currentVersion(spark, root).contains(1L))
+    // a TRUE conditional put (what object-store deployment swaps in),
+    // plus a one-shot barrier holding the first committer until the
+    // second has also selected its version — forcing both writers to
+    // contend for v2 deterministically instead of depending on thread
+    // scheduling
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val gated = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lock = new Object
+    val realPut = StoreManifest.commitPut
+    StoreManifest.commitPut = (fs, tmp, dest) => {
+      if (gated.incrementAndGet() <= 2)
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      lock.synchronized { if (fs.exists(dest)) false else fs.rename(tmp, dest) }
+    }
+    import scala.jdk.CollectionConverters._
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Long]]()
+    try {
+      val pinned = StoreManifest.files(spark, root)
+      val batchA = docsBatch(50, 60)
+      val batchB = docsBatch(60, 70)
+      def writer(name: String, batch: String) = new Thread(() => {
+        try {
+          val v = StoreManifest.publish(spark, root,
+            pinned ++ StoreManifest.listBatchFiles(spark, root, batch))
+          outcomes.put(name, Right(v))
+        } catch { case t: Throwable => outcomes.put(name, Left(t)) }
+      })
+      val (ta, tb) = (writer("A", batchA), writer("B", batchB))
+      ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+      val (wins, losses) = outcomes.asScala.values.toSeq.partition(_.isRight)
+      assert(wins.size == 1 && losses.size == 1,
+        s"exactly one writer must win the v2 commit: $outcomes")
+      assert(wins.head.toOption.get == 2L)
+      val loserErr = losses.head.swap.toOption.get
+      assert(loserErr.getMessage.contains("commit put failed"),
+        s"the loser must fail LOUDLY at the conditional put: $loserErr")
+      // the committed state is the winner's — a reader sees 60 rows, never
+      // a torn mix, and the loser's batch dir is an invisible orphan
+      assert(StoreManifest.readPinned(spark, root).count() == 60)
+      // the loser retries against the fresh pin and lands v3
+      val loserName = outcomes.asScala.collectFirst {
+        case (k, v) if v.isLeft => k }.get
+      val loserBatch = if (loserName == "A") batchA else batchB
+      val v3 = StoreManifest.publish(spark, root,
+        StoreManifest.files(spark, root) ++
+          StoreManifest.listBatchFiles(spark, root, loserBatch))
+      assert(v3 == 3L)
+      assert(StoreManifest.readPinned(spark, root).count() == 70)
+    } finally StoreManifest.commitPut = realPut
+    // vacuum over the post-race state: the final version references every
+    // surviving batch, so nothing live reclaims and the 70 rows survive
+    StoreManifest.vacuum(spark, root, keepVersions = 1, retentionMs = 0L)
+    assert(StoreManifest.readPinned(spark, root).count() == 70)
   }
 
   test("vacuum honors the retention clock: young files survive, aged files reclaim") {
