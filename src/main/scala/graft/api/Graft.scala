@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, Extensions113, Extensions114, Extensions115, Extensions116, Extensions117, Extensions118, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, Extensions113, Extensions114, Extensions115, Extensions116, Extensions117, Extensions118, Extensions120, Extensions121, Extensions122, Extensions123, Extensions124, Extensions125, Extensions126, Extensions127, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures, SketchStore}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -2312,17 +2312,23 @@ object Graft {
     * tie rule is spec-proven equal to the oracle's global rule.
     */
   def unigramPieces(corpus: DataFrame, textCol: String, maxK: Int = 6,
-      minCount: Long = 4, iters: Int = 2, topN: Int = 40): DataFrame =
-    Extensions116.unigramPieces(corpus, textCol, maxK, minCount, iters, topN)
+      minCount: Long = 4, iters: Int = 2, topN: Int = 40,
+      keepPermille: Int = 1000): DataFrame =
+    Extensions116.unigramPieces(corpus, textCol, maxK, minCount, iters, topN,
+      keepPermille)
 
   /** Per-document fertility card (pieces per word) under the trained
     * unigram vocabulary — the datasheet number; the x104 BPE fit
-    * report's sibling.
+    * report's sibling. `keepPermille < 1000` prices the PRUNED
+    * vocabulary (the SentencePiece EM-then-prune schedule, x268/x269):
+    * each EM round keeps that share of multi-char pieces by integer
+    * loss contribution before re-costing.
     */
   def unigramFertility(corpus: DataFrame, idCol: String, textCol: String,
-      maxK: Int = 6, minCount: Long = 4, iters: Int = 2): DataFrame =
+      maxK: Int = 6, minCount: Long = 4, iters: Int = 2,
+      keepPermille: Int = 1000): DataFrame =
     Extensions116.unigramFertility(corpus, idCol, textCol, maxK, minCount,
-      iters)
+      iters, keepPermille)
 
   /** Leave-one-group-out data valuation: retrain the integer-GD quality
     * classifier with each group's training rows removed and report the
@@ -2357,6 +2363,148 @@ object Graft {
     */
   def idempotentBatchSink(out: String): (DataFrame, Long) => Unit =
     graft.stream.IdempotentSink.into(out)
+
+  // ---- round-10/11 additions ------------------------------------------------
+
+  /** Blocking-family planner for record linkage: price FastSS
+    * deletion-1, prefix-filter, and sorted-neighborhood candidates on a
+    * calibration sample against an all-pairs Jaro–Winkler gold standard
+    * and mark the cheapest family meeting the recall target. Refuses
+    * inputs above `maxSample` (the gold pass is n² BY DESIGN — only a
+    * sample may pay it); [[blockingPlanSampled]] handles full corpora.
+    */
+  def blockingPlan(records: DataFrame, strCol: String,
+      jwThreshold: Double = 0.9, window: Int = 10,
+      tNum: Long = 1L, tDen: Long = 2L, targetRecall: Double = 0.9,
+      maxSample: Long = 50000L): DataFrame =
+    Extensions120.blockingPlan(records, strCol, jwThreshold, window,
+      tNum, tDen, targetRecall, maxSample)
+
+  /** [[blockingPlan]] over a deterministic md5-derived sample — the
+    * 100 TB entry point: the same corpus always prices the same sample.
+    */
+  def blockingPlanSampled(records: DataFrame, strCol: String,
+      jwThreshold: Double = 0.9, window: Int = 10,
+      tNum: Long = 1L, tDen: Long = 2L, targetRecall: Double = 0.9,
+      maxSample: Long = 50000L): DataFrame =
+    Extensions120.blockingPlanSampled(records, strCol, jwThreshold, window,
+      tNum, tDen, targetRecall, maxSample)
+
+  /** Winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS
+    * algorithm): per-window minimum gram hashes — ~1/w of the posting
+    * volume of full shingling, position-aware — bucket-joined into
+    * (doc_a, doc_b, n_shared) overlap pairs.
+    */
+  def winnowingPairs(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Long = 2L): DataFrame =
+    Extensions121.winnowingPairs(corpus, idCol, textCol, k, w, minShared)
+
+  /** Square-root temperature source mixing: exact integer
+    * largest-remainder quotas per source, deterministic md5-rank picks
+    * — the corpus-mixture materializer (quota math is O(sources)
+    * driver-side; the pick is a per-source partitioned rank).
+    */
+  def temperatureMix(corpus: DataFrame, idCol: String, srcCol: String,
+      totalTarget: Long): DataFrame =
+    Extensions121.temperatureMix(corpus, idCol, srcCol, totalTarget)
+
+  /** Deterministic Poisson-bootstrap mean CI (Chamandy et al.):
+    * per-(row, replica) Poisson(1) weights by inverse CDF on md5
+    * uniforms (one digest feeds TWO replicas via [[graft.functions.HashFunctions.md5_pair60]]),
+    * partial sums collapse map-side — never B·N rows through a shuffle.
+    */
+  def bootstrapMeanCi(rel: DataFrame, groupCol: String, valCol: String,
+      idCol: String): DataFrame =
+    Extensions122.bootstrapMeanCi(rel, groupCol, valCol, idCol)
+
+  /** Inverse-propensity ATT (Hájek form): the x94 integer-GD propensity
+    * over hashed text features, clipped odds reweighting of controls,
+    * self-normalized — the model-based estimator next to CEM matching.
+    */
+  def ipwAtt(labeled: DataFrame, idCol: String, textCol: String,
+      treatCol: String, outcomeCol: String, iters: Int = 8,
+      clipLoMicro: Long = 10000L, clipHiMicro: Long = 990000L): DataFrame =
+    Extensions123.ipwAtt(labeled, idCol, textCol, treatCol, outcomeCol,
+      iters, clipLoMicro, clipHiMicro)
+
+  /** Weight-of-evidence / Information-Value audit per bucket of a
+    * candidate feature against a binary label (Siddiqi 2006) —
+    * Laplace-smoothed, integer micro arithmetic to the single ln.
+    */
+  def woeIvCard(rel: DataFrame, bucketCol: String, labelCol: String): DataFrame =
+    Extensions124.woeIvCard(rel, bucketCol, labelCol)
+
+  /** K-fold cross-validation of the integer-GD quality classifier:
+    * hash-stable id%k folds, K trainings over ONE featurization,
+    * per-fold exact Brier + half-up mean and max−min spread — one
+    * holdout number becomes mean ± spread.
+    */
+  def kFoldCv(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, k: Int = 5, iters: Int = 8): DataFrame =
+    Extensions125.kFoldCv(labeled, idCol, textCol, labelCol, k, iters)
+
+  /** XML interchange fidelity card: the table through the built-in XML
+    * source and back (pinned schema, µs timestampFormat — the default
+    * truncates to millis), aggregated post-round-trip. Compare against
+    * the same aggregate on the original to prove lossless ingest.
+    */
+  def xmlRoundTripCard(events: DataFrame,
+      scratchDir: Option[String] = None): DataFrame =
+    Extensions126.xmlRoundTripCard(events, scratchDir)
+
+  /** ORC interchange fidelity card — [[xmlRoundTripCard]]'s sibling for
+    * the second enterprise columnar format.
+    */
+  def orcRoundTripCard(events: DataFrame,
+      scratchDir: Option[String] = None): DataFrame =
+    Extensions127.orcRoundTripCard(events, scratchDir)
+
+  /** Exactly-once incremental aggregate merge for `foreachBatch`: the
+    * applied-batch watermark commits INSIDE the same manifest rename as
+    * the merged buckets — no data-vs-marker window exists; redelivered
+    * micro-batches are no-ops. Returns the touched buckets, or None
+    * when the batch had already been applied.
+    */
+  def mergeAggregateOnce(newRows: DataFrame, snapshotPath: String,
+      idCol: String, aggs: Seq[(String, String, String)], batchId: Long,
+      numBuckets: Int = 64): Option[Set[Int]] =
+    graft.log.EventLog.mergeAggregateOnce(newRows, snapshotPath, idCol,
+      aggs, batchId, numBuckets)
+
+  /** Measured watermark planning: price candidate delay bounds against
+    * an arrival-history sample and return the smallest bound meeting
+    * the late-drop target (with its predicted drops) — the x246 lateness
+    * card wired into the parameter it prices.
+    */
+  def plannedWatermark(history: DataFrame, arrivalCol: String, tsCol: String,
+      batchSize: Long, boundsMinutes: Seq[Long],
+      targetDropShare: Double): (Long, Long) =
+    Materializer.plannedWatermark(history, arrivalCol, tsCol, batchSize,
+      boundsMinutes, targetDropShare)
+
+  /** Streaming windowed counts under a [[plannedWatermark]]-chosen
+    * delay; returns the delay so the caller can log the decision.
+    */
+  def windowedCountsPlanned(events: Dataset[Event], history: DataFrame,
+      arrivalCol: String, batchSize: Long, boundsMinutes: Seq[Long],
+      targetDropShare: Double, windowLen: String = "1 hour"): (DataFrame, Long) =
+    Materializer.windowedCountsPlanned(events, history, arrivalCol,
+      batchSize, boundsMinutes, targetDropShare, windowLen)
+
+  /** Store-level vacuum for a persisted IVF index: superseded batch
+    * files AND the versioned centroid sidecar dirs no surviving
+    * manifest names, under the retention clock.
+    */
+  def ivfVacuumStore(spark: SparkSession, path: String, keepVersions: Int = 1,
+      retentionMs: Long = graft.ops.StoreManifest.DefaultRetentionMs): (Seq[String], Seq[String]) =
+    IvfStore.vacuumStore(spark, path, keepVersions, retentionMs)
+
+  /** Store-level vacuum for a persisted PQ store: superseded code
+    * batches AND unreferenced centroid/codebook sidecar dirs.
+    */
+  def pqVacuumStore(spark: SparkSession, path: String, keepVersions: Int = 1,
+      retentionMs: Long = graft.ops.StoreManifest.DefaultRetentionMs): (Seq[String], Seq[String]) =
+    PqStore.vacuumStore(spark, path, keepVersions, retentionMs)
 
   // ---- authorization (P5) --------------------------------------------------
 

@@ -331,4 +331,68 @@ class ApiSpec extends SparkSpec {
     val up = Graft.epochUpsample(docs, "doc_id", "source", Map("src0" -> 2))
     assert(up.count() > docs.count())
   }
+
+  test("round-10/11 facade surface: planners, causal tier, interchange cards, exactly-once merge") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val events = graft.model.Tables.load(spark, sf0001, "events")
+    // blocking planner: prices three families, marks exactly one chosen;
+    // refuses over-cap input loudly; the sampled mode handles it
+    val parts = spark.read.parquet(s"$sf0001/part.parquet")
+    val plan = Graft.blockingPlan(parts, "p_name").collect()
+    assert(plan.length == 3 && plan.count(_.getBoolean(5)) == 1)
+    intercept[IllegalArgumentException] {
+      Graft.blockingPlan(parts, "p_name", maxSample = 5L)
+    }
+    assert(Graft.blockingPlanSampled(parts, "p_name", maxSample = 5L)
+      .collect().length == 3)
+    // winnowing fingerprint overlap finds the corpus near-dups
+    assert(Graft.winnowingPairs(docs, "doc_id", "text").count() > 0)
+    // temperature mix: the per-source quotas sum EXACTLY to the target
+    // (largest-remainder) and every quota was actually selected
+    val mix = Graft.temperatureMix(docs, "doc_id", "source", 100L).collect()
+    assert(mix.map(_.getAs[Long]("n_selected")).sum == 100L)
+    assert(mix.forall(r => r.getAs[Long]("n_selected") == r.getAs[Long]("quota")))
+    // bootstrap CI brackets the group mean
+    val ci = Graft.bootstrapMeanCi(events, "event_type", "value", "event_id")
+    ci.collect().foreach { r =>
+      val (lo, mean, hi) = (r.getAs[Long]("ci_lo_micro"),
+        r.getAs[Long]("mean_micro"), r.getAs[Long]("ci_hi_micro"))
+      assert(lo <= mean && mean <= hi, s"CI must bracket the mean: $r")
+    }
+    // causal/eval tier over an arbitrary labeled schema
+    val labeled = docs.selectExpr("doc_id AS rid", "text AS body",
+      "CAST(doc_id % 2 AS INT) AS flag", "CAST(n_chars AS LONG) AS outcome")
+    assert(Graft.ipwAtt(labeled, "rid", "body", "flag", "outcome", iters = 2)
+      .count() == 1L)
+    val woe = Graft.woeIvCard(
+      docs.selectExpr("CAST(n_chars % 4 AS LONG) AS bkt", "CAST(doc_id % 2 AS INT) AS y"),
+      "bkt", "y")
+    assert(woe.count() == 4L)
+    val cv = Graft.kFoldCv(labeled.withColumnRenamed("flag", "y"),
+      "rid", "body", "y", k = 3, iters = 2).collect()
+    assert(cv.nonEmpty)
+    // interchange fidelity: both cards equal the same aggregate on the
+    // ORIGINAL table
+    val orig = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        sum(col("event_id")).as("sum_ids"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+    assert(Graft.xmlRoundTripCard(events).collect().map(_.toSeq).toSeq == orig)
+    assert(Graft.orcRoundTripCard(events).collect().map(_.toSeq).toSeq == orig)
+    // exactly-once merge through the facade: redelivery is a no-op
+    val snap = tmpDir("api_merge_once") + "/snap"
+    val aggs = Seq(("n", "v", "count"), ("total", "v", "sum"))
+    val b = Seq((1L, 5L), (2L, 7L)).toDF("uid", "v")
+    assert(Graft.mergeAggregateOnce(b, snap, "uid", aggs, 0L).isDefined)
+    assert(Graft.mergeAggregateOnce(b, snap, "uid", aggs, 0L).isEmpty)
+    // planned watermark picks from the offered bounds
+    val hist = events.selectExpr(
+      "CAST(unix_micros(ts) / 1000000 AS LONG) AS arr", "ts AS evt_ts")
+    val (delay, _) = Graft.plannedWatermark(hist, "arr", "evt_ts",
+      batchSize = 3600L, boundsMinutes = Seq(1L, 5L, 30L), targetDropShare = 0.5)
+    assert(Seq(1L, 5L, 30L).contains(delay))
+  }
 }
