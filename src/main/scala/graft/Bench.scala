@@ -8,7 +8,7 @@ object Bench {
     * returning name -> times. Shared by the in-suite pass and the
     * isolated child JVMs.
     */
-  private def timeQueries(
+  private[graft] def timeQueries(
       spark: SparkSession, sfDir: String, repeats: Int,
       only: Option[Set[String]],
       failed: scala.collection.mutable.LinkedHashSet[String]): Seq[(String, Seq[Double])] = {
@@ -201,7 +201,21 @@ object Bench {
       case Some(m) => jsonMap(slowNames.flatMap(n => m.get(n).map(n -> fmt(_))))
       case None => "{}"
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"isolated_min":$isoJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+    // The sf1 scaling audit (graft.ScalingAudit: the slowest queries at
+    // sf0.1 AND a synthesized 10× sf1, per-query scaling exponents) rides
+    // along whole so the round artifact answers the 100×-question with
+    // measurements, not plan-shape argument. Regenerate with
+    // `runMain graft.ScalingAudit`; absent file → empty object.
+    val scalingPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_FILE", "scaling.json")
+    val scalingJson = try {
+      val f = new java.io.File(scalingPath)
+      if (f.exists()) {
+        val raw = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+        if (raw.startsWith("{")) raw else "{}"
+      } else "{}"
+    } catch { case _: Throwable => "{}" }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"isolated_min":$isoJson,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
     // The FULL per-query artifact as a standalone file: the driver's tail
     // capture truncates the line above past ~56 queries, leaving 84% of
     // queries invisible to cross-round regression triage (round-9 item 7).
@@ -227,7 +241,7 @@ object Bench {
         s"\"" + k + "\":{\"min\":" + fmt(v.min) + ",\"med\":" + fmt(med(v)) + iso + "}"
       }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"bench_full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"sf1_scaling":$scalingJson,"bench_full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
