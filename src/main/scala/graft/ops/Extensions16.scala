@@ -115,7 +115,7 @@ object Extensions16 {
     stripDuplicateSpans(docs(s, dir), "doc_id", "text", n = 5)
       .orderBy(col("doc_id"))
 
-  private val x68OracleSql: String = {
+  private[ops] val x68OracleSql: String = {
     val n = 5
     s"""
       WITH d AS (SELECT doc_id, text,
