@@ -92,6 +92,33 @@ object Extensions106 {
     knnClassifierEval(Tables.load(s, dir, "embeddings"),
       "vec_id", "embedding", "label", queryMod = 5)
 
+  /** [[knnClassifierEval]] with the query COUNT budgeted instead of the
+    * query SHARE: `queryMod` derives as ceil(n / maxQueries), so the
+    * scored relation is candidates × (≤ maxQueries) rows — LINEAR in
+    * the corpus where a fixed mod stays quadratic (the sf1 scaling
+    * audit measured x241 at exponent 1.89; this form measures ~1).
+    * Statistically this is the honest way a LOO eval prices a growing
+    * corpus: the accuracy estimate's error depends on the query COUNT,
+    * not the query share, so holding the count buys linear cost at
+    * constant precision.
+    */
+  def knnClassifierEvalBudgeted(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int = 5, maxQueries: Long = 1000L): DataFrame = {
+    require(maxQueries >= 1)
+    val n = emb.count()
+    val mod = math.max(1L, (n + maxQueries - 1L) / maxQueries).toInt
+    knnClassifierEval(emb, idCol, vecCol, labelCol, k, queryMod = mod)
+  }
+
+  /** x283: the budgeted LOO eval at maxQueries = 1000 — at sf0.1's
+    * 5000 vectors the derived mod is 5, so it answers IDENTICALLY to
+    * x241 there while scaling linearly past it.
+    */
+  def x283KnnEvalBudgeted(s: SparkSession, dir: String): DataFrame =
+    knnClassifierEvalBudgeted(Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", maxQueries = 1000L)
+
   private val x241OracleSql: String = """
       WITH base AS (
         SELECT vec_id AS id, label,
@@ -232,11 +259,21 @@ object Extensions106 {
       SELECT n_pairs, n_leaky_before, n_docs_moved, n_leaky_after
       FROM before_t CROSS JOIN moved_t CROSS JOIN after_t"""
 
+  /** x283's oracle is x241's with the fixed 1-in-5 sample replaced by
+    * the same derived ceil(n/1000) modulus — the oracle computes the
+    * budget from its own count, exactly as the engine does.
+    */
+  private val x283OracleSql: String = x241OracleSql.replace(
+    "q.id % 5 = 0",
+    "q.id % greatest((SELECT (count(*) + 999) // 1000 FROM base), 1) = 0")
+
   val oracles: Map[String, String] = Map(
     "x241_knn_eval" -> x241OracleSql,
-    "x243_split_leakage" -> x243OracleSql)
+    "x243_split_leakage" -> x243OracleSql,
+    "x283_knn_eval_budgeted" -> x283OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x241_knn_eval" -> (x241KnnEval _),
-    "x243_split_leakage" -> (x243SplitLeakage _))
+    "x243_split_leakage" -> (x243SplitLeakage _),
+    "x283_knn_eval_budgeted" -> (x283KnnEvalBudgeted _))
 }

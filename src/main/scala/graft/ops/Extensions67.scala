@@ -134,8 +134,20 @@ object Extensions67 {
         min(col("doc_id")).over(Window.partitionBy(col("digest"))))
         .filter(col("doc_id") === col("keep_id"))
         .select(col("doc_id"), col("text"), col("n_tok")))
-    val nearPairs = Extensions.jaccardPairs(exact, "doc_id", "text",
-      nearThreshold)
+    // Near-stage re-plan (sf1 scaling audit: exponent 1.28 before): the
+    // x02 full-index pair join self-joins every shingle bucket, and ONE
+    // corpus-wide boilerplate shingle — exactly what dedup exists to
+    // fight — makes that bucket quadratic in the corpus. Route through
+    // the provably-lossless x253 prefix filter: each doc's prefix keeps
+    // only its RAREST shingles, so the hot term never seeds candidates,
+    // and verify is per-candidate set intersection. Threshold
+    // equivalence is exact, not approximate: round4(j) >= T  <=>
+    // j >= T - 0.00005  <=>  the integer filter at (T·100000 − 5)/100000
+    // — same pairs, bit-identical card (the x167 oracle still replays
+    // the full-index join and must hash-match).
+    val tNum = math.round(nearThreshold * 100000.0) - 5L
+    val nearPairs = Extensions111.prefixFilterJaccardPairs(
+      exact, "doc_id", "text", tNum, 100000L, shingleSize = 5)
     val near = exact.join(
       nearPairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
