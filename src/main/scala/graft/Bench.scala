@@ -224,7 +224,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(new java.io.File(fullPath), "UTF-8")
       try w.println(
-        s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"isolated_min":$isoJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"isolated_min":$isoJson,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")

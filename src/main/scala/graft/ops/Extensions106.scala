@@ -111,13 +111,15 @@ object Extensions106 {
     knnClassifierEval(emb, idCol, vecCol, labelCol, k, queryMod = mod)
   }
 
-  /** x283: the budgeted LOO eval at maxQueries = 1000 — at sf0.1's
-    * 5000 vectors the derived mod is 5, so it answers IDENTICALLY to
-    * x241 there while scaling linearly past it.
+  /** x283: the budgeted LOO eval at maxQueries = 250 — the fixture
+    * binding of the linear scale path (derived mod: 2 at sf0.01's 500
+    * vectors, 8 at sf0.1's 2000, 80 at the synthesized sf1's 20000 —
+    * the query count stays ≤ 250 while x241's fixed 1-in-5 share grows
+    * with the corpus).
     */
   def x283KnnEvalBudgeted(s: SparkSession, dir: String): DataFrame =
     knnClassifierEvalBudgeted(Tables.load(s, dir, "embeddings"),
-      "vec_id", "embedding", "label", maxQueries = 1000L)
+      "vec_id", "embedding", "label", maxQueries = 250L)
 
   private val x241OracleSql: String = """
       WITH base AS (
@@ -265,7 +267,7 @@ object Extensions106 {
     */
   private val x283OracleSql: String = x241OracleSql.replace(
     "q.id % 5 = 0",
-    "q.id % greatest((SELECT (count(*) + 999) // 1000 FROM base), 1) = 0")
+    "q.id % greatest((SELECT (count(*) + 249) // 250 FROM base), 1) = 0")
 
   val oracles: Map[String, String] = Map(
     "x241_knn_eval" -> x241OracleSql,
