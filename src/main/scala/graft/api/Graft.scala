@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, Extensions113, Extensions114, Extensions115, Extensions116, Extensions117, Extensions118, Extensions120, Extensions121, Extensions122, Extensions123, Extensions124, Extensions125, Extensions126, Extensions127, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, Extensions113, Extensions114, Extensions115, Extensions116, Extensions117, Extensions118, Extensions120, Extensions121, Extensions122, Extensions123, Extensions124, Extensions125, Extensions126, Extensions127, Extensions128, Extensions129, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures, SketchStore}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -2505,6 +2505,71 @@ object Graft {
   def pqVacuumStore(spark: SparkSession, path: String, keepVersions: Int = 1,
       retentionMs: Long = graft.ops.StoreManifest.DefaultRetentionMs): (Seq[String], Seq[String]) =
     PqStore.vacuumStore(spark, path, keepVersions, retentionMs)
+
+  /** Span-strip exactness card: x68's hashed-gram strip measured
+    * against planted exact-substring truth (strippable plant, sub-gram
+    * plant, never-dup filler) — false/missed token counts, byte strip,
+    * ppm rates.
+    */
+  def spanExactnessCard(spark: SparkSession, tablesDir: String): DataFrame =
+    Extensions127.spanExactnessCard(spark, tablesDir)
+
+  /** BLEU components + ROUGE-N recall of each doc's span-stripped text
+    * against its original — what the strip cost in n-gram fidelity.
+    */
+  def stripFidelityCard(corpus: DataFrame, idCol: String, textCol: String,
+      stripN: Int = 5): DataFrame =
+    Extensions128.stripFidelityCard(corpus, idCol, textCol, stripN)
+
+  /** Common-neighbor link-prediction scores (CN / resource allocation /
+    * Adamic–Adar / preferential attachment) over the one-mode right
+    * projection of a bipartite edge table.
+    */
+  def linkPredictionScores(edges: DataFrame, leftCol: String, rightCol: String,
+      minCommon: Long = 2L): DataFrame =
+    Extensions128.linkPredictionScores(edges, leftCol, rightCol, minCommon)
+
+  /** Simplified-Soundex phonetic key of a lowercase alpha token —
+    * the fourth record-linkage blocking family.
+    */
+  def phoneticKey(c: Column): Column = Extensions128.phoneticKey(c)
+
+  /** Bucket-size / candidate-volume card of [[phoneticKey]] blocking
+    * over a name column's first tokens.
+    */
+  def phoneticBlockingCard(records: DataFrame, strCol: String): DataFrame =
+    Extensions128.phoneticBlockingCard(records, strCol)
+
+  /** LOO kNN eval with the query COUNT budgeted (mod = ceil(n /
+    * maxQueries)) — linear in the corpus at constant estimate
+    * precision, vs the exact-quadratic truth baseline.
+    */
+  def knnClassifierEvalBudgeted(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 5, maxQueries: Long = 1000L): DataFrame =
+    Extensions106.knnClassifierEvalBudgeted(emb, idCol, vecCol, labelCol, k,
+      maxQueries)
+
+  /** Damped Holt forecast over a daily count series — all-integer micro
+    * recursion, horizon ≤ 12; (h, yhat_micro, level_micro, trend_micro).
+    */
+  def holtDampedForecast(events: DataFrame, tsCol: String,
+      horizon: Int = 7): DataFrame =
+    Extensions129.holtDampedForecast(events, tsCol, horizon)
+
+  /** Truncated harmonic centrality from md5-sampled pivots (exact
+    * multi-source BFS, Σ half-up 10^6/d).
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      nPivots: Int = 8, maxHops: Int = 8): DataFrame =
+    Extensions129.harmonicCentrality(edges, srcCol, dstCol, nPivots, maxHops)
+
+  /** Deterministic shard-replication scale-up of the test tables
+    * (disjoint keyspaces, per-replica token prefixes) — the synthesis
+    * behind the sf1 scaling audit.
+    */
+  def synthesizeScaled(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int = 10): Unit =
+    graft.ScaleUp.synthesize(spark, baseDir, outDir, factor)
 
   // ---- authorization (P5) --------------------------------------------------
 

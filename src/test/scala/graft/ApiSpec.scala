@@ -395,4 +395,23 @@ class ApiSpec extends SparkSpec {
       batchSize = 3600L, boundsMinutes = Seq(1L, 5L, 30L), targetDropShare = 0.5)
     assert(Seq(1L, 5L, 30L).contains(delay))
   }
+
+  test("round-11 facade surface: fidelity, link scores, phonetic key, forecast, centrality") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(Graft.stripFidelityCard(docs, "doc_id", "text").count() == docs.count())
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("l", "r")
+    val lp = Graft.linkPredictionScores(edges, "l", "r").collect()
+    assert(lp.length == 1 && lp.head.getAs[Long]("common") == 2L)
+    assert(Seq("smith").toDF("w")
+      .select(Graft.phoneticKey(col("w"))).head().getString(0) == "s53" + "0")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    assert(Graft.knnClassifierEvalBudgeted(emb, "vec_id", "embedding", "label",
+      maxQueries = 100L).count() > 0)
+    val ev = graft.model.Tables.load(spark, sf0001, "events")
+    val fc = Graft.holtDampedForecast(ev, "ts", horizon = 3).collect()
+    assert(fc.length == 3 && fc.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val hc = Graft.harmonicCentrality(edges, "l", "r", nPivots = 2)
+    assert(hc.count() > 0)
+  }
 }
