@@ -91,12 +91,48 @@ object Extensions102 {
     * (doc_a, doc_b, jaccard), doc_a < doc_b. `gramSampleMod` > 1
     * switches to the winnowed estimate (see [[charGramIndexOf]]) — the
     * production dial for corpora where ~1 gram/codepoint is real money.
+    *
+    * Re-plan (sf1 scaling audit: exponent 1.82 through the full-index
+    * bucket self-join): codepoint grams are LOW-cardinality — common
+    * substrings recur corpus-wide far more than word shingles do, so
+    * hot gram buckets grow with the corpus and the bucket self-join
+    * goes quadratic exactly where boilerplate lives. Candidates now
+    * come from the x253 lossless prefix filter over the per-doc gram
+    * HASH sets (each doc's prefix keeps only its globally-RAREST
+    * grams, so a hot gram never seeds a candidate) and verify is a
+    * per-candidate array intersection. Threshold equivalence is exact:
+    * round4(j) >= T  <=>  the integer prefix bound at (T·10^5 − 5)/10^5
+    * — the x232 oracle (full-index replay) still hash-matches.
+    * Re-measured exponent after the re-plan: see scaling.json.
     */
   def charGramJaccardPairs(
       corpus: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.4, n: Int = 10, gramSampleMod: Int = 1): DataFrame =
-    Extensions.exactJaccardFromIndex(
-      charGramIndexOf(corpus, idCol, textCol, n, gramSampleMod), threshold)
+      threshold: Double = 0.4, n: Int = 10, gramSampleMod: Int = 1): DataFrame = {
+    val sampled =
+      if (gramSampleMod == 1) charGramsOf(col("ct"), n)
+      else filter(charGramsOf(col("ct"), n), g =>
+        pmod(graft.functions.HashFunctions.md5_bucket60(g),
+          lit(gramSampleMod.toLong)) === 0L)
+    // the same pre-explode materialization as charGramIndexOf (pins the
+    // gram expression to one evaluation); terms travel as 8-byte hashes
+    val sets = Extensions.materialized(
+      Extensions.rebalanced(corpus, idCol)
+        .select(col(idCol).as("doc_id"), lower(col(textCol)).as("ct"))
+        .filter(length(col("ct")) > 0)
+        .select(col("doc_id"), transform(sampled, g => xxhash64(g)).as("tk"))
+        .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("sz")))
+    val tNum = math.round(threshold * 100000.0) - 5L
+    Extensions111.prefixCandidates(sets, tNum, 100000L)
+      .join(sets.select(col("doc_id").as("doc_a"), col("tk").as("tka"),
+        col("sz").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("tk").as("tkb"),
+        col("sz").as("nb")), Seq("doc_b"))
+      .withColumn("shared", size(array_intersect(col("tka"), col("tkb"))).cast("long"))
+      .withColumn("jaccard",
+        Extensions.round4o(col("shared") / (col("na") + col("nb") - col("shared"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** Script-routed near-dup pairs: documents whose space share is below
     * `spaceShareMin` (unsegmented scripts — CJK text has essentially no
