@@ -105,6 +105,33 @@ object Bench {
     * is answerable only by this number. Returns None when forking is
     * unavailable (classpath not visible, java binary missing).
     */
+  /** Structural balance check for a JSON blob about to be spliced
+    * verbatim into the bench artifact: every `{`/`[` closed, none
+    * over-closed, no unterminated string — counted OUTSIDE string
+    * literals (a brace inside a note string is content, not structure).
+    * Not a full parser; exactly the guard the splice needs against a
+    * truncated or half-written scaling.json.
+    */
+  private[graft] def jsonBalanced(s: String): Boolean = {
+    var depth = 0; var inStr = false; var esc = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1; if (depth < 0) return false
+        case _ =>
+      }
+      i += 1
+    }
+    depth == 0 && !inStr
+  }
+
   private def runIsolated(names: Seq[String]): Option[Map[String, Double]] = {
     if (names.isEmpty) return Some(Map.empty)
     try {
@@ -212,7 +239,20 @@ object Bench {
       if (f.exists()) {
         val raw = new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
-        if (raw.startsWith("{")) raw else "{}"
+        // A truncated or half-written file (ScalingAudit is a separate
+        // main) must not corrupt the bench artifact it gets spliced into:
+        // require balanced braces/brackets outside strings, not just a
+        // leading '{' (round-11 advice). Staleness is made visible by
+        // recording the file's mtime alongside.
+        if (raw.startsWith("{") && raw.endsWith("}") && jsonBalanced(raw)) {
+          val mtime = java.time.Instant.ofEpochMilli(f.lastModified()).toString
+          val inner = raw.substring(1, raw.length - 1).trim
+          val sep = if (inner.isEmpty) "" else ","
+          "{" + inner + sep + s""""file_mtime":"$mtime"}"""
+        } else {
+          System.err.println(s"[bench] $scalingPath is not balanced JSON; skipping embed")
+          "{}"
+        }
       } else "{}"
     } catch { case _: Throwable => "{}" }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"isolated_min":$isoJson,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
@@ -229,19 +269,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
-    // The driver keeps only the TAIL of stdout, and the full line above
-    // grows with the query count — round 4's artifact lost the leading
-    // "total" field to truncation. Emit a compact summary as the FINAL
-    // line so any tail capture still contains the verdict-relevant
-    // numbers (total min+median, count, errors, top-5 slowest with
-    // in-suite min+median AND the isolated fresh-JVM min).
+    // The driver keeps only the TAIL of stdout (last ~2000 bytes), and
+    // the full line above grows with the query count — round 4's artifact
+    // lost the leading "total" field to truncation, and round 11's lost
+    // the ENTIRE parse when the embedded scaling.json (6.8 KB) pushed the
+    // final line past the window (BENCH_r11 parsed: null). Emit a compact
+    // summary as the FINAL line — total min+median, count, errors, top-5
+    // slowest — with sf1_scaling as a POINTER to bench_full.json, never
+    // the blob itself; the full section lives only in the file artifacts.
     val slowest = results.sortBy { case (_, v) => -v.min }.take(5)
       .map { case (k, v) =>
         val iso = isolated.flatMap(_.get(k)).map(d => ",\"iso\":" + fmt(d)).getOrElse("")
         s"\"" + k + "\":{\"min\":" + fmt(v.min) + ",\"med\":" + fmt(med(v)) + iso + "}"
       }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"sf1_scaling":$scalingJson,"bench_full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"sf1_scaling":"$fullPath","bench_full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

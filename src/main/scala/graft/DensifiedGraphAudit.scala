@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The graph tier's densification blind spot, closed with a real
+  * fixture (round-11 verdict item 4): [[ScaleUp]]'s disjoint-shard
+  * replication is exact for sharded growth but OPTIMISTIC for a single
+  * connected graph that densifies as it grows — the round-11 synthesis
+  * calibration measured x99's shard exponent at 0.21× the real-data
+  * cost ratio. This generator builds a deterministic preferential-
+  * attachment graph (Barabási–Albert 1999) whose hubs grow ~√V, so
+  * wedge volume Σd² grows ~V·ln V and triangle/common-neighbor work
+  * densifies the way a real social/purchase graph does; the audit then
+  * measures each graph operator at V and factor·V and records a SECOND
+  * exponent column (`densified`) next to the shard-replication one.
+  *
+  * Determinism: no RNG anywhere. Node i's j-th edge targets
+  * ⌊u²·i⌋ where u = md5-lane(i, j)/2^60 — u² replays the BA index CDF
+  * P(target ≤ k | time i) = √(k/i) (a node drawn proportionally to
+  * degree at time i is, in expectation, the endpoint of a uniformly
+  * random earlier edge; over the BA degree profile d_k ∝ √(i/k) that
+  * CDF integrates to √(k/i)). Expected degree of node k ends at
+  * ~m·√(V/k): a true heavy-tail hub profile, single giant component
+  * (every node chains to the low-id core).
+  */
+object DensifiedGraph {
+
+  /** Deterministic BA-like edge list: nodes 1..nNodes−1 each emit `m`
+    * edges to strictly-lower ids (node 0 is the seed). Multi-edges can
+    * arise (the ops' `.distinct()` normalizes, as with any raw edge
+    * table); self-loops cannot (⌊u²·i⌋ < i for u < 1).
+    */
+  def edges(spark: SparkSession, nNodes: Long, m: Int = 4): DataFrame = {
+    require(nNodes >= 2 && m >= 1)
+    val u = graft.functions.HashFunctions.md5_bucket60(
+      concat(col("src").cast("string"), lit(":"), col("j").cast("string"),
+        lit(":pa"))).cast("double") / lit(1.152921504606847e18) // 2^60
+    spark.range(1L, nNodes)
+      .select(col("id").as("src"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .withColumn("dst", floor(u * u * col("src")).cast("long"))
+      .select(col("src"), col("dst"))
+  }
+
+  /** md5-bucketed 50-community labels over the node set — input for
+    * the communityMetrics probe (the label GEOMETRY is arbitrary; the
+    * cost being measured is the edge-side join + per-community aggs).
+    */
+  def labels(nodes: DataFrame): DataFrame =
+    nodes.select(col("node"),
+      pmod(graft.functions.HashFunctions.md5_bucket60(
+        concat(col("node").cast("string"), lit(":comm"))), lit(50L))
+        .as("comm"))
+}
+
+/** Times each graph operator on [[DensifiedGraph]] at `baseNodes` and
+  * `factor`·`baseNodes` in ONE session and writes per-op densified
+  * exponents to `SPARK_GRAFT_DENSIFIED_FILE` (default densified.json)
+  * — merged into scaling.json's `densified` key by the round tooling
+  * so the bench artifact carries both columns. Ops are keyed by the
+  * oracle query they back, so the two exponent columns line up.
+  */
+object DensifiedGraphAudit {
+
+  private def fmt(d: Double): String = BigDecimal(d)
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The probes: each builds its result from a raw (src, dst) edge
+    * relation exactly as the fixture-bound query does. kept in one
+    * place so the worklist is auditable.
+    */
+  def probes: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "x96_pagerank" -> (e => graft.ops.Extensions28.pageRank(e, "src", "dst")),
+    "x99_triangles" -> (e => graft.ops.Extensions29.triangleCounts(e, "src", "dst")),
+    "x122_kcore" -> (e => graft.ops.Extensions45.kCore(e, "src", "dst")),
+    "x132_assortativity" -> (e => graft.ops.Extensions50.assortativity(e, "src", "dst")),
+    "x133_community_metrics" -> (e => graft.ops.Extensions50.communityMetrics(
+      e, DensifiedGraph.labels(
+        e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node")))
+          .distinct()),
+      "src", "dst", "node", "comm")),
+    "x147_hits" -> (e => graft.ops.Extensions57.hits(e, "src", "dst")),
+    "x281_link_prediction" -> (e => graft.ops.Extensions128
+      .linkPredictionScores(e, "src", "dst")),
+    "x285_harmonic_centrality" -> (e => graft.ops.Extensions129
+      .harmonicCentrality(e, "src", "dst")))
+
+  def main(args: Array[String]): Unit = {
+    val baseNodes = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_NODES", "30000").toLong
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val m = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_M", "4").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPEATS", "1").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_FILE", "densified.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val only = if (args.nonEmpty) Some(args.toSet) else None
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // materialize both edge tables ONCE (parquet scratch) so generator
+    // cost never pollutes the operator timing, and both sizes read the
+    // same physical format
+    val scratch = sys.props("java.io.tmpdir").stripSuffix("/") +
+      s"/graft_densified_${spark.sparkContext.applicationId}"
+    DensifiedGraph.edges(spark, baseNodes, m)
+      .write.mode("overwrite").parquet(s"$scratch/base")
+    DensifiedGraph.edges(spark, baseNodes * factor, m)
+      .write.mode("overwrite").parquet(s"$scratch/scaled")
+    val eBase = spark.read.parquet(s"$scratch/base")
+    val eScaled = spark.read.parquet(s"$scratch/scaled")
+    def reset(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache(); System.gc()
+    }
+    def time(df: => DataFrame): Double =
+      (1 to math.max(1, repeats)).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        reset(); dt
+      }.min
+    val load0 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val rows = probes.filter { case (n, _) => only.forall(_.contains(n)) }
+      .flatMap { case (name, fn) =>
+        try {
+          val tb = time(fn(eBase))
+          val ts = time(fn(eScaled))
+          val exp = math.log(ts / math.max(1e-9, tb)) / math.log(factor.toDouble)
+          System.err.println(s"[densified] $name base=${fmt(tb)} scaled=${fmt(ts)} exp=${fmt(exp)}")
+          Some(s""""$name":{"base_sec":${fmt(tb)},"scaled_sec":${fmt(ts)},"exponent":${fmt(exp)}}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[densified] $name failed: ${e.getMessage}")
+          None
+        }
+      }
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val json = s"""{"generator":"md5-seeded preferential attachment (u^2 index CDF)",""" +
+      s""""base_nodes":$baseNodes,"factor":$factor,"m":$m,"cpus":$cpus,""" +
+      s""""repeats":$repeats,"loadavg_start":${fmt(load0)},"loadavg_end":${fmt(load1)},""" +
+      s""""queries":{${rows.mkString(",")}}}"""
+    val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+    try w.println(json) finally w.close()
+    println(json)
+    spark.stop()
+  }
+}

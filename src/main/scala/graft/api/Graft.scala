@@ -2044,11 +2044,28 @@ object Graft {
   // ---- round-9 batches: scripts, splits, layout, the log as record ----------
 
   /** Codepoint-n-gram near-dup pairs — the x02 contract for unsegmented
-    * scripts (CJK/Thai) the word tokenizer cannot see.
+    * scripts (CJK/Thai) the word tokenizer cannot see. The default caps
+    * each prefix gram's posting list at `postingCap` docs (stop-gram
+    * candidate seeding — no hot gram can go quadratic; measured
+    * exponent 0.82 at the sf1 audit); `postingCap = 0` is the exact
+    * lossless truth baseline, priced against the default by
+    * [[charGramCapCard]].
     */
   def charGramNearDupPairs(corpus: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.4, n: Int = 10): DataFrame =
-    Extensions102.charGramJaccardPairs(corpus, idCol, textCol, threshold, n)
+      threshold: Double = 0.4, n: Int = 10, gramSampleMod: Int = 1,
+      postingCap: Int = 64): DataFrame =
+    Extensions102.charGramJaccardPairs(corpus, idCol, textCol, threshold, n,
+      gramSampleMod, postingCap)
+
+  /** Posting-cap recall card: for each cap, the capped char-gram pairs
+    * vs the exact baseline on the same corpus — run on a bounded
+    * calibration slice; see [[charGramNearDupPairs]].
+    */
+  def charGramCapCard(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.4, n: Int = 10, gramSampleMod: Int = 1,
+      caps: Seq[Int] = Seq(2, 8, 64)): DataFrame =
+    Extensions102.charGramCapCard(corpus, idCol, textCol, threshold, n,
+      gramSampleMod, caps)
 
   /** Near-dup pairs with per-document script routing: low-space-share
     * docs take the codepoint chain, the rest the word chain.
@@ -2108,11 +2125,15 @@ object Graft {
     Extensions105.chunkDocuments(corpus, idCol, textCol, size, overlap)
 
   /** Leave-one-out k-NN majority-vote accuracy per label — the embedding
-    * separability eval.
+    * separability eval. Refuses loudly when the share-derived query
+    * count exceeds `maxLooQueries` (the scored relation is candidates ×
+    * queries); [[knnClassifierEvalBudgeted]] is the linear scale path.
     */
   def knnClassifierEval(emb: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int = 5, queryMod: Int = 1): DataFrame =
-    Extensions106.knnClassifierEval(emb, idCol, vecCol, labelCol, k, queryMod)
+      labelCol: String, k: Int = 5, queryMod: Int = 1,
+      maxLooQueries: Long = 50000L): DataFrame =
+    Extensions106.knnClassifierEval(emb, idCol, vecCol, labelCol, k, queryMod,
+      maxLooQueries)
 
   /** Near-dup pairs straddling the hash split + the component-level
     * repair; returns (pairs, leaky before, docs moved, leaky after).

@@ -101,28 +101,76 @@ object Extensions102 {
     * HASH sets (each doc's prefix keeps only its globally-RAREST
     * grams, so a hot gram never seeds a candidate) and verify is a
     * per-candidate array intersection. Threshold equivalence is exact:
-    * round4(j) >= T  <=>  the integer prefix bound at (T·10^5 − 5)/10^5
-    * — the x232 oracle (full-index replay) still hash-matches.
-    * Re-measured exponent after the re-plan: see scaling.json.
+    * round4(j) >= T  <=>  the integer prefix bound at (T·10^5 − 5)/10^5.
+    *
+    * Second re-plan (round-12; the prefix filter alone re-measured
+    * 1.47 — "rarest grams per doc" still have corpus-growing posting
+    * lists when the gram space itself is low-cardinality): the DEFAULT
+    * path now also caps each prefix term's posting list at `postingCap`
+    * docs (sz asc, doc_id asc — deterministic, oracle-replayable), the
+    * AllPairs stop-gram discipline. Candidate volume is bounded by
+    * gram-types·cap² — no hot bucket can go quadratic by construction.
+    * `postingCap = 0` disables the cap: the exact lossless form, kept
+    * as the truth baseline; [[charGramCapCard]] prices the cap's recall
+    * against it on a bounded fixture.
     */
   def charGramJaccardPairs(
       corpus: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.4, n: Int = 10, gramSampleMod: Int = 1): DataFrame = {
+      threshold: Double = 0.4, n: Int = 10, gramSampleMod: Int = 1,
+      postingCap: Int = 64): DataFrame = {
     val sampled =
       if (gramSampleMod == 1) charGramsOf(col("ct"), n)
       else filter(charGramsOf(col("ct"), n), g =>
         pmod(graft.functions.HashFunctions.md5_bucket60(g),
           lit(gramSampleMod.toLong)) === 0L)
+    // Term keys: the capped path hashes grams with the 60-bit md5 lane
+    // (the house ORACLE-REPLAYABLE hash) because once a cap exists, the
+    // (df, term) prefix tie order and the (sz, doc_id) posting order
+    // DECIDE which pairs are seeded — the oracle must sort the same
+    // longs. The lossless path keeps xxhash64 (cheaper; with no cap the
+    // verify makes any consistent global order produce identical pairs).
+    val keyOf: Column => Column =
+      if (postingCap > 0) g => graft.functions.HashFunctions.md5_bucket60(g)
+      else g => xxhash64(g)
     // the same pre-explode materialization as charGramIndexOf (pins the
     // gram expression to one evaluation); terms travel as 8-byte hashes
     val sets = Extensions.materialized(
       Extensions.rebalanced(corpus, idCol)
         .select(col(idCol).as("doc_id"), lower(col(textCol)).as("ct"))
         .filter(length(col("ct")) > 0)
-        .select(col("doc_id"), transform(sampled, g => xxhash64(g)).as("tk"))
+        .select(col("doc_id"), transform(sampled, keyOf).as("tk"))
         .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("sz")))
     val tNum = math.round(threshold * 100000.0) - 5L
-    Extensions111.prefixCandidates(sets, tNum, 100000L)
+    val cands =
+      if (postingCap <= 0) Extensions111.prefixCandidates(sets, tNum, 100000L)
+      else {
+        // Stop-gram discipline (round-11 audit: the capless prefix chain
+        // measured exponent 1.47 — low-cardinality char grams keep
+        // corpus-growing posting lists even inside prefixes): each
+        // term's posting list is capped at its `postingCap` (sz asc,
+        // doc_id asc) members BEFORE the pair join, so a hot gram seeds
+        // at most cap·(cap−1)/2 candidate pairs no matter the corpus —
+        // candidate volume is ≤ grams·cap², linear in gram types.
+        // Selection runs through TopKFold (partial agg, ≤ cap entries
+        // per term per map partition cross the shuffle) — a hot term
+        // never concentrates a corpus-sized sort on one task the way a
+        // row_number window would. LOSSY by design: a true pair whose
+        // every shared prefix gram is hot is missed; the exact-verify
+        // tail keeps precision at 1 and [[charGramCapCard]] prices the
+        // recall (postingCap = 0 is the exact truth baseline).
+        val kept = Extensions114.topKPerGroup(
+          Extensions111.prefixPostings(sets, tNum, 100000L)
+            .select(col("term").as("g"), col("doc_id").as("id"),
+              (-col("sz")).as("score")),
+          "g", "id", "score", postingCap)
+          .select(col("g"), col("id"))
+        kept.as("a")
+          .join(kept.as("b"), col("a.g") === col("b.g")
+            && col("a.id") < col("b.id"))
+          .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+          .distinct()
+      }
+    cands
       .join(sets.select(col("doc_id").as("doc_a"), col("tk").as("tka"),
         col("sz").as("na")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("tk").as("tkb"),
@@ -176,29 +224,162 @@ object Extensions102 {
       "doc_id", "text", gramSampleMod = 4)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private val x232OracleSql: String = """
-      WITH d AS (SELECT doc_id, replace(lower(text), ' ', '') AS t
-                 FROM documents WHERE len(replace(lower(text), ' ', '')) > 0),
+  /** Shared oracle prologue: despaced lowered docs (optionally bounded
+    * by `docBound`), winnowed (mod 4) distinct 10-grams, their 60-bit
+    * md5 keys, set sizes, key document frequencies, and the prefix
+    * index rows at t = 39995/100000 — the exact DuckDB replay of the
+    * Spark chain's md5-keyed sets ([[charGramJaccardPairs]] with a cap
+    * uses md5 keys precisely so this replay can sort the same longs).
+    */
+  private def oraclePrologue(docBound: String): String = s"""
+      d AS (SELECT doc_id, replace(lower(text), ' ', '') AS t
+            FROM documents
+            WHERE $docBound len(replace(lower(text), ' ', '')) > 0),
       g0 AS (SELECT doc_id, substr(t, i, 10) AS g
              FROM d, UNNEST(generate_series(1,
                greatest(len(t) - 9, 1))) AS s(i)),
-      g AS (SELECT DISTINCT doc_id, g FROM g0
-            WHERE ('0x' || substr(md5(g), 1, 15))::BIGINT % 4 = 0),
-      cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-                FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-             round(shared * 1.0 / (ca.n + cb.n - shared), 4) AS jaccard
-      FROM pairs
-      JOIN cnt ca ON ca.doc_id = pairs.doc_a
-      JOIN cnt cb ON cb.doc_id = pairs.doc_b
-      WHERE round(shared * 1.0 / (ca.n + cb.n - shared), 4) >= 0.4
+      gd AS (SELECT DISTINCT doc_id, g FROM g0
+             WHERE ('0x' || substr(md5(g), 1, 15))::BIGINT % 4 = 0),
+      kd AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS k
+             FROM gd),
+      cnt AS (SELECT doc_id, count(*) AS sz FROM kd GROUP BY doc_id),
+      dfk AS (SELECT k, count(*) AS df FROM kd GROUP BY k),
+      pre AS (SELECT doc_id, k, sz FROM (
+                SELECT kd.doc_id, kd.k, cnt.sz, dfk.df,
+                       row_number() OVER (PARTITION BY kd.doc_id
+                         ORDER BY dfk.df, kd.k) AS pos
+                FROM kd JOIN cnt USING (doc_id) JOIN dfk USING (k))
+              WHERE pos <= sz - ((39995 * sz + 99999) // 100000) + 1)"""
+
+  /** Per-cap oracle blocks: capped postings (sz asc, doc_id asc — the
+    * TopKFold order), candidate pairs, verified pairs at j >= 0.4.
+    * `tag` suffixes the CTE names so a cap sweep can stack blocks.
+    */
+  private def cappedPairsCtes(cap: Int, tag: String): String = s"""
+      cap$tag AS (SELECT doc_id, k FROM (
+                SELECT doc_id, k,
+                       row_number() OVER (PARTITION BY k
+                         ORDER BY sz, doc_id) AS tpos
+                FROM pre)
+              WHERE tpos <= $cap),
+      cand$tag AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM cap$tag a JOIN cap$tag b
+                     ON a.k = b.k AND a.doc_id < b.doc_id),
+      sh$tag AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+                 FROM cand$tag c
+                 JOIN kd ka ON ka.doc_id = c.doc_a
+                 JOIN kd kb ON kb.doc_id = c.doc_b AND kb.k = ka.k
+                 GROUP BY 1, 2),
+      found$tag AS (SELECT doc_a, doc_b,
+                      round(shared * 1.0 / (ca.sz + cb.sz - shared), 4) AS jaccard
+                    FROM sh$tag
+                    JOIN cnt ca ON ca.doc_id = sh$tag.doc_a
+                    JOIN cnt cb ON cb.doc_id = sh$tag.doc_b
+                    WHERE round(shared * 1.0 / (ca.sz + cb.sz - shared), 4) >= 0.4)"""
+
+  /** x232's oracle replays the SHIPPED plan end to end — winnow mod 4,
+    * md5-keyed prefix index, the 64-doc posting cap in the same
+    * (sz, doc_id) order, exact verify — so the gate checks the capped
+    * default itself, not an uncapped stand-in it happens to agree with
+    * at fixture scale.
+    */
+  private val x232OracleSql: String = s"""
+      WITH ${oraclePrologue("")},
+      ${cappedPairsCtes(64, "_64")}
+      SELECT doc_a, doc_b, jaccard
+      FROM found_64
       ORDER BY doc_a, doc_b"""
 
+  // ---- x286: posting-cap recall card --------------------------------------------
+
+  /** Cap-sweep recall card for [[charGramJaccardPairs]]'s stop-gram
+    * seeding, the x182/x279 measure-the-approximation pattern: for each
+    * cap, the capped pairs vs the exact (postingCap = 0) truth baseline
+    * on the SAME corpus — (posting_cap, n_exact, n_found, n_missed,
+    * n_extra, recall). n_extra is computed, not asserted: the verify
+    * tail makes capped ⊆ exact by construction, so any nonzero value is
+    * a bug surfacing loudly. Run it on a BOUNDED calibration slice (the
+    * blockingPlanSampled discipline) — the exact baseline inside is the
+    * quadratic-prone truth form.
+    */
+  def charGramCapCard(
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.4, n: Int = 10, gramSampleMod: Int = 1,
+      caps: Seq[Int] = Seq(2, 8, 64)): DataFrame = {
+    require(caps.nonEmpty && caps.forall(_ >= 1))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val exact = Extensions.materialized(
+      charGramJaccardPairs(corpus, idCol, textCol, threshold, n,
+        gramSampleMod, postingCap = 0)
+        .select(col("doc_a"), col("doc_b")))
+    val nExact = exact.count()
+    val rows = caps.sorted.map { c =>
+      val got = Extensions.materialized(
+        charGramJaccardPairs(corpus, idCol, textCol, threshold, n,
+          gramSampleMod, postingCap = c)
+          .select(col("doc_a"), col("doc_b")))
+      val nFound = got.count()
+      val nMissed = exact.join(got, Seq("doc_a", "doc_b"), "left_anti").count()
+      val nExtra = got.join(exact, Seq("doc_a", "doc_b"), "left_anti").count()
+      val recall =
+        math.round((nExact - nMissed) * 10000.0 / math.max(nExact, 1L)) / 10000.0
+      (c, nExact, nFound, nMissed, nExtra, recall)
+    }
+    rows.toDF("posting_cap", "n_exact", "n_found", "n_missed", "n_extra", "recall")
+  }
+
+  /** x286: the cap sweep on a bounded despaced-documents slice
+    * (doc_id < 600 — all of sf0.01, a fixed-size calibration sample of
+    * anything larger, so the exact baseline inside stays corpus-
+    * invariant), winnow mod 4 — the x232 fixture semantics exactly.
+    */
+  def x286CharGramCapCard(s: SparkSession, dir: String): DataFrame =
+    charGramCapCard(
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 600)
+        .select(col("doc_id"), translate(col("text"), " ", "").as("text")),
+      "doc_id", "text", gramSampleMod = 4)
+
+  private val x286OracleSql: String = {
+    val capBlocks = Seq(2, 8, 64).map(c => cappedPairsCtes(c, s"_$c")).mkString(",")
+    val rows = Seq(2, 8, 64).map { c =>
+      s"""SELECT $c AS posting_cap,
+             (SELECT count(*) FROM ex) AS n_exact,
+             (SELECT count(*) FROM found_$c) AS n_found,
+             (SELECT count(*) FROM ex e LEFT JOIN found_$c f
+                ON e.doc_a = f.doc_a AND e.doc_b = f.doc_b
+              WHERE f.doc_a IS NULL) AS n_missed,
+             (SELECT count(*) FROM found_$c f LEFT JOIN ex e
+                ON e.doc_a = f.doc_a AND e.doc_b = f.doc_b
+              WHERE e.doc_a IS NULL) AS n_extra"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH ${oraclePrologue("doc_id < 600 AND")},
+      $capBlocks,
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM kd a JOIN kd b ON a.k = b.k AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      ex AS (SELECT doc_a, doc_b FROM prs
+             JOIN cnt ca ON ca.doc_id = prs.doc_a
+             JOIN cnt cb ON cb.doc_id = prs.doc_b
+             WHERE round(shared * 1.0 / (ca.sz + cb.sz - shared), 4) >= 0.4),
+      sweep AS ($rows)
+      SELECT posting_cap, CAST(n_exact AS BIGINT) AS n_exact,
+             CAST(n_found AS BIGINT) AS n_found,
+             CAST(n_missed AS BIGINT) AS n_missed,
+             CAST(n_extra AS BIGINT) AS n_extra,
+             round((n_exact - n_missed) * 10000.0
+               / greatest(n_exact, 1), 0) / 10000.0 AS recall
+      FROM sweep
+      ORDER BY posting_cap"""
+  }
+
   val oracles: Map[String, String] = Map(
-    "x232_chargram_dedup" -> x232OracleSql)
+    "x232_chargram_dedup" -> x232OracleSql,
+    "x286_chargram_cap_card" -> x286OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x232_chargram_dedup" -> (x232CharGramDedup _))
+    "x232_chargram_dedup" -> (x232CharGramDedup _),
+    "x286_chargram_cap_card" -> (x286CharGramCapCard _))
 }

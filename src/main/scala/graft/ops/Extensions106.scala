@@ -44,8 +44,23 @@ object Extensions106 {
     */
   def knnClassifierEval(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      k: Int = 5, queryMod: Int = 1): DataFrame = {
+      k: Int = 5, queryMod: Int = 1,
+      maxLooQueries: Long = 50000L): DataFrame = {
     require(k >= 1 && queryMod >= 1)
+    // The scored relation is candidates × queries, and with a fixed
+    // queryMod the query side is a SHARE of the corpus — the sf1 scaling
+    // audit measured this shape at exponent 1.89. Enforce the bound
+    // instead of trusting the caller (the blockingPlan discipline,
+    // Extensions120): refuse loudly above the cap and name the budgeted
+    // entry point whose query COUNT stays fixed as the corpus grows.
+    val nRows = emb.count()
+    val nQueries = nRows / queryMod + 1L
+    require(nQueries <= maxLooQueries,
+      s"knnClassifierEval would rank ~$nQueries LOO queries against " +
+        s"$nRows candidates (queryMod=$queryMod is a SHARE, so the scored " +
+        s"relation grows quadratically with the corpus) — that exceeds " +
+        s"maxLooQueries=$maxLooQueries; use knnClassifierEvalBudgeted, " +
+        "which derives the modulus from a fixed query budget")
     val ql = transform(col(vecCol), x =>
       round(x.cast("double") * lit(1e4), 0).cast("long"))
     def dot(a: String, b: String) =
@@ -108,7 +123,11 @@ object Extensions106 {
     require(maxQueries >= 1)
     val n = emb.count()
     val mod = math.max(1L, (n + maxQueries - 1L) / maxQueries).toInt
-    knnClassifierEval(emb, idCol, vecCol, labelCol, k, queryMod = mod)
+    // the budget IS the cap here: the derived mod holds the query count
+    // at <= maxQueries by construction, so pass that through rather than
+    // tripping the share-path guard on a caller-chosen large budget
+    knnClassifierEval(emb, idCol, vecCol, labelCol, k, queryMod = mod,
+      maxLooQueries = maxQueries + 1L)
   }
 
   /** x283: the budgeted LOO eval at maxQueries = 250 — the fixture
@@ -265,9 +284,19 @@ object Extensions106 {
     * the same derived ceil(n/1000) modulus — the oracle computes the
     * budget from its own count, exactly as the engine does.
     */
-  private val x283OracleSql: String = x241OracleSql.replace(
-    "q.id % 5 = 0",
-    "q.id % greatest((SELECT (count(*) + 249) // 250 FROM base), 1) = 0")
+  private val x283OracleSql: String = {
+    val derived = x241OracleSql.replace(
+      "q.id % 5 = 0",
+      "q.id % greatest((SELECT (count(*) + 249) // 250 FROM base), 1) = 0")
+    // String-replace derivation fails SILENTLY if x241's predicate text
+    // ever drifts — the replace no-ops and x283's oracle reverts to the
+    // 1-in-5 sample, surfacing later as a confusing hash mismatch.
+    // Fail at construction instead (round-11 advice).
+    require(derived != x241OracleSql,
+      "x283 oracle derivation no-op'd: the 'q.id % 5 = 0' predicate " +
+        "drifted in x241OracleSql — update the replace target")
+    derived
+  }
 
   val oracles: Map[String, String] = Map(
     "x241_knn_eval" -> x241OracleSql,

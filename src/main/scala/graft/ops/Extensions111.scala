@@ -100,20 +100,31 @@ object Extensions111 {
     */
   private[graft] def prefixCandidates(
       sets: DataFrame, tNum: Long, tDen: Long): DataFrame = {
-    val tok = sets.select(col("doc_id"), col("sz"), explode(col("tk")).as("term"))
-    val docFreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // o = ceil(t·sz) in exact integers; prefix keeps positions ≤ sz−o+1
-    val o = (lit(tNum) * col("sz") + lit(tDen) - 1) / lit(tDen)
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
-    val prefix = tok.join(docFreq, Seq("term"))
-      .withColumn("pos", row_number().over(wDoc))
-      .filter(col("pos") <= col("sz") - o.cast("long") + 1)
-      .select(col("doc_id"), col("term"))
+    val prefix = prefixPostings(sets, tNum, tDen).select(col("doc_id"), col("term"))
     prefix.as("a")
       .join(prefix.as("b"), col("a.term") === col("b.term")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** The prefix index rows themselves — (doc_id, term, sz), each doc's
+    * `sz − ceil(t·sz) + 1` globally-rarest terms — exposed so callers
+    * can post-process the posting lists before the pair join (the
+    * x232 capped-seeding path caps each term's list; the lossless
+    * [[prefixCandidates]] joins them whole).
+    */
+  private[graft] def prefixPostings(
+      sets: DataFrame, tNum: Long, tDen: Long): DataFrame = {
+    val tok = sets.select(col("doc_id"), col("sz"), explode(col("tk")).as("term"))
+    val docFreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // o = ceil(t·sz) in exact integers; prefix keeps positions ≤ sz−o+1
+    val o = (lit(tNum) * col("sz") + lit(tDen) - 1) / lit(tDen)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+    tok.join(docFreq, Seq("term"))
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= col("sz") - o.cast("long") + 1)
+      .select(col("doc_id"), col("term"), col("sz"))
   }
 
   /** x253: 5-gram shingle near-dup pairs at t = 1/2 on the documents

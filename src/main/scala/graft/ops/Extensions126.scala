@@ -36,8 +36,12 @@ object Extensions126 {
     // lazy, so the dir must outlive this call). mode("overwrite")
     // bounds residue to exactly one copy, reclaimed by the OS tmp
     // sweeper; callers needing isolation pass their own scratchDir.
+    // The applicationId keys the path per SESSION (the reads under the
+    // returned aggregate are lazy — a host-shared fixed path would let
+    // two concurrent sessions overwrite each other under the card).
     val dir = scratchDir.getOrElse(
-      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_xml_rt_scratch")
+      sys.props("java.io.tmpdir").stripSuffix("/") +
+        s"/graft_xml_rt_scratch_${spark.sparkContext.applicationId}")
     // the default XML timestamp pattern truncates to milliseconds —
     // pin a microsecond format on BOTH sides (caught by the oracle:
     // last_us ...262777 came back ...262000 under the default)

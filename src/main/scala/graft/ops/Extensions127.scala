@@ -36,9 +36,14 @@ object Extensions127 {
   def orcRoundTripCard(events: DataFrame, scratchDir: Option[String] = None): DataFrame = {
     val spark = events.sparkSession
     // deterministic scratch path overwritten per run (the x277 hygiene
-    // fix, applied from birth here): residue is bounded at one copy
+    // fix, applied from birth here): residue is bounded at one copy.
+    // The applicationId keys the path per SESSION: the returned
+    // DataFrame reads the scratch lazily, so a host-shared fixed path
+    // would let two concurrent sessions (or two cards built before
+    // evaluation) overwrite each other's data under the card.
     val dir = scratchDir.getOrElse(
-      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_orc_rt_scratch")
+      sys.props("java.io.tmpdir").stripSuffix("/") +
+        s"/graft_orc_rt_scratch_${spark.sparkContext.applicationId}")
     events.write.mode("overwrite").format("orc").save(s"$dir/log")
     val back = spark.read.schema(events.schema).format("orc").load(s"$dir/log")
     back.groupBy(col("event_type"))

@@ -45,6 +45,16 @@ object Extensions129 {
     else -(((-num) * 2 + den) / (2 * den))
   }
 
+  /** [[sdiv]] over BigInt — same half-away-from-zero semantics, for
+    * one-row compositions whose intermediate product can exceed 2^63
+    * (the x132 width discipline).
+    */
+  private def sdivBig(num: BigInt, den: BigInt): BigInt = {
+    require(den > 0)
+    if (num >= 0) (num * 2 + den) / (2 * den)
+    else -(((-num) * 2 + den) / (2 * den))
+  }
+
   /** Damped Holt over a daily count series: alpha = 1/5, beta = 1/10,
     * phi = 9/10 (micro-exact rationals). Initialization l1 = 10^6·y1,
     * b1 = 10^6·(y2 − y1); recursion for t ≥ 2:
@@ -84,7 +94,17 @@ object Extensions129 {
         p9 *= 9L; p10 /= 10L
         num += p9 * p10
       }
-      (h, l + sdiv(num * b, den), l, b)
+      // The composition num·b overflows Long silently: at h=12,
+      // num ≈ 6.5e12, so any |b| > ~1.4e6 micro (1.4 events/day of
+      // trend) wraps past 2^63 — and the verified fixture only drives
+      // horizon 7, so the hash gate never sees it. One-row driver
+      // compositions of aggregated longs go through BigInt (the x132
+      // assortativity fix); the inputs (l, b, num, den) all still fit
+      // longs at any realistic scale.
+      val yhatBig = BigInt(l) + sdivBig(BigInt(num) * BigInt(b), BigInt(den))
+      require(yhatBig.isValidLong,
+        s"holtDampedForecast yhat at h=$h exceeds Long (l=$l b=$b)")
+      (h, yhatBig.toLong, l, b)
     }
     rows.toDF("h", "yhat_micro", "level_micro", "trend_micro")
   }

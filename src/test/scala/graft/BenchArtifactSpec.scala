@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench artifact-contract invariants (round-11 verdict item 2 + advice):
+  * the splice guard must reject truncated or unbalanced scaling blobs,
+  * and the FINAL stdout line must stay small enough for the driver's
+  * ~2000-byte tail window — which means it may never embed the scaling
+  * JSON itself.
+  */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  test("jsonBalanced accepts real JSON including braces inside strings") {
+    assert(Bench.jsonBalanced("""{}"""))
+    assert(Bench.jsonBalanced("""{"a":[1,2,{"b":"}"}],"c":"{\" [","d":{}}"""))
+    assert(Bench.jsonBalanced("""{"notes":"x167 1.28 -> 0.07 {re-plan}"}"""))
+  }
+
+  test("jsonBalanced rejects truncation, over-closing, and unterminated strings") {
+    assert(!Bench.jsonBalanced("""{"a":{"b":1}"""))   // truncated
+    assert(!Bench.jsonBalanced("""{"a":1}}"""))       // over-closed
+    assert(!Bench.jsonBalanced("""{"a":"unterminated}""")) // open string
+    assert(!Bench.jsonBalanced("""{"a":[1,2}"""))     // still open bracket
+  }
+
+  test("the final compact line never embeds the scaling blob (BENCH_r11 regression)") {
+    // the shipped source must reference the pointer form in the last
+    // println; a verbatim $scalingJson there is exactly the bug that
+    // nulled the round-11 driver parse
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/Bench.scala", "UTF-8").mkString
+    val finalLine = src.split("\n").filter(_.contains("println")).last
+    assert(!finalLine.contains("$scalingJson"),
+      "final stdout line must carry a pointer, not the scaling blob")
+    assert(finalLine.contains("sf1_scaling"),
+      "final line still names where the scaling section lives")
+  }
+}

@@ -69,4 +69,41 @@ class Extensions102Spec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
   }
+
+  test("posting cap: capped pairs are a subset of exact; a tight cap visibly binds") {
+    import spark.implicits._
+    // ten mutual near-dups sharing a long common body — every gram of the
+    // body has df=10, so a cap of 2 starves the candidate join while the
+    // exact form pairs all 45 combinations
+    val body = "the shared boilerplate body of this cluster repeats verbatim across every member"
+    val docs = (1L to 10L).map(i => (i, body + " tail" + i)).toDF("doc_id", "text")
+    def pairs(cap: Int) = Extensions102.charGramJaccardPairs(
+        docs, "doc_id", "text", 0.4, 10, gramSampleMod = 1, postingCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0)
+    val capped2 = pairs(2)
+    val capped64 = pairs(64)
+    assert(exact.size == 45, s"all 45 mutual pairs at cap=0: ${exact.size}")
+    assert(capped64 == exact, "a cap above every posting list is lossless")
+    assert(capped2.subsetOf(exact), "the verify tail keeps precision at 1")
+    assert(capped2.size < exact.size, "cap=2 must visibly bind on a 10-dup cluster")
+  }
+
+  test("charGramCapCard: n_extra is zero, recall monotone in the cap, tight cap detected") {
+    import spark.implicits._
+    val body = "the shared boilerplate body of this cluster repeats verbatim across every member"
+    val docs = (1L to 10L).map(i => (i, body + " tail" + i)).toDF("doc_id", "text")
+    val card = Extensions102.charGramCapCard(
+        docs, "doc_id", "text", caps = Seq(2, 8, 64))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(card.map(_._1).toSeq == Seq(2, 8, 64))
+    assert(card.forall(_._5 == 0L), s"capped must be a subset of exact: ${card.toSeq}")
+    assert(card.forall(r => r._2 == r._3 + r._4), "found + missed = exact")
+    val recalls = card.map(_._6)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in the cap: ${recalls.toSeq}")
+    assert(recalls.head < 1.0 && recalls.last == 1.0,
+      s"cap=2 binds, cap=64 is lossless here: ${recalls.toSeq}")
+  }
 }

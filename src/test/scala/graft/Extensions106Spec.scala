@@ -66,4 +66,22 @@ class Extensions106Spec extends SparkSpec {
     val lk = SparkEntry.queries("x243_split_leakage")(spark, sf0001).head
     assert(lk.getLong(3) == 0L, "fixture repair must close all leaks")
   }
+
+  test("LOO query-count guard: a share-derived query set above the cap refuses loudly") {
+    import spark.implicits._
+    val emb = (0 until 40).map(i => (i.toLong, Array(1f, i.toFloat, 0f), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    // queryMod=1 on 40 rows -> 41 queries > cap 10: the blockingPlan
+    // discipline — refuse with the budgeted entry point named
+    val e = intercept[IllegalArgumentException] {
+      Extensions106.knnClassifierEval(emb, "vec_id", "embedding", "label",
+        k = 3, queryMod = 1, maxLooQueries = 10L)
+    }
+    assert(e.getMessage.contains("knnClassifierEvalBudgeted"),
+      s"the refusal must name the scale path: ${e.getMessage}")
+    // the budgeted form on the same corpus derives a mod that fits ANY cap
+    val ok = Extensions106.knnClassifierEvalBudgeted(
+      emb, "vec_id", "embedding", "label", k = 3, maxQueries = 10L)
+    assert(ok.collect().nonEmpty)
+  }
 }
