@@ -131,11 +131,16 @@ object Extensions101 {
       .filter(col(lenCol) > 0)
       .select(col(groupCol).as("g"), l4.as("l"))
       .groupBy(col("g"))
+      // width audit (r12): l² ≤ 4.4e10 fits a long per row, but Σl² and
+      // n·Σl² − (Σl)² wrap past ~4.6e4 rows PER GROUP — the moment sum
+      // and both composition products run in DECIMAL(38,0) (bound at
+      // n=1e12: n²·l² ≈ 4.4e34 < 1e38)
       .agg(count(lit(1)).as("n"), sum(col("l")).as("sl"),
-        sum(col("l") * col("l")).as("sll"))
+        sum((col("l") * col("l")).cast("decimal(38,0)")).as("sll"))
       .withColumn("mu", col("sl").cast("double") / col("n") / lit(1e4))
       .withColumn("sigma", when(col("n") > 1L, sqrt(
-        (col("n") * col("sll") - col("sl") * col("sl")).cast("double") /
+        (col("n") * col("sll") - col("sl").cast("decimal(38,0)") * col("sl"))
+          .cast("double") /
           (col("n").cast("double") * (col("n") - 1L))) / lit(1e4))
         .otherwise(lit(0.0d)))
       .withColumn("p99", exp(col("mu") + lit(2.3263d) * col("sigma"))))

@@ -72,8 +72,14 @@ object Extensions117 {
       val d = round(lit(1e6) / (lit(1.0)
           + exp(-marginMicro(w, col("x")) / lit(1e6))), 0).cast("long") -
         col("y") * 1000000L
-      val s2 = valid.agg(sum(d * d)).collect()(0).getLong(0)
-      (2L * s2 + nVal * 1000000L) / (2L * nVal * 1000000L)
+      // width audit (r12): d² ≤ 1e12 per row, so Σd² wraps a long past
+      // ~9e6 validation rows — the sum runs in DECIMAL(38,0) and the
+      // one-row half-up composition in BigInt (the x132 discipline);
+      // the returned micro Brier is ≤ 1e6 and fits a long by definition
+      val s2 = BigInt(valid.agg(sum((d * d).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0).toBigInteger)
+      ((s2 * 2 + BigInt(nVal) * 1000000L) /
+        (BigInt(nVal) * 2000000L)).toLong
     }
     val wFull = Extensions26.trainLogreg(
       Extensions.materialized(train), iters = iters)

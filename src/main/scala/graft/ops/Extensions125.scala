@@ -50,10 +50,15 @@ object Extensions125 {
       val d = round(lit(1e6) / (lit(1.0)
           + exp(-marginMicro(w, col("x")) / lit(1e6))), 0).cast("long") -
         col("y") * 1000000L
-      val r = valid.agg(count(lit(1)).as("n"), sum(d * d).as("s2")).collect()(0)
+      // width audit (r12): Σd² in DECIMAL(38,0), the one-row half-up
+      // composition in BigInt (d² ≤ 1e12 per row wraps a long past
+      // ~9e6 fold rows); the micro Brier itself is ≤ 1e6
+      val r = valid.agg(count(lit(1)).as("n"),
+        sum((d * d).cast("decimal(38,0)")).as("s2")).collect()(0)
       val nVal = r.getLong(0)
       require(nVal > 0, s"kFoldCv: fold $f is empty")
-      val brier = (2L * r.getLong(1) + nVal * 1000000L) / (2L * nVal * 1000000L)
+      val brier = ((BigInt(r.getDecimal(1).toBigInteger) * 2 +
+        BigInt(nVal) * 1000000L) / (BigInt(nVal) * 2000000L)).toLong
       (f.toLong, train.count(), nVal, brier)
     }
     val mean = (2L * folds.map(_._4).sum + k) / (2L * k)

@@ -84,6 +84,16 @@ object Extensions26 {
     s * ((math.abs(num) * 2L + den) / (den * 2L))
   }
 
+  /** [[halfAwayDiv]] over BigInt — the gradient sums arrive as
+    * DECIMAL(38,0) (a tf·residual term is ~1e9 per row, so the long sum
+    * wraps past ~9e9 training rows); the quotient is a weight step and
+    * always fits a long (r12 width audit).
+    */
+  private def halfAwayDivBig(num: BigInt, den: BigInt): Long = {
+    val s = if (num < 0) BigInt(-1) else BigInt(1)
+    (s * ((num.abs * 2 + den) / (den * 2))).toLong
+  }
+
   /** Batch-gradient-descent logistic regression over a [[hashedFeatures]]
     * table (already materialized by the caller). Fixed iteration count,
     * fixed learning rate 1/`lrDen` — no stopping heuristics, so the
@@ -114,10 +124,12 @@ object Extensions26 {
         (round(lit(1e6) / (lit(1.0) + exp(-marginMicro(w, col("x")) / lit(1e6))), 0)
           .cast("long") - col("y") * 1000000L).as("r"))
       val sums = (0 to numBuckets).map(j =>
-        sum(element_at(col("x"), j + 1) * col("r")).as(s"g$j"))
+        sum((element_at(col("x"), j + 1) * col("r")).cast("decimal(38,0)"))
+          .as(s"g$j"))
       val gradRow = withR.agg(sums.head, sums.tail: _*).collect()(0)
       w = Array.tabulate(numBuckets + 1)(j =>
-        w(j) - halfAwayDiv(gradRow.getLong(j), lrDen * n))
+        w(j) - halfAwayDivBig(BigInt(gradRow.getDecimal(j).toBigInteger),
+          BigInt(lrDen) * n))
     }
     w
   }

@@ -61,9 +61,9 @@ object Extensions47 {
     m.zipWithIndex.map { case (w, j) => (j + 1L, w) }.toSeq
       .toDF("dim", "w_micro")
       .withColumn("lambda",
-        Extensions.round4o(lit(lamMicro) / (lit(1e6) * lit(nRows))))
+        Extensions.round4o(lit(lamMicro.toDouble) / (lit(1e6) * lit(nRows))))
       .withColumn("var_share",
-        Extensions.round4o(lit(lamMicro) / lit(traceMicro.toDouble)))
+        Extensions.round4o(lit(lamMicro.toDouble) / lit(traceMicro.toDouble)))
       .orderBy(col("dim"))
   }
 
@@ -72,7 +72,7 @@ object Extensions47 {
     */
   private[ops] def powerIterate(
       vectors: DataFrame, vecCol: String, dim: Int,
-      iters: Int): (Array[Long], Long, Long, Long) = {
+      iters: Int): (Array[Long], BigInt, BigInt, Long) = {
     require(dim > 0 && iters > 0)
     val vq = Extensions.materialized(
       vectors.select(
@@ -80,29 +80,36 @@ object Extensions47 {
           .cast("long")).as("vq"))
         .filter(size(col("vq")) === dim))
     var m = Array.fill(dim)(125000L) // 1/8 exactly for d=64; any unit-ish seed works
-    var lamMicro = 0L; var traceMicro = 0L; var nRows = 0L
+    var lamMicro = BigInt(0); var traceMicro = BigInt(0); var nRows = 0L
     for (r <- 1 to iters) {
       val mLit = array(m.map(lit(_)): _*)
       val t = aggregate(zip_with(col("vq"), mLit, (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
       val withT = vq.select(col("vq"), t.as("t"))
+      // width audit (r12): every per-row term here fits a long (t ≤
+      // ~6.4e13, the scaled update term ≤ ~6.4e10), but the SUMS grow
+      // with the corpus — the update sums wrapped past ~1.4e8 rows, the
+      // Rayleigh/trace sums past ~2e9. All corpus-length sums run in
+      // DECIMAL(38,0) and land driver-side as BigInt (the x132 rule);
+      // the unit direction m stays micro longs by construction.
       val sums = (0 until dim).map(j =>
         sum(round(element_at(col("vq"), j + 1).cast("double") * col("t")
-          / lit(1e9), 0).cast("long")).as(s"s$j")) ++ Seq(
+          / lit(1e9), 0).cast("decimal(38,0)")).as(s"s$j")) ++ Seq(
         sum(round(col("t").cast("double") * col("t") / lit(1e18), 0)
-          .cast("long")).as("lam"),
+          .cast("decimal(38,0)")).as("lam"),
         sum(round(aggregate(col("vq"), lit(0L), (acc, x) => acc + x * x)
-          .cast("double") / lit(1e6), 0).cast("long")).as("tr"),
+          .cast("double") / lit(1e6), 0).cast("decimal(38,0)")).as("tr"),
         count(lit(1)).as("n"))
       val row = withT.agg(sums.head, sums.tail: _*).collect()(0)
-      val s = Array.tabulate(dim)(j => row.getLong(j))
-      val norm = math.sqrt(s.map(x => x.toDouble * x).sum)
+      val s = Array.tabulate(dim)(j => BigInt(row.getDecimal(j).toBigInteger))
+      val norm = math.sqrt(s.map(x => x.toDouble * x.toDouble).sum)
       // half-AWAY rounding (sign-split) — math.round alone is half-UP,
       // which disagrees with DuckDB round() on negative components
       m = s.map(x => (if (x < 0) -1L else 1L) *
-        math.round(1e6 * math.abs(x.toDouble) / norm))
+        math.round(1e6 * math.abs(x.toDouble) / norm)).toArray
       if (r == iters) {
-        lamMicro = row.getLong(dim); traceMicro = row.getLong(dim + 1)
+        lamMicro = BigInt(row.getDecimal(dim).toBigInteger)
+        traceMicro = BigInt(row.getDecimal(dim + 1).toBigInteger)
         nRows = row.getLong(dim + 2)
       }
     }
@@ -116,10 +123,10 @@ object Extensions47 {
     * fixture fingerprint so in-place regeneration retrains.
     */
   private val pcaCache =
-    scala.collection.concurrent.TrieMap[String, (Array[Long], Long, Long, Long)]()
+    scala.collection.concurrent.TrieMap[String, (Array[Long], BigInt, BigInt, Long)]()
 
   private[ops] def fixturePca(
-      s: SparkSession, dir: String): (Array[Long], Long, Long, Long) =
+      s: SparkSession, dir: String): (Array[Long], BigInt, BigInt, Long) =
     pcaCache.getOrElseUpdate(Extensions.fixtureKey(s, dir, "embeddings"),
       powerIterate(Tables.load(s, dir, "embeddings"), "embedding", Dim, 6))
 
@@ -134,9 +141,9 @@ object Extensions47 {
     m.zipWithIndex.map { case (w, j) => (j + 1L, w) }.toSeq
       .toDF("dim", "w_micro")
       .withColumn("lambda",
-        Extensions.round4o(lit(lamMicro) / (lit(1e6) * lit(nRows))))
+        Extensions.round4o(lit(lamMicro.toDouble) / (lit(1e6) * lit(nRows))))
       .withColumn("var_share",
-        Extensions.round4o(lit(lamMicro) / lit(traceMicro.toDouble)))
+        Extensions.round4o(lit(lamMicro.toDouble) / lit(traceMicro.toDouble)))
       .orderBy(col("dim"))
   }
 

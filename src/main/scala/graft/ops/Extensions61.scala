@@ -61,15 +61,23 @@ object Extensions61 {
     val pairs = daily.crossJoin(broadcast(spine))
       .withColumn("d2", expr("date_add(d, CAST(lag AS INT))"))
       .join(shifted, Seq("d2"))
+    // width audit (r12): a = daily cents can reach ~1e13 at 100 TB event
+    // volume, so a·a (~1e26) wraps a long PER ROW and the Σ/compositions
+    // wrap harder — the cross/square moments and the n·S − S·S products
+    // run in DECIMAL(38,0) (bound: 3650 days · 1e26 ≈ 4e29 < 1e38);
+    // n and the plain sums stay long (≤ ~1e17)
     val mom = pairs.groupBy(col("lag")).agg(
       count(lit(1)).as("n"),
       sum(col("a")).as("sa"), sum(col("b2")).as("sb"),
-      sum(col("a") * col("b2")).as("sab"),
-      sum(col("a") * col("a")).as("saa"),
-      sum(col("b2") * col("b2")).as("sbb"))
-    val num = (col("n") * col("sab") - col("sa") * col("sb")).cast("double")
-    val vx = (col("n") * col("saa") - col("sa") * col("sa")).cast("double")
-    val vy = (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")
+      sum(col("a").cast("decimal(38,0)") * col("b2")).as("sab"),
+      sum(col("a").cast("decimal(38,0)") * col("a")).as("saa"),
+      sum(col("b2").cast("decimal(38,0)") * col("b2")).as("sbb"))
+    val num = (col("n") * col("sab")
+      - col("sa").cast("decimal(38,0)") * col("sb")).cast("double")
+    val vx = (col("n") * col("saa")
+      - col("sa").cast("decimal(38,0)") * col("sa")).cast("double")
+    val vy = (col("n") * col("sbb")
+      - col("sb").cast("decimal(38,0)") * col("sb")).cast("double")
     val corr = Extensions.round4o(
       when(vx > 0.0d && vy > 0.0d, num / sqrt(vx * vy)))
     val wAll = org.apache.spark.sql.expressions.Window

@@ -60,14 +60,21 @@ object Extensions62 {
     val idx = daily.crossJoin(broadcast(t0))
       .withColumn("t", datediff(col("period"), col("d0")).cast("long"))
       .withColumn("post", col("period") >= to_date(lit(interventionDay)))
+    // width audit (r12): x = daily cents (~1e13 at 100 TB volume), so
+    // Σ t·x and the bnum/anum cross products wrap a long (st·sx alone
+    // ≈ 7e23) — those run in DECIMAL(38,0). den = n·stt − st² stays
+    // long (pure day-index arithmetic, ≤ ~2e14 at a 10-year series),
+    // which keeps the DIV in pred4 long-typed on the denominator side.
     val fit = idx.filter(!col("post")).agg(
       count(lit(1)).as("n"),
       sum(col("t")).as("st"), sum(col("x")).as("sx"),
       sum(col("t") * col("t")).as("stt"),
-      sum(col("t") * col("x")).as("stx"))
+      sum(col("t").cast("decimal(38,0)") * col("x")).as("stx"))
       .select(col("n"),
-        (col("n") * col("stx") - col("st") * col("sx")).as("bnum"),
-        (col("sx") * col("stt") - col("st") * col("stx")).as("anum"),
+        (col("n") * col("stx")
+          - col("st").cast("decimal(38,0)") * col("sx")).as("bnum"),
+        (col("sx").cast("decimal(38,0)") * col("stt")
+          - col("st") * col("stx")).as("anum"),
         (col("n") * col("stt") - col("st") * col("st")).as("den"))
     val wPost = Window.orderBy(col("period"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

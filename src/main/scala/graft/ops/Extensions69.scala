@@ -124,9 +124,16 @@ object Extensions69 {
       .withColumn("cb", coalesce(sum(col("c")).over(wOrd), lit(0L)))
       .groupBy(col("g")).agg(
         sum(col("c")).as("n"),
-        sum(col("y") * col("c")).as("s"),
-        sum(col("y") * (lit(2L) * col("c") * col("cb") +
-          col("c") * col("c") + col("c"))).as("t2"))
+        // width audit (r12): c·cb multiplies two user-count quantities
+        // and y·(…) stacks a cents total on top — at 1e9 users the
+        // per-row term reaches ~1e27, far past a long. The rank-sum
+        // moments and the gnum/gden compositions run in DECIMAL(38,0)
+        // (bound ~1e28 < 1e38); the DIV in the gini render returns a
+        // long as before, so output types are unchanged.
+        sum(col("y").cast("decimal(38,0)") * col("c")).as("s"),
+        sum(col("y").cast("decimal(38,0)") * (lit(2L) *
+          col("c").cast("decimal(38,0)") * col("cb") +
+          col("c").cast("decimal(38,0)") * col("c") + col("c"))).as("t2"))
     t2
       .withColumn("gnum", col("t2") - (col("n") + 1L) * col("s"))
       .withColumn("gden", col("n") * col("s"))

@@ -47,10 +47,16 @@ object Extensions72 {
     val nDays = events
       .select(to_date(date_trunc("day", col(tsCol))).as("d")).distinct()
       .agg(count(lit(1)).as("nd"))
+    // width audit (r12): c = events per (group, day) — a group taking
+    // 1e8+ events/day wraps Σc² and nd·Σc² − (Σc)² in long arithmetic;
+    // the square moment and inum run in DECIMAL(38,0) (bound: 3650
+    // days · 1e20 ≈ 4e23 < 1e38). s1 stays long (≤ total group events).
     daily.groupBy(col("g")).agg(
-      sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+      sum(col("c")).as("s1"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
       .crossJoin(broadcast(nDays))
-      .withColumn("inum", col("nd") * col("s2") - col("s1") * col("s1"))
+      .withColumn("inum", col("nd") * col("s2")
+        - col("s1").cast("decimal(38,0)") * col("s1"))
       .withColumn("iden", (col("nd") - 1L) * col("s1"))
       .select(col("g").as("group_key"), col("nd").as("n_days"),
         expr("((s1 * 10000 * 2 + nd) DIV (2 * nd)) / 10000.0D")

@@ -54,7 +54,11 @@ object Extensions73 {
   def churnRateFit(
       events: DataFrame, userCol: String, tsCol: String,
       maxK: Int = 3): DataFrame = {
-    require(maxK >= 2)
+    // width audit (r12): the OLS composition np·Σlr² runs in longs with
+    // |lr| ≤ ~2.3e7 (micro-ln of a 1-in-1e10 retention ratio) — exact
+    // while np ≤ ~128 weeks; the bound is enforced rather than assumed
+    require(maxK >= 2 && maxK <= 128,
+      s"churnRateFit: maxK=$maxK exceeds the exact-integer OLS window (128 weeks)")
     val weekUs = 604800000000L
     val maxTs = events.agg(max(unix_micros(col(tsCol))).as("end_us"))
     val firstTs = events.groupBy(col(userCol).as("u"))

@@ -60,10 +60,16 @@ object Extensions85 {
     daily
       .withColumn("n", count(col("x")).over(wTrail))
       .withColumn("s", sum(col("x")).over(wTrail))
-      .withColumn("s2", sum(col("x") * col("x")).over(wTrail))
+      // width audit (r12): x = daily cents (~1e13 at 100 TB volume), so
+      // x·x wraps a long PER ROW; the square moment and the n·s2 − s²
+      // variance composition run in DECIMAL(38,0) (n = window ≤ a few
+      // hundred, bound well under 1e38). dev and the mean stay long.
+      .withColumn("s2",
+        sum(col("x").cast("decimal(38,0)") * col("x")).over(wTrail))
       .filter(col("n") === window.toLong)
       .withColumn("dev", col("n") * col("x") - col("s"))
-      .withColumn("varn", col("n") * col("s2") - col("s") * col("s"))
+      .withColumn("varn", col("n") * col("s2")
+        - col("s").cast("decimal(38,0)") * col("s"))
       .select(date_format(col("d"), "yyyy-MM-dd").as("period"),
         (col("x") / lit(100.0d)).as("value"),
         expr("(CAST(sign(s) AS BIGINT) * ((abs(s) * 100 * 2 + n) DIV (2 * n))) / 10000.0D")

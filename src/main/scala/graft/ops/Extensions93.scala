@@ -58,13 +58,19 @@ object Extensions93 {
     val per = corpus
       .select(col(stratumCol).as("h"), col(valueCol).cast("long").as("v"))
       .groupBy(col("h"))
+      // width audit (r12): the quota arithmetic below already ran in
+      // DECIMAL(38,0); the VARIANCE feeding it did not — Σv² and
+      // n·Σv² − (Σv)² wrap a long once a stratum holds ~1e5+ rows of
+      // 1e6-scale values. Same decimal discipline, same output types
+      // (s0 renders back to a long std).
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
-        sum(col("v") * col("v")).as("svv"))
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
       .withColumn("s0", when(col("n") > 1L,
-        round(sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast("double") /
+        round(sqrt((col("n") * col("svv")
+          - col("sv").cast("decimal(38,0)") * col("sv")).cast("double") /
           (col("n").cast("double") * (col("n") - 1L))), 0).cast("long"))
         .otherwise(lit(0L)))
-      .withColumn("w", col("n") * col("s0"))
+      .withColumn("w", col("n").cast("decimal(38,0)") * col("s0"))
     val tot = per.agg(sum(col("w")).as("wt"))
     val quotas = per.crossJoin(broadcast(tot))
       .filter(col("wt") > 0L && col("w") > 0L)

@@ -188,12 +188,11 @@ object Extensions94 {
     * tail_share ≈ 0.01; heavier tails read more.
     *
     * Scale: one moment hash-agg (1 row, broadcast back), one
-    * conditional-count pass. Headroom: Σ L² ~ n·(20e6)² — exact to
-    * ~2e4 docs per... no: L ≤ ~21e6 (ln ≤ 21 at 1e9 chars), L² ≤
-    * 4.4e14, exact to ~2e4 rows — so L quantizes at 1e4 units instead
-    * when the corpus exceeds that; HERE the moments use 1e4-unit
-    * quantization (L ≤ 2.1e5, L² ≤ 4.4e10, exact past 2e8 rows; a
-    * 1e12-row corpus needs the DECIMAL moments — documented bound).
+    * conditional-count pass. Width (r12 audit): the moments use
+    * 1e4-unit quantization (L ≤ 2.1e5, L² ≤ 4.4e10 per row — a long),
+    * and Σ L² plus the n·Σl² − (Σl)² composition run in DECIMAL(38,0):
+    * the long forms wrapped past ~4.6e8 rows; decimal is exact to
+    * n ≈ 1e13 (n²·L² < 1e38).
     */
   def lognormalLengthFit(
       corpus: DataFrame, lenCol: String): DataFrame = {
@@ -202,10 +201,11 @@ object Extensions94 {
       .filter(col(lenCol) > 0)
       .select(l4.as("l"))
       .agg(count(lit(1)).as("n"), sum(col("l")).as("sl"),
-        sum(col("l") * col("l")).as("sll"))
+        sum((col("l") * col("l")).cast("decimal(38,0)")).as("sll"))
       .withColumn("mu", col("sl").cast("double") / col("n") / lit(1e4))
       .withColumn("sigma", when(col("n") > 1L, sqrt(
-        (col("n") * col("sll") - col("sl") * col("sl")).cast("double") /
+        (col("n") * col("sll") - col("sl").cast("decimal(38,0)") * col("sl"))
+          .cast("double") /
           (col("n").cast("double") * (col("n") - 1L))) / lit(1e4))
         .otherwise(lit(0.0d)))
       .withColumn("p99", exp(col("mu") + lit(2.3263d) * col("sigma"))))
