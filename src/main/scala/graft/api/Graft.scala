@@ -813,6 +813,17 @@ object Graft {
       corpus: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     Extensions16.stripDuplicateSpans(corpus, idCol, textCol, n)
 
+  /** Multi-width span strip: a token is removed when a duplicate span
+    * of ANY listed width covers it — the second, smaller width closes
+    * the sub-gram blind spot the x279 exactness card measured (a shared
+    * substring shorter than the gram width is invisible to a single
+    * pass by construction).
+    */
+  def stripDuplicateSpansMulti(
+      corpus: DataFrame, idCol: String, textCol: String,
+      widths: Seq[Int]): DataFrame =
+    Extensions16.stripDuplicateSpansMulti(corpus, idCol, textCol, widths)
+
   /** BPE: train the ordered merge list / apply it back to the corpus. */
   def trainBpe(corpus: DataFrame, textCol: String, numMerges: Int): DataFrame =
     Extensions16.trainBpe(corpus, textCol, numMerges)

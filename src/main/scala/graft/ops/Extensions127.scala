@@ -112,11 +112,18 @@ object Extensions127 {
   def spanExactnessCard(s: SparkSession, dir: String): DataFrame = {
     val stripped = Extensions16.stripDuplicateSpans(
       plantedFixture(s, dir), "doc_id", "text", n = 5)
+    spanCardFrom(plantedFixture(s, dir), stripped)
+  }
+
+  /** The card body shared by the single-width (x279) and multi-width
+    * (x287) modes: planted-vs-stripped token accounting + ppm renders.
+    */
+  private def spanCardFrom(fixture: DataFrame, stripped: DataFrame): DataFrame = {
     def countTok(arr: Column, prefix: String): Column =
       size(filter(arr, t => substring(t, 1, prefix.length) === prefix))
     val rt = split(col("text"), " ")
     val ct = filter(split(col("clean_text"), " "), t => length(t) > 0)
-    val perDoc = plantedFixture(s, dir)
+    val perDoc = fixture
       .join(stripped.select(col("doc_id"), col("clean_text")), Seq("doc_id"))
       .select(
         countTok(rt, "longdup").as("lp"), countTok(ct, "longdup").as("lk"),
@@ -206,11 +213,76 @@ object Extensions127 {
                   // (filler_tokens * 2) AS BIGINT) AS false_ppm
       FROM agg"""
 
+  // ---- x287: multi-width span strip closes the x279 sub-gram miss -------------
+
+  /** The x279 card re-run with the MULTI-width strip (widths 5 and 3):
+    * the 3-token plant x279 proved invisible at width 5 is now covered
+    * by the second pass, so the analytic truth flips short_missed →
+    * short_stripped and miss_ppm to 0 — while the filler (per-doc
+    * unique, so no 3-gram of it can reach df ≥ 2 either) still never
+    * strips. Same columns as x279 so the two modes diff cleanly.
+    */
+  def spanExactnessCardMulti(s: SparkSession, dir: String): DataFrame = {
+    val stripped = Extensions16.stripDuplicateSpansMulti(
+      plantedFixture(s, dir), "doc_id", "text", widths = Seq(5, 3))
+    spanCardFrom(plantedFixture(s, dir), stripped)
+  }
+
+  def x287SpanMulti(s: SparkSession, dir: String): DataFrame =
+    spanExactnessCardMulti(s, dir)
+
+  /** Identical to x279's analytic oracle except the truth for the short
+    * plant: at widths {5, 3} it must STRIP (its 1 interior 3-gram has
+    * df ≥ 2 across the mod-4 docs and covers all 3 tokens), so clean
+    * drops BOTH plants and miss_ppm is exactly 0.
+    */
+  private val x287OracleSql: String = """
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+      cls AS (SELECT doc_id,
+                     doc_id % 3 = 0 AS isl,
+                     doc_id % 4 = 0 AS iss
+              FROM ids),
+      built AS (SELECT doc_id, isl, iss,
+        'u'||doc_id||'a1 u'||doc_id||'a2 u'||doc_id||'a3 u'||doc_id||'a4 u'||doc_id||'a5 u'||doc_id||'a6' AS fa,
+        'u'||doc_id||'b1 u'||doc_id||'b2 u'||doc_id||'b3 u'||doc_id||'b4 u'||doc_id||'b5 u'||doc_id||'b6' AS fb,
+        'u'||doc_id||'c1 u'||doc_id||'c2 u'||doc_id||'c3 u'||doc_id||'c4 u'||doc_id||'c5 u'||doc_id||'c6' AS fc
+        FROM cls),
+      txt AS (SELECT doc_id, isl, iss,
+        fa || CASE WHEN isl THEN ' longdupa longdupb longdupc longdupd longdupe longdupf longdupg' ELSE '' END
+           || ' ' || fb
+           || CASE WHEN iss THEN ' shortdupa shortdupb shortdupc' ELSE '' END
+           || ' ' || fc AS text,
+        fa || ' ' || fb || ' ' || fc AS clean
+        FROM built),
+      agg AS (SELECT
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN isl THEN 7 ELSE 0 END) AS BIGINT) AS long_planted,
+        CAST(sum(CASE WHEN isl THEN 7 ELSE 0 END) AS BIGINT) AS long_stripped,
+        CAST(0 AS BIGINT) AS long_missed,
+        CAST(sum(CASE WHEN iss THEN 3 ELSE 0 END) AS BIGINT) AS short_planted,
+        CAST(sum(CASE WHEN iss THEN 3 ELSE 0 END) AS BIGINT) AS short_stripped,
+        CAST(0 AS BIGINT) AS short_missed,
+        CAST(0 AS BIGINT) AS filler_stripped,
+        CAST(sum(18) AS BIGINT) AS filler_tokens,
+        CAST(sum(length(text) - length(clean)) AS BIGINT) AS bytes_removed
+        FROM txt)
+      SELECT n_docs, long_planted, long_stripped, long_missed,
+             short_planted, short_stripped, short_missed, filler_stripped,
+             bytes_removed,
+             CAST(((long_missed + short_missed) * 1000000 * 2
+                    + (long_planted + short_planted))
+                  // ((long_planted + short_planted) * 2) AS BIGINT) AS miss_ppm,
+             CAST((filler_stripped * 1000000 * 2 + filler_tokens)
+                  // (filler_tokens * 2) AS BIGINT) AS false_ppm
+      FROM agg"""
+
   val oracles: Map[String, String] = Map(
     "x278_orc_roundtrip" -> x278OracleSql,
-    "x279_span_exactness" -> x279OracleSql)
+    "x279_span_exactness" -> x279OracleSql,
+    "x287_span_multi" -> x287OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x278_orc_roundtrip" -> (x278OrcRoundTrip _),
-    "x279_span_exactness" -> (x279SpanExactness _))
+    "x279_span_exactness" -> (x279SpanExactness _),
+    "x287_span_multi" -> (x287SpanMulti _))
 }

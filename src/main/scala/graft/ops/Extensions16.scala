@@ -66,6 +66,15 @@ object Extensions16 {
     * unchanged.
     */
   def stripDuplicateSpans(
+      corpus: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    stripDuplicateSpansMulti(corpus, idCol, textCol, Seq(n))
+
+  /** Cross-doc duplicate WIDTH-n span starts: (doc_id, pos) of every
+    * n-gram occurrence whose gram appears in ≥ 2 distinct docs — the
+    * front half of [[stripDuplicateSpans]], exposed per width so the
+    * multi-width form can union span sets.
+    */
+  private def dupSpanStarts(
       corpus: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // (doc_id, pos, gk): every gram OCCURRENCE with its 1-based start.
     // Materialized — it feeds both the doc-frequency agg and the
@@ -89,17 +98,44 @@ object Extensions16 {
       .groupBy(col("gk")).agg(count(lit(1)).as("df_docs"))
       .filter(col("df_docs") >= 2)
       .select(col("gk"))
-    val starts = grams.join(dupKeys, Seq("gk"))
+    grams.join(dupKeys, Seq("gk")).select(col("doc_id"), col("pos"))
+  }
+
+  /** Multi-width span strip (round-12, the x279 finding acted on): a
+    * token is removed when a cross-doc duplicate span of ANY width in
+    * `widths` covers it. x279 measured that a shared substring SHORTER
+    * than the gram width is invisible to the single-width pass BY
+    * CONSTRUCTION; a second, smaller width closes exactly that gap —
+    * widths = Seq(5, 3) strips the 3-token boilerplate the 5-gram pass
+    * provably misses, at the cost of one more gram scan + index agg per
+    * width (and the aggressiveness of the smallest width: every shared
+    * w-gram is boilerplate by this operator's definition).
+    * [[spanExactnessCard]]-style cards price both modes on planted truth.
+    */
+  def stripDuplicateSpansMulti(
+      corpus: DataFrame, idCol: String, textCol: String,
+      widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 2) &&
+      widths.distinct.size == widths.size,
+      "widths must be distinct gram sizes >= 2")
+    val starts = widths.map { n =>
+      dupSpanStarts(corpus, idCol, textCol, n)
+        .select(col("doc_id"),
+          struct(col("pos").as("pos"), lit(n).as("w")).as("sp"))
+    }.reduce(_ unionAll _)
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+      .agg(sort_array(collect_list(col("sp"))).as("sps"))
     val out = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .join(starts, Seq("doc_id"), "left_outer")
     val rt = split(col("text"), " ")
-    val ss = coalesce(col("starts"), array().cast("array<int>"))
-    // token at 0-based index i is covered iff a dup span starts in
-    // (i+1-n, i+1]; HOF filter with the index lambda — codegen, no explode
+    val ss = coalesce(col("sps"),
+      array().cast("array<struct<pos:int,w:int>>"))
+    // token at 0-based index i is covered iff a dup span of width w
+    // starts in (i+1-w, i+1]; HOF filter with the index lambda —
+    // codegen, no explode
     val kept = filter(rt, (t: Column, i: Column) =>
-      !exists(ss, s => s <= i + 1 && i + 1 < s + n))
+      !exists(ss, s =>
+        s.getField("pos") <= i + 1 && i + 1 < s.getField("pos") + s.getField("w")))
     out.select(
       col("doc_id"),
       size(rt).cast("long").as("n_tokens"),

@@ -46,6 +46,39 @@ class Extensions16Spec extends SparkSpec {
     assert(c.forall(_ == ""), "full clones are entirely covered spans")
   }
 
+  test("x68 multi-width: the sub-gram span invisible at width 5 strips at {5,3}") {
+    import spark.implicits._
+    val short = "pp qq rr" // 3 tokens — no 5-gram fits inside it
+    val corpus = Seq(
+      (1L, s"alpha1 beta1 gamma1 $short delta1 epsilon1 zeta1"),
+      (2L, s"alpha2 beta2 gamma2 $short delta2 epsilon2 zeta2")
+    ).toDF("doc_id", "text")
+    val single = Extensions16.stripDuplicateSpans(corpus, "doc_id", "text", n = 5)
+      .agg(sum(col("n_removed"))).head().getLong(0)
+    assert(single == 0L, "width 5 cannot see a 3-token shared span")
+    val multi = Extensions16.stripDuplicateSpansMulti(
+        corpus, "doc_id", "text", widths = Seq(5, 3))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toMap
+    assert(multi(1L) == (3L, "alpha1 beta1 gamma1 delta1 epsilon1 zeta1"),
+      s"got ${multi(1L)}")
+    assert(multi(2L) == (3L, "alpha2 beta2 gamma2 delta2 epsilon2 zeta2"),
+      s"got ${multi(2L)}")
+  }
+
+  test("x68 single-width via the multi path is unchanged (Seq(n) delegation)") {
+    import spark.implicits._
+    val span = "aa bb cc dd"
+    val corpus = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"one two three $span four")).toDF("doc_id", "text")
+    val a = Extensions16.stripDuplicateSpans(corpus, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = Extensions16.stripDuplicateSpansMulti(corpus, "doc_id", "text", Seq(3))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   // ---- x69 -------------------------------------------------------------------
 
   /** Independent driver-side Sennrich BPE: word-frequency table, greedy
