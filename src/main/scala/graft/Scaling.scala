@@ -110,10 +110,28 @@ object ScalingAudit {
   private def fmt(d: Double): String = BigDecimal(d)
     .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Least-squares slope of ln t over ln factor — the 3-point exponent
+    * fit (two points cannot distinguish n·log n from n^1.2; the third
+    * point + recorded loadavg make a "clean" label defensible —
+    * round-11 verdict item 6).
+    */
+  private def lsSlope(pts: Seq[(Double, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+    val xm = xs.sum / xs.size; val ym = ys.sum / ys.size
+    val num = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum
+    val den = xs.map(x => (x - xm) * (x - xm)).sum
+    num / math.max(1e-12, den)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.1")
     val scaled = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // midFactor > 1 adds a THIRD measured point (factor-midFactor
+    // synthesis) per query and a least-squares exponent_fit over all
+    // three, with the box loadavg recorded next to every measurement
+    val midFactor = sys.env.getOrElse("SPARK_GRAFT_SCALING_MIDFACTOR", "0").toInt
+    val midDir = sys.env.getOrElse("SPARK_GRAFT_SFMID_DIR", "target/sfmid")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPEATS", "1").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_FILE", "scaling.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -127,23 +145,52 @@ object ScalingAudit {
       System.err.println(s"[scaling] synthesizing $scaled from $base x$factor")
       ScaleUp.synthesize(spark, base, scaled, factor)
     }
-    // warm up both read paths, then time base and scaled in the SAME
-    // session (same JVM state, same cpus) so the ratio cancels the
-    // environment
+    if (midFactor > 1 && !new java.io.File(s"$midDir/lineitem.parquet").exists()) {
+      System.err.println(s"[scaling] synthesizing $midDir from $base x$midFactor")
+      ScaleUp.synthesize(spark, base, midDir, midFactor)
+    }
+    // warm up every read path, then time all points PER QUERY in the
+    // SAME session (same JVM state, same cpus) so ratios cancel the
+    // environment; loadavg is captured right after each measurement so
+    // co-tenant pressure is visible per number, not per run
     try {
       spark.read.parquet(s"$base/lineitem.parquet").count()
       spark.read.parquet(s"$scaled/lineitem.parquet").count()
+      if (midFactor > 1) spark.read.parquet(s"$midDir/lineitem.parquet").count()
     } catch { case _: Throwable => () }
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val only = Some(names.toSet)
-    val tBase = Bench.timeQueries(spark, base, repeats, only, failed).toMap
-    val tScaled = Bench.timeQueries(spark, scaled, repeats, only, failed).toMap
-    val rows = names.filterNot(failed.contains).flatMap { n =>
-      for { b <- tBase.get(n); s <- tScaled.get(n) } yield {
-        val (bm, sm) = (b.min, s.min)
-        val exp = math.log(sm / math.max(1e-9, bm)) / math.log(factor.toDouble)
-        s""""$n":{"base_sec":${fmt(bm)},"scaled_sec":${fmt(sm)},"exponent":${fmt(exp)}}"""
+    val rows = names.flatMap { n =>
+      val only = Some(Set(n))
+      def point(dir: String): Option[(Double, Double)] = {
+        val t = Bench.timeQueries(spark, dir, repeats, only, failed).toMap
+        t.get(n).map(v => (v.min, loadavg))
       }
+      val res = for {
+        (bm, lb) <- point(base)
+        mid = if (midFactor > 1) point(midDir) else None
+        (sm, ls) <- point(scaled)
+      } yield {
+        val exp = math.log(sm / math.max(1e-9, bm)) / math.log(factor.toDouble)
+        val pts = Seq((1.0, bm)) ++ mid.map(m => (midFactor.toDouble, m._1)) ++
+          Seq((factor.toDouble, sm))
+        val fit = lsSlope(pts)
+        val midPart = mid.map { case (mm, lm) =>
+          s""","mid_sec":${fmt(mm)},"mid_factor":$midFactor,"loadavg_mid":${fmt(lm)}"""
+        }.getOrElse("")
+        val fitPart =
+          if (mid.isDefined) s""","exponent_fit":${fmt(fit)}""" else ""
+        System.err.println(s"[scaling] $n base=${fmt(bm)}" +
+          mid.map(m => s" mid=${fmt(m._1)}").getOrElse("") +
+          s" scaled=${fmt(sm)} exp=${fmt(exp)}" +
+          (if (mid.isDefined) s" fit=${fmt(fit)}" else ""))
+        s""""$n":{"base_sec":${fmt(bm)},"scaled_sec":${fmt(sm)},""" +
+          s""""exponent":${fmt(exp)},"loadavg_base":${fmt(lb)},""" +
+          s""""loadavg_scaled":${fmt(ls)}$midPart$fitPart}"""
+      }
+      if (res.isEmpty) System.err.println(s"[scaling] $n produced no timing")
+      res
     }
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     val json = s"""{"factor":$factor,"base":"$base","scaled":"$scaled",""" +

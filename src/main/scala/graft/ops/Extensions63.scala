@@ -43,8 +43,18 @@ object Extensions63 {
       corpus: DataFrame, idCol: String, textCol: String, truth: DataFrame,
       thresholds: Seq[Double], shingleSize: Int = 5): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted)
-    val cand = Extensions.jaccardPairs(corpus, idCol, textCol,
-      thresholds.min, shingleSize)
+    // r12 re-plan: the pair table now comes from the x253 lossless
+    // prefix filter instead of the full x02 index self-join — the sweep
+    // runs at min(θ), the LOOSEST threshold, which is exactly where the
+    // full index's hot-shingle buckets grow with the corpus (3-point
+    // audit read the old plan at fit 1.19). Threshold equivalence is
+    // exact (the x167 rule): round4(j) ≥ θ  ⇔  the integer cross-mult
+    // at (θ·10^5 − 5)/10^5, so the emitted pairs — and every sweep
+    // count — are bit-identical to the x02 form.
+    val tNum = math.round(thresholds.min * 100000.0) - 5L
+    val cand = Extensions111.prefixFilterJaccardPairs(
+        corpus, idCol, textCol, tNum, 100000L, shingleSize)
+      .select(col("doc_a"), col("doc_b"), col("jacc").as("jaccard"))
     val flagged = cand.join(
       truth.select(col("doc_a"), col("doc_b")).withColumn("is_true", lit(1L)),
       Seq("doc_a", "doc_b"), "left_outer")
