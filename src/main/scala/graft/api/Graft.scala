@@ -2625,7 +2625,7 @@ object Graft {
     * node) on a bounded id slice — the embedding-space pathology probe.
     */
   def knnHubness(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, idBound: Long = 1000L): DataFrame =
+      k: Int = 5, idBound: Long = 600L): DataFrame =
     Extensions130.knnHubness(emb, idCol, vecCol, k, idBound)
 
   /** Benford first-significant-digit card per group vs the log10(1+1/d)
@@ -2639,7 +2639,7 @@ object Graft {
     * prefix-dim cosine retrieval on a bounded slice.
     */
   def matryoshkaRecall(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, prefixDims: Int = 16, idBound: Long = 1000L): DataFrame =
+      k: Int = 10, prefixDims: Int = 16, idBound: Long = 600L): DataFrame =
     Extensions130.matryoshkaRecall(emb, idCol, vecCol, k, prefixDims, idBound)
 
   // ---- authorization (P5) --------------------------------------------------

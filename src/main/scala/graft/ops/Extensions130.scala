@@ -220,7 +220,7 @@ object Extensions130 {
     */
   def knnHubness(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, idBound: Long = 1000L): DataFrame = {
+      k: Int = 5, idBound: Long = 600L): DataFrame = {
     require(k >= 1)
     val ql = transform(col(vecCol), x =>
       round(x.cast("double") * lit(1e4), 0).cast("long"))
@@ -265,7 +265,7 @@ object Extensions130 {
         SELECT vec_id AS id,
                list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1e4, 0) AS BIGINT)) AS qv
-        FROM embeddings WHERE vec_id < 1000),
+        FROM embeddings WHERE vec_id < 600),
       nrm AS (SELECT id, qv, list_dot_product(qv, qv) AS nrm FROM base),
       scored AS (
         SELECT a.id AS qa, b.id AS qb,
@@ -348,7 +348,7 @@ object Extensions130 {
     */
   def matryoshkaRecall(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, prefixDims: Int = 16, idBound: Long = 1000L): DataFrame = {
+      k: Int = 10, prefixDims: Int = 16, idBound: Long = 600L): DataFrame = {
     require(k >= 1 && prefixDims >= 1)
     val ql = transform(col(vecCol), x =>
       round(x.cast("double") * lit(1e4), 0).cast("long"))
@@ -396,7 +396,7 @@ object Extensions130 {
         SELECT vec_id AS id,
                list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1e4, 0) AS BIGINT)) AS qv
-        FROM embeddings WHERE vec_id < 1000),
+        FROM embeddings WHERE vec_id < 600),
       bt AS (SELECT id, qv, qv[1:16] AS tv FROM base),
       nrm AS (SELECT id, qv, tv,
                      list_dot_product(qv, qv) AS nf,
