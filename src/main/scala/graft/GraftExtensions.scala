@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, JaroWinkler, Md5Bucket60, Md5Pair60, RepetitionMetrics}
+import graft.functions.{CosineSimilarity, JaroWinkler, LongDotProduct, Md5Bucket60, Md5Pair60, RepetitionMetrics}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions into the SQL function registry so `spark.sql` users get them
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.md5Bucket60Fn)
     e.injectFunction(GraftExtensions.md5Pair60Fn)
     e.injectFunction(GraftExtensions.jaroWinklerFn)
+    e.injectFunction(GraftExtensions.longDotFn)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPruning)
   }
@@ -66,6 +67,14 @@ object GraftExtensions {
       Md5Pair60(exprs.head)
     })
 
+  private val longDotFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("long_dot"),
+    new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "long_dot takes exactly 2 arguments")
+      LongDotProduct(exprs.head, exprs(1))
+    })
+
   private val jaroWinklerFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("jaro_winkler"),
     new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
@@ -79,7 +88,7 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimilarityFn, repetitionMetricsFn, md5Bucket60Fn,
-        md5Pair60Fn, jaroWinklerFn).foreach { fn =>
+        md5Pair60Fn, jaroWinklerFn, longDotFn).foreach { fn =>
       org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, fn._1, fn._2, fn._3)
     }
 }

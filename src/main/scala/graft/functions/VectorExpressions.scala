@@ -82,10 +82,81 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** Native Catalyst expression for the exact integer dot product over
+  * `array<bigint>` — the inner loop of every quantized brute scorer
+  * (x241/x283 LOO eval, x290 hubness, x292 truncation recall, the x05
+  * family): |queries| × |corpus| evaluations of a 64-element product
+  * sum. The HOF form (`aggregate(zip_with(a, b, _*_), 0L, _+_)`)
+  * interprets its lambda per element and breaks whole-stage codegen
+  * around the scorer; this generates one fused long loop.
+  *
+  * Arithmetic is identical to the HOF form on equal-length inputs
+  * (sequential long accumulation, silent 64-bit wrap — callers
+  * quantize so products stay in range, exactly as before); length
+  * mismatch takes min(n), the [[CosineSimilarity]] convention.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $dot = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += $a.getLong($i) * $b.getLong($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "long_dot"
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   /** Cosine similarity of two `array<float>` columns as a codegen'd scalar. */
   def cosine_similarity(a: Column, b: Column): Column =
     GraftSqlBridge.column(CosineSimilarity(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Exact integer dot product of two `array<bigint>` columns as a
+    * codegen'd scalar (see [[LongDotProduct]]).
+    */
+  def long_dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(LongDotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -63,8 +63,11 @@ object Extensions106 {
         "which derives the modulus from a fixed query budget")
     val ql = transform(col(vecCol), x =>
       round(x.cast("double") * lit(1e4), 0).cast("long"))
+    // native codegen long dot (one fused loop) — arithmetic identical to
+    // the HOF form; the scored relation is where |queries|·|corpus|
+    // evaluations live
     def dot(a: String, b: String) =
-      aggregate(zip_with(col(a), col(b), (p, q) => p * q), lit(0L), _ + _)
+      graft.functions.VectorFunctions.long_dot(col(a), col(b))
     val base = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
       ql.as("qv"),
       aggregate(transform(ql, x => x * x), lit(0L), _ + _).as("nrm"))

@@ -74,8 +74,7 @@ object Extensions108 {
       round(x.cast("double") * lit(1e4), 0).cast("long"))
     val cols = (0 until outDims).map { j =>
       val signs = Seq.tabulate(inDims)(i => signCell(i, j))
-      aggregate(zip_with(ql, typedLit(signs), (v, sgn) => v * sgn),
-        lit(0L), _ + _)
+      graft.functions.VectorFunctions.long_dot(ql, typedLit(signs))
     }
     emb.withColumn("proj", array(cols: _*))
   }
@@ -97,7 +96,7 @@ object Extensions108 {
         slice(col("proj"), 1, 16).as("p16"),
         col("proj").as("p32"))
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (p, q) => p * q), lit(0L), _ + _)
+      graft.functions.VectorFunctions.long_dot(a, b)
     def cosq(a: String, b: String) =
       round(lit(1e6) * (dot(col(s"x.$a"), col(s"y.$b")).cast("double") /
         (sqrt(dot(col(s"x.$a"), col(s"x.$a")).cast("double")) *

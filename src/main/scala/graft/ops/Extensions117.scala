@@ -31,8 +31,8 @@ object Extensions117 {
 
   /** Exact integer margin for a literal weight vector (the x94 kernel). */
   private def marginMicro(weights: Array[Long], x: Column): Column =
-    aggregate(zip_with(array(weights.map(lit(_)): _*), x,
-      (wi, xi) => wi * xi), lit(0L), (a, b) => a + b)
+    graft.functions.VectorFunctions.long_dot(
+      array(weights.map(lit(_)): _*), x)
 
   /** Leave-one-group-out valuation card over a labeled corpus: one row
     * per `groupCol` value — training size without the group, full-model

@@ -32,8 +32,8 @@ object Extensions123 {
   import Extensions26.NumBuckets
 
   private def marginMicro(weights: Array[Long], x: Column): Column =
-    aggregate(zip_with(array(weights.map(lit(_)): _*), x,
-      (wi, xi) => wi * xi), lit(0L), (a, b) => a + b)
+    graft.functions.VectorFunctions.long_dot(
+      array(weights.map(lit(_)): _*), x)
 
   /** One-row ATT card: (n_treated, n_control, mean_t_micro,
     * mean_c_w_micro, att_micro, sum_w_micro). `treatCol`/`outcomeCol`

@@ -29,8 +29,8 @@ object Extensions125 {
   import Extensions26.NumBuckets
 
   private def marginMicro(weights: Array[Long], x: Column): Column =
-    aggregate(zip_with(array(weights.map(lit(_)): _*), x,
-      (wi, xi) => wi * xi), lit(0L), (a, b) => a + b)
+    graft.functions.VectorFunctions.long_dot(
+      array(weights.map(lit(_)): _*), x)
 
   /** Per-fold CV card: (fold, n_train, n_val, brier_micro) plus the
     * exact summary repeated per row (mean_brier_micro, range_micro).

@@ -229,7 +229,7 @@ object Extensions130 {
         .select(col(idCol).as("id"), ql.as("qv"),
           aggregate(transform(ql, x => x * x), lit(0L), _ + _).as("nrm")))
     def dot(a: String, b: String) =
-      aggregate(zip_with(col(a), col(b), (p, q) => p * q), lit(0L), _ + _)
+      graft.functions.VectorFunctions.long_dot(col(a), col(b))
     val scored = base.select(col("id").as("qa"), col("qv").as("va"),
         col("nrm").as("na"))
       .join(base.select(col("id").as("qb"), col("qv").as("vb"),
@@ -360,7 +360,7 @@ object Extensions130 {
           aggregate(transform(col("qv"), x => x * x), lit(0L), _ + _).as("nf"),
           aggregate(transform(col("tv"), x => x * x), lit(0L), _ + _).as("nt")))
     def dot(a: String, b: String) =
-      aggregate(zip_with(col(a), col(b), (p, q) => p * q), lit(0L), _ + _)
+      graft.functions.VectorFunctions.long_dot(col(a), col(b))
     val pairs = Extensions.materialized(base
       .select(col("id").as("qa"), col("qv").as("va"), col("tv").as("ta"),
         col("nf").as("nfa"), col("nt").as("nta"))

@@ -73,7 +73,9 @@ object Extensions26 {
     */
   private def marginMicro(weights: Array[Long], x: Column): Column = {
     val wLit = array(weights.map(lit(_)): _*)
-    aggregate(zip_with(wLit, x, (wi, xi) => wi * xi), lit(0L), (a, b) => a + b)
+    // native codegen long dot — one fused loop per row instead of an
+    // interpreted HOF lambda; arithmetic identical
+    graft.functions.VectorFunctions.long_dot(wLit, x)
   }
 
   /** Round-half-away-from-zero integer division — the cross-engine-exact

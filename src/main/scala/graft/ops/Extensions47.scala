@@ -83,8 +83,7 @@ object Extensions47 {
     var lamMicro = BigInt(0); var traceMicro = BigInt(0); var nRows = 0L
     for (r <- 1 to iters) {
       val mLit = array(m.map(lit(_)): _*)
-      val t = aggregate(zip_with(col("vq"), mLit, (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
+      val t = graft.functions.VectorFunctions.long_dot(col("vq"), mLit)
       val withT = vq.select(col("vq"), t.as("t"))
       // width audit (r12): every per-row term here fits a long (t ≤
       // ~6.4e13, the scaled update term ≤ ~6.4e10), but the SUMS grow

@@ -33,8 +33,7 @@ object Extensions48 {
     val mLit = array(mMicro.map(lit(_)): _*)
     vq.select(col(idCol),
         col("vq"),
-        aggregate(zip_with(col("vq"), mLit, (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("t"))
+        graft.functions.VectorFunctions.long_dot(col("vq"), mLit).as("t"))
       .select(col(idCol),
         zip_with(col("vq"), mLit, (a, b) =>
           a - round(col("t").cast("double") * b / lit(1e12), 0).cast("long"))
