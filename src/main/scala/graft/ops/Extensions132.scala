@@ -223,6 +223,12 @@ object Extensions132 {
     */
   def x297MongeElkan(s: SparkSession, dir: String): DataFrame =
     mongeElkanPairs(Tables.load(s, dir, "part")
+        // bounded calibration slice (the x286/x290 discipline): the
+        // (brand, type) blocks have FIXED cardinality, so block sizes —
+        // and the pair volume — grow quadratically with the catalog;
+        // the card prices the comparator on a corpus-invariant slice,
+        // and corpus-scale candidates come from x248/x253 blocking
+        .filter(col("p_partkey") < 2500)
         .withColumn("blk", concat_ws("|", col("p_brand"), col("p_type"))),
       "p_partkey", "p_name", "blk")
 
@@ -231,7 +237,7 @@ object Extensions132 {
                         list_filter(string_split(lower(p_name), ' '),
                           t -> length(t) > 0) AS tk,
                         p_brand || '|' || p_type AS blk
-                 FROM part),
+                 FROM part WHERE p_partkey < 2500),
       prs AS (SELECT a.id AS id_a, b.id AS id_b, a.tk AS ta, b.tk AS tb
               FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id),
       ab AS (SELECT id_a, id_b,
