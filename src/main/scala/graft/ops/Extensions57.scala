@@ -103,9 +103,12 @@ object Extensions57 {
     *
     * Scale: edges materialize ONCE; each round is two equi-joins +
     * two hash-aggs over O(edges), with the two 1-row maxima broadcast.
-    * Every per-round table except edges is O(nodes). Headroom: a
-    * neighbor sum holds Σ of 1e6-scale scores — exact until ~9e6
-    * same-side neighbors of one node.
+    * Every per-round table except edges is O(nodes). Widths (r12
+    * sweep follow-up): the neighbor sum and its 10^6-scaled normalize
+    * numerator ride in DECIMAL(38,0) — a long `1e6·s` wraps past 2^63
+    * at ~9e6 same-side neighbors of one hub, exactly the degree a
+    * 100 TB graph serves; the normalized score is back in [0, 10^6]
+    * so the output stays LongType (hash-transparent at any scale).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 4): DataFrame = {
@@ -116,17 +119,20 @@ object Extensions57 {
       val mx = scores.agg(max(col("s")).as("mx"))
       scores.crossJoin(broadcast(mx))
         .select(col(keyCol),
-          expr("(1000000 * s * 2 + mx) DIV (2 * mx)").as("score"))
+          expr("CAST((1000000 * s * 2 + mx) DIV (2 * mx) AS BIGINT)")
+            .as("score"))
     }
     var hubs = Extensions.materialized(
       e.select(col("src")).distinct().withColumn("score", lit(1000000L)))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
       val aSum = e.join(hubs, Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("score")).as("s"))
+        .groupBy(col("dst"))
+        .agg(sum(col("score").cast("decimal(38,0)")).as("s"))
       auths = Extensions.materialized(normalized(aSum, "dst"))
       val hSum = e.join(auths, Seq("dst"))
-        .groupBy(col("src")).agg(sum(col("score")).as("s"))
+        .groupBy(col("src"))
+        .agg(sum(col("score").cast("decimal(38,0)")).as("s"))
       hubs = Extensions.materialized(normalized(hSum, "src"))
     }
     hubs.select(lit("hub").as("node_type"), col("src").as("node_id"),
