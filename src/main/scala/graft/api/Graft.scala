@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, Extensions113, Extensions114, Extensions115, Extensions116, Extensions117, Extensions118, Extensions120, Extensions121, Extensions122, Extensions123, Extensions124, Extensions125, Extensions126, Extensions127, Extensions128, Extensions129, Extensions130, Extensions131, Extensions132, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, Extensions113, Extensions114, Extensions115, Extensions116, Extensions117, Extensions118, Extensions120, Extensions121, Extensions122, Extensions123, Extensions124, Extensions125, Extensions126, Extensions127, Extensions128, Extensions129, Extensions130, Extensions131, Extensions132, Extensions133, Extensions134, Extensions135, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures, SketchStore}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -2684,6 +2684,83 @@ object Graft {
   def mongeElkanPairs(rel: DataFrame, idCol: String, strCol: String,
       blockCol: String, thresholdMicro: Long = 850000L): DataFrame =
     Extensions132.mongeElkanPairs(rel, idCol, strCol, blockCol, thresholdMicro)
+
+  /** Mean unbiased pass@k (Chen et al. 2021) over a (task, attempt,
+    * 0/1 pass) table — one row per k, exact combinatorial form,
+    * samples-per-task loudly capped so the falling factorials stay
+    * long-exact.
+    */
+  def passAtK(samples: DataFrame, taskCol: String, passCol: String,
+      ks: Seq[Int] = Seq(1, 2, 4, 8), maxSamplesPerTask: Long = 30L): DataFrame =
+    Extensions133.passAtK(samples, taskCol, passCol, ks, maxSamplesPerTask)
+
+  /** Doubly-robust (AIPW) ATE card: regression-only, Horvitz–Thompson
+    * IPW, and AIPW estimates side by side — propensity + two outcome
+    * GD chains over one feature table.
+    */
+  def aipwAte(labeled: DataFrame, idCol: String, textCol: String,
+      treatCol: String, outcomeCol: String, iters: Int = 8,
+      clipLoMicro: Long = 10000L, clipHiMicro: Long = 990000L): DataFrame =
+    Extensions133.aipwAte(labeled, idCol, textCol, treatCol, outcomeCol,
+      iters, clipLoMicro, clipHiMicro)
+
+  /** Top-k first-`depth` event-type paths per user (the Sankey/path-
+    * analysis card): (path, n_users) by count desc, path asc.
+    */
+  def eventPathCard(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, depth: Int = 5, topK: Int = 20): DataFrame =
+    Extensions133.eventPathCard(events, userCol, typeCol, tsCol, tieCol,
+      depth, topK)
+
+  /** Mean exact maj@k (self-consistency voting accuracy) over a
+    * (task, attempt, 0/1 pass) table — hypergeometric tail per task,
+    * one row per odd k.
+    */
+  def majAtK(samples: DataFrame, taskCol: String, passCol: String,
+      ks: Seq[Int] = Seq(1, 3, 5), maxSamplesPerTask: Long = 30L): DataFrame =
+    Extensions134.majAtK(samples, taskCol, passCol, ks, maxSamplesPerTask)
+
+  /** Mean E[max reward of k draws] (best-of-n selection eval) over a
+    * (task, attempt, reward-micro) table — exact order-statistic
+    * weights, one row per k.
+    */
+  def bestOfKReward(samples: DataFrame, taskCol: String, rewardCol: String,
+      ks: Seq[Int] = Seq(1, 2, 4, 8), maxSamplesPerTask: Long = 30L): DataFrame =
+    Extensions134.bestOfKReward(samples, taskCol, rewardCol, ks,
+      maxSamplesPerTask)
+
+  /** Training-dynamics dataset map (easy/hard/ambiguous regions) over
+    * the integer-GD trace — mean and variance of true-label confidence
+    * across checkpoints, one region row each.
+    */
+  def trainingDynamicsCard(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, iters: Int = 8,
+      stdThreshMicro: Long = 150000L): DataFrame =
+    Extensions134.trainingDynamicsCard(labeled, idCol, textCol, labelCol,
+      iters, stdThreshMicro)
+
+  /** Relative Katz centrality (α = 1/5, L levels) — exact attenuated
+    * walk counts over the common denominator 5^L, one end
+    * normalization.
+    */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      levels: Int = 4): DataFrame =
+    Extensions135.katzCentrality(edges, srcCol, dstCol, levels)
+
+  /** Pivot-sampled Brandes betweenness (exact σ/δ accumulation from
+    * md5 pivots, truncated BFS) — (node, bc_micro) for positive
+    * dependency.
+    */
+  def pivotBetweenness(edges: DataFrame, srcCol: String, dstCol: String,
+      nPivots: Int = 4, maxHops: Int = 4): DataFrame =
+    Extensions135.pivotBetweenness(edges, srcCol, dstCol, nPivots, maxHops)
+
+  /** Exact truncated neighborhood function + 90% effective-diameter
+    * flag from md5 pivots — (h, pairs_within, share_micro, flag).
+    */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
+      nPivots: Int = 8, maxHops: Int = 8): DataFrame =
+    Extensions135.neighborhoodFunction(edges, srcCol, dstCol, nPivots, maxHops)
 
   // ---- authorization (P5) --------------------------------------------------
 

@@ -119,10 +119,18 @@ object Extensions117 {
     * names prefixed, training rows filtered by `trainWhere` — the x94
     * generated-SQL discipline, parametrized for G+1 replays.
     */
-  private[ops] def chainG(p: String, iters: Int, trainWhere: String): String = {
+  private[ops] def chainG(p: String, iters: Int, trainWhere: String): String =
+    chainG(p, iters, trainWhere, "feat")
+
+  /** [[chainG]] with the training source spelled out — `fromSql` must
+    * expose (y, x) plus whatever `trainWhere` filters on; the x299 AIPW
+    * outcome chains pass a feat projection that relabels y := outcome.
+    */
+  private[ops] def chainG(
+      p: String, iters: Int, trainWhere: String, fromSql: String): String = {
     val F = NumBuckets
     val base = s"""
-    ${p}tf AS MATERIALIZED (SELECT y, x FROM feat WHERE $trainWhere),
+    ${p}tf AS MATERIALIZED (SELECT y, x FROM $fromSql WHERE $trainWhere),
     ${p}nn AS (SELECT count(*) AS n FROM ${p}tf),
     ${p}w0 AS (SELECT list_transform(generate_series(1, ${F + 1}),
                  j -> CAST(0 AS BIGINT)) AS w)"""

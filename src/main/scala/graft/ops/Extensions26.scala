@@ -117,10 +117,20 @@ object Extensions26 {
     */
   def trainLogreg(
       feat: DataFrame, numBuckets: Int = NumBuckets, iters: Int = 8,
-      lrDen: Long = 20L): Array[Long] = {
+      lrDen: Long = 20L): Array[Long] =
+    trainLogregTrace(feat, numBuckets, iters, lrDen).last
+
+  /** [[trainLogreg]] with the full optimization trace: the weight
+    * vector AFTER each iteration (`iters` entries) — the x303 training-
+    * dynamics card scores every checkpoint; everyone else takes `.last`.
+    */
+  def trainLogregTrace(
+      feat: DataFrame, numBuckets: Int = NumBuckets, iters: Int = 8,
+      lrDen: Long = 20L): Seq[Array[Long]] = {
     val n = feat.count()
     require(n > 0, "trainLogreg: empty feature table")
     var w = Array.fill(numBuckets + 1)(0L)
+    val trace = Seq.newBuilder[Array[Long]]
     for (_ <- 1 to iters) {
       val withR = feat.select(col("x"),
         (round(lit(1e6) / (lit(1.0) + exp(-marginMicro(w, col("x")) / lit(1e6))), 0)
@@ -132,8 +142,9 @@ object Extensions26 {
       w = Array.tabulate(numBuckets + 1)(j =>
         w(j) - halfAwayDivBig(BigInt(gradRow.getDecimal(j).toBigInteger),
           BigInt(lrDen) * n))
+      trace += w
     }
-    w
+    trace.result()
   }
 
   /** Featurize (one corpus scan, materialized) and train — the one-call
