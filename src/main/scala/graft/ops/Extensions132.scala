@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.model.Tables
 
 /** One-hundred-thirty-second extension batch — the causal tier's
@@ -45,11 +44,20 @@ object Extensions132 {
     * n_matched, n_unmatched, mean_t_micro, mean_mc_micro, att_micro) —
     * means over MATCHED pairs, half-up micro.
     *
-    * Scale: the propensity is the x94 GD chain (corpus featurized once,
-    * 8 bounded map+agg passes); match candidates come from a caliper-
-    * bucket join — bucket edge = caliper, so any in-caliper pair sits
-    * in adjacent buckets (lossless) and a hot propensity region costs
-    * its local density, never treated × controls.
+    * Scale (r12 re-plan, audit-driven): the propensity is the x94 GD
+    * chain (corpus featurized once, 8 bounded map+agg passes). The
+    * first shipped match plan joined treated × in-caliper controls and
+    * ranked — the sf1 audit read it at exponent 1.50 (both sides of a
+    * hot propensity bucket grow with the corpus, so candidate pairs
+    * grow quadratically). Now: controls collapse to their DISTINCT
+    * clipped-propensity grid (≤ 10^6 rows forever — corpus-invariant;
+    * per grid value the min-id control is the representative, which
+    * preserves the (|Δe|, c_id) tie EXACTLY because the original
+    * argmin over a tied-|Δe| set is the min id of the union of the
+    * grid groups), then TWO native as-of merge joins (below/above,
+    * tolerance = caliper) keyed by caliper bucket with a one-bucket
+    * spill find the nearest grid value on each side — per treated the
+    * candidate set is exactly {prev, next}, no window, no pair table.
     */
   def psmAtt(
       labeled: DataFrame, idCol: String, textCol: String,
@@ -71,20 +79,44 @@ object Extensions132 {
         .withColumn("b", expr(s"e DIV $caliperMicro")))
     val treats = scored.filter(col("t") === 1L)
       .select(col("doc_id").as("t_id"), col("yo").as("ty"),
-        col("e").as("te"), col("b").as("tb"))
+        col("e").as("te"))
     val ctrls = scored.filter(col("t") === 0L)
       .select(col("doc_id").as("c_id"), col("yo").as("cy"),
-        col("e").as("ce"), col("b").as("cb"))
-    val cand = treats
-      .withColumn("pb", explode(array(col("tb") - 1, col("tb"), col("tb") + 1)))
-      .join(ctrls, col("pb") === col("cb"))
-      .filter(abs(col("te") - col("ce")) <= caliperMicro)
-    val wBest = Window.partitionBy(col("t_id"))
-      .orderBy(abs(col("te") - col("ce")), col("c_id"))
+        col("e").as("ce"))
+    // corpus-invariant control grid: one representative per distinct
+    // clipped propensity (min id; min_by carries its outcome)
+    val grid = Extensions.materialized(
+      ctrls.groupBy(col("ce"))
+        .agg(min(col("c_id")).as("c_id"),
+          min_by(col("cy"), col("c_id")).as("cy")))
+    val gBelow = grid
+      .withColumn("b", explode(array(
+        expr(s"ce DIV $caliperMicro"), expr(s"ce DIV $caliperMicro + 1"))))
+    val below = graft.plans.AsOfJoinOp(
+      treats.withColumn("b", expr(s"te DIV $caliperMicro")),
+      gBelow, Seq("b"), "te", "ce", tolerance = Some(caliperMicro))
+    val gAbove = grid
+      .select((lit(1000000L) - col("ce")).as("ce2"),
+        col("c_id").as("cn_id"), col("cy").as("cn_cy"))
+      .withColumn("b2", explode(array(
+        expr(s"ce2 DIV $caliperMicro"), expr(s"ce2 DIV $caliperMicro + 1"))))
+    val both = graft.plans.AsOfJoinOp(
+      below.withColumn("te2", lit(1000000L) - col("te"))
+        .withColumn("b2", expr(s"te2 DIV $caliperMicro")),
+      gAbove, Seq("b2"), "te2", "ce2", tolerance = Some(caliperMicro))
+    // nearest of {prev, next}; an exact-distance tie goes to the
+    // smaller representative id — the original (|Δe|, c_id) rule
+    val dp = col("te") - col("ce")
+    val dn = col("te2") - col("ce2") // = next_ce − te; both distances ≥ 0
     val matched = Extensions.materialized(
-      cand.withColumn("rk", row_number().over(wBest))
-        .filter(col("rk") === 1)
-        .select(col("t_id"), col("ty"), col("cy")))
+      both.filter(col("ce").isNotNull || col("ce2").isNotNull)
+        .select(col("t_id"), col("ty"),
+          when(col("ce2").isNull, col("cy"))
+            .when(col("ce").isNull, col("cn_cy"))
+            .when(dp < dn, col("cy"))
+            .when(dn < dp, col("cn_cy"))
+            .when(col("c_id") <= col("cn_id"), col("cy"))
+            .otherwise(col("cn_cy")).as("cy")))
     val nT = treats.agg(count(lit(1)).as("n_treated"))
     matched.agg(
         count(lit(1)).as("n_matched"),
