@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, Extensions113, Extensions114, Extensions115, Extensions116, Extensions117, Extensions118, Extensions120, Extensions121, Extensions122, Extensions123, Extensions124, Extensions125, Extensions126, Extensions127, Extensions128, Extensions129, Extensions130, Extensions131, Extensions132, Extensions133, Extensions134, Extensions135, Extensions136, Extensions137, Extensions138, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, Extensions113, Extensions114, Extensions115, Extensions116, Extensions117, Extensions118, Extensions120, Extensions121, Extensions122, Extensions123, Extensions124, Extensions125, Extensions126, Extensions127, Extensions128, Extensions129, Extensions130, Extensions131, Extensions132, Extensions133, Extensions134, Extensions135, Extensions136, Extensions137, Extensions138, Extensions139, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures, SketchStore}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -2761,6 +2761,74 @@ object Graft {
   def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
       nPivots: Int = 8, maxHops: Int = 8): DataFrame =
     Extensions135.neighborhoodFunction(edges, srcCol, dstCol, nPivots, maxHops)
+
+  /** Min-K% Prob membership/contamination score per document —
+    * mean surprisal of the k% least-probable tokens under the corpus
+    * unigram model, exact micro-nats.
+    */
+  def minKProb(corpus: DataFrame, idCol: String, textCol: String,
+      kPermille: Int = 200): DataFrame =
+    Extensions139.minKProb(corpus, idCol, textCol, kPermille)
+
+  /** Alignment/uniformity embedding-quality card (Wang & Isola 2020)
+    * over a corpus-invariant md5 top-C sample.
+    */
+  def alignmentUniformity(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, sampleCap: Int = 400): DataFrame =
+    Extensions139.alignmentUniformity(emb, idCol, vecCol, labelCol, sampleCap)
+
+  /** Validation-Brier learning curve at md5 training fractions. */
+  def learningCurve(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, fracsPermille: Seq[Int] = Seq(250, 500, 750, 1000),
+      iters: Int = 8): DataFrame =
+    Extensions138.learningCurve(labeled, idCol, textCol, labelCol,
+      fracsPermille, iters)
+
+  /** Two-arm MDE/power planning card from exact cents moments. */
+  def mdeCard(units: DataFrame, metricCentsCol: String): DataFrame =
+    Extensions138.mdeCard(units, metricCentsCol)
+
+  /** Sample-ratio-mismatch self-check of an md5 50/50 unit split —
+    * derives the arms from the split itself and compares the critical
+    * value in pure integers; [[srmCheck]] is the design-permille form
+    * for externally assigned arms.
+    */
+  def srmSplitCheck(units: DataFrame, unitCol: String,
+      saltPrefix: String = "ab:"): DataFrame =
+    Extensions138.srmCheck(units, unitCol, saltPrefix)
+
+  /** Day-batched UCB1 policy replay with hindsight regret. */
+  def ucb1Replay(rewards: DataFrame, dayCol: String, armCol: String,
+      rewardCol: String): DataFrame =
+    Extensions137.ucb1Replay(rewards, dayCol, armCol, rewardCol)
+
+  /** Dawid-Skene label model: per-rater sensitivity/specificity from
+    * redundant noisy labels, two EM rounds, integer-exact.
+    */
+  def dawidSkene(items: DataFrame, raterCols: Seq[String],
+      rounds: Int = 2): DataFrame =
+    Extensions137.dawidSkene(items, raterCols, rounds)
+
+  /** Consistent-hash ring vs mod-N rebalance card. */
+  def rebalanceCard(keys: DataFrame, keyCol: String, nShards: Int = 4,
+      vnodes: Int = 32): DataFrame =
+    Extensions137.rebalanceCard(keys, keyCol, nShards, vnodes)
+
+  /** Reciprocal-rank fusion of per-query rankings. */
+  def rrfFusion(rankings: Seq[DataFrame], k0: Long = 60L,
+      topK: Int = 10): DataFrame =
+    Extensions136.rrfFusion(rankings, k0, topK)
+
+  /** ARI + NMI agreement between a clustering and truth labels. */
+  def clusterAgreement(assigned: DataFrame, clusterCol: String,
+      labelCol: String): DataFrame =
+    Extensions136.clusterAgreement(assigned, clusterCol, labelCol)
+
+  /** Placebo-treatment refutation of an IPW effect readout. */
+  def placeboRefutation(labeled: DataFrame, idCol: String, textCol: String,
+      treatCol: String, outcomeCol: String, iters: Int = 8): DataFrame =
+    Extensions136.placeboRefutation(labeled, idCol, textCol, treatCol,
+      outcomeCol, iters)
 
   // ---- authorization (P5) --------------------------------------------------
 
