@@ -17,8 +17,8 @@ import graft.model.Tables
   *    embedding-quality functionals — alignment = mean squared
   *    distance of same-label pairs (want small), uniformity =
   *    ln E[exp(−2‖x−y‖²)] over pairs (want negative/large-spread) —
-  *    both over md5-budgeted pair samples, the pair-budget discipline
-  *    of x273/x283.
+  *    both over the md5 top-C node sample, whose pair volume is a
+  *    corpus-invariant constant by construction.
   *
   * Determinism: x316 quantizes surprisal per TYPE (micro-nats) before
   * any per-doc selection, so the tail sum is exact integers (equal
