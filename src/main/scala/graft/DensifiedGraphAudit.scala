@@ -84,7 +84,12 @@ object DensifiedGraphAudit {
     "x281_link_prediction" -> (e => graft.ops.Extensions128
       .linkPredictionScores(e, "src", "dst")),
     "x285_harmonic_centrality" -> (e => graft.ops.Extensions129
-      .harmonicCentrality(e, "src", "dst")))
+      .harmonicCentrality(e, "src", "dst")),
+    "x304_katz" -> (e => graft.ops.Extensions135.katzCentrality(e, "src", "dst")),
+    "x305_betweenness" -> (e => graft.ops.Extensions135
+      .pivotBetweenness(e, "src", "dst")),
+    "x306_neighborhood_fn" -> (e => graft.ops.Extensions135
+      .neighborhoodFunction(e, "src", "dst")))
 
   def main(args: Array[String]): Unit = {
     val baseNodes = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_NODES", "30000").toLong
