@@ -11,7 +11,7 @@ object Bench {
   private[graft] def timeQueries(
       spark: SparkSession, sfDir: String, repeats: Int,
       only: Option[Set[String]],
-      failed: scala.collection.mutable.LinkedHashSet[String]): Seq[(String, Seq[Double])] = {
+      failed: scala.collection.mutable.LinkedHashSet[String]): Seq[(String, Seq[Double], Seq[Double])] = {
     // Reset shared-JVM state between queries so each timed number measures
     // the query, not the decay of everything that ran before it. Round-2
     // data: x02 measured 26.5s in-suite vs 7.0s isolated (same JVM, same
@@ -41,10 +41,22 @@ object Bench {
     // plan time in milliseconds, so silently swallowing it would record a
     // tiny number that reads as a speedup. Failed queries are listed in an
     // "errors" array and excluded from the total.
+    // Per-measurement 1-min loadavg (max of the samples bracketing the
+    // timed region): rounds 11-12 both lost per-query triage to co-tenant
+    // noise that was invisible in the artifact (x99 suite-min 39.6s vs
+    // fresh-JVM 10.97s under loadavg ~8 with zero code change). Recording
+    // load NEXT TO each number makes "the box was busy" distinguishable
+    // from "the plan regressed" without re-running anything.
+    def loadavg(): Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (l.isNaN) -1.0 else l
+    }
     SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        val times = (1 to math.max(1, repeats)).map { _ =>
+        val timed = (1 to math.max(1, repeats)).map { _ =>
+          val l0 = loadavg()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
           catch { case e: Throwable =>
@@ -52,12 +64,13 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
           val dt = (System.nanoTime() - t0) / 1e9
+          val l1 = loadavg()
           reset() // outside the timed region
-          dt
+          (dt, math.max(l0, l1))
         }
-        name -> times
+        (name, timed.map(_._1), timed.map(_._2))
       }
-      .filter { case (name, _) => !failed.contains(name) }
+      .filter { case (name, _, _) => !failed.contains(name) }
   }
 
   private def newSession(cpus: String): SparkSession = {
@@ -195,18 +208,28 @@ object Bench {
     val results = timeQueries(spark, sfDir, repeats, only, failed)
     if (isolatedChild) {
       // child contract: ONE JSON line, min per query, exit
-      val body = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v.min) }
+      val body = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v.min) }
         .mkString(",")
       println(s"""{"isolated":{$body}}""")
       spark.stop()
       return
     }
-    val qs = jsonMap(results.map { case (k, v) => k -> fmt(v.min) })
-    val qsMed = jsonMap(results.map { case (k, v) => k -> fmt(med(v)) })
-    val spread = jsonMap(results.map { case (k, v) =>
+    val qs = jsonMap(results.map { case (k, v, _) => k -> fmt(v.min) })
+    val qsMed = jsonMap(results.map { case (k, v, _) => k -> fmt(med(v)) })
+    val spread = jsonMap(results.map { case (k, v, _) =>
       k -> fmt(v.max / math.max(1e-9, v.min)) })
+    // Per-query max loadavg over the repeats, plus the clean-bench gate:
+    // a recording is "clean" only when NO measurement ran above the
+    // threshold (default: the session's CPU count — at local[cpus] a
+    // loadavg beyond the cores this JVM may use means someone else's).
+    val cleanThresh = sys.env.getOrElse("SPARK_GRAFT_CLEAN_LOADAVG",
+      cpus).toDouble
+    val loadJson = jsonMap(results.map { case (k, _, ls) =>
+      k -> fmt(ls.max) })
+    val loadMax = if (results.isEmpty) 0.0 else results.map(_._3.max).max
+    val cleanBench = loadMax >= 0.0 && loadMax <= cleanThresh
     val total = results.map(_._2.min).sum
-    val totalMed = results.map { case (_, v) => med(v) }.sum
+    val totalMed = results.map { case (_, v, _) => med(v) }.sum
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     // Isolated-JVM triage of the slowest queries: a fresh JVM per batch,
     // so in-suite vs isolated separates real query cost from suite-JVM
@@ -219,9 +242,9 @@ object Bench {
     // query, not only for the headline slowest (round-10 verdict item 6).
     val spreadThresh =
       sys.env.getOrElse("SPARK_GRAFT_ISOLATE_SPREAD", "2.0").toDouble
-    val slowNames = (results.sortBy { case (_, v) => -v.min }
+    val slowNames = (results.sortBy { case (_, v, _) => -v.min }
       .take(math.max(0, isolateTop)).map(_._1) ++
-      results.collect { case (n, v)
+      results.collect { case (n, v, _)
         if v.max / math.max(1e-9, v.min) > spreadThresh => n }).distinct
     val isolated = if (isolateTop <= 0) None else runIsolated(slowNames)
     val isoJson = isolated match {
@@ -255,7 +278,7 @@ object Bench {
         }
       } else "{}"
     } catch { case _: Throwable => "{}" }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"isolated_min":$isoJson,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"loadavg":$loadJson,"loadavg_max":${fmt(loadMax)},"clean_bench":$cleanBench,"isolated_min":$isoJson,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
     // The FULL per-query artifact as a standalone file: the driver's tail
     // capture truncates the line above past ~56 queries, leaving 84% of
     // queries invisible to cross-round regression triage (round-9 item 7).
@@ -264,7 +287,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(new java.io.File(fullPath), "UTF-8")
       try w.println(
-        s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"isolated_min":$isoJson,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"loadavg":$loadJson,"loadavg_max":${fmt(loadMax)},"clean_loadavg_threshold":${fmt(cleanThresh)},"clean_bench":$cleanBench,"isolated_min":$isoJson,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
@@ -277,13 +300,14 @@ object Bench {
     // summary as the FINAL line — total min+median, count, errors, top-5
     // slowest — with sf1_scaling as a POINTER to bench_full.json, never
     // the blob itself; the full section lives only in the file artifacts.
-    val slowest = results.sortBy { case (_, v) => -v.min }.take(5)
-      .map { case (k, v) =>
+    val slowest = results.sortBy { case (_, v, _) => -v.min }.take(5)
+      .map { case (k, v, ls) =>
         val iso = isolated.flatMap(_.get(k)).map(d => ",\"iso\":" + fmt(d)).getOrElse("")
-        s"\"" + k + "\":{\"min\":" + fmt(v.min) + ",\"med\":" + fmt(med(v)) + iso + "}"
+        s"\"" + k + "\":{\"min\":" + fmt(v.min) + ",\"med\":" + fmt(med(v)) +
+          ",\"load\":" + fmt(ls.max) + iso + "}"
       }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"errors":$errs,"slowest":$slowest,"sf1_scaling":"$fullPath","bench_full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"loadavg_max":${fmt(loadMax)},"clean_bench":$cleanBench,"errors":$errs,"slowest":$slowest,"sf1_scaling":"$fullPath","bench_full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,6 +52,18 @@ object DensifiedGraph {
       pmod(graft.functions.HashFunctions.md5_bucket60(
         concat(col("node").cast("string"), lit(":comm"))), lit(50L))
         .as("comm"))
+
+  /** Bipartite PA mode (round-13): the SAME u² construction read as a
+    * two-sided graph — left vertex i (its own partition, degree exactly
+    * m) attaches to right vertex ⌊u²·i⌋, so right-side popularity ends
+    * heavy-tailed at ~m·√(V/k) like a product/customer or doc/token
+    * incidence. This is the geometry where butterfly counting's
+    * Σ C(codegree,2) densifies by construction — exactly the motif ops'
+    * shard-replication blind spot.
+    */
+  def bipartiteEdges(spark: SparkSession, nLeft: Long, m: Int = 4): DataFrame =
+    edges(spark, nLeft, m)
+      .select(col("src").as("u"), col("dst").as("v"))
 }
 
 /** Times each graph operator on [[DensifiedGraph]] at `baseNodes` and
@@ -89,11 +101,34 @@ object DensifiedGraphAudit {
     "x305_betweenness" -> (e => graft.ops.Extensions135
       .pivotBetweenness(e, "src", "dst")),
     "x306_neighborhood_fn" -> (e => graft.ops.Extensions135
-      .neighborhoodFunction(e, "src", "dst")))
+      .neighborhoodFunction(e, "src", "dst")),
+    // round-13 adds — the cohesion/motif ops the r12 verdict flagged as
+    // shard-audited only. x318 reads the PA table bipartitely (left
+    // degree m, right heavy-tailed — the side planner's real input);
+    // x319 peels the unipartite form.
+    "x318_butterflies" -> (e => graft.ops.Extensions140.butterflyCard(
+      e, "src", "dst")),
+    "x319_ktruss" -> (e => graft.ops.Extensions140.kTruss(e, "src", "dst")))
+
+  // 3-point log-log least squares (round-13: the shard audit moved to
+  // 3-point fits in round 12 because two points cannot separate n·log n
+  // from n^1.2 — the densified section gets the same treatment)
+  private def lsSlope(pts: Seq[(Double, Double)]): Double = {
+    val l = pts.map { case (x, y) =>
+      (math.log(x), math.log(math.max(1e-9, y))) }
+    val n = l.size.toDouble
+    val sx = l.map(_._1).sum; val sy = l.map(_._2).sum
+    val sxx = l.map(p => p._1 * p._1).sum
+    val sxy = l.map(p => p._1 * p._2).sum
+    (n * sxy - sx * sy) / math.max(1e-12, n * sxx - sx * sx)
+  }
 
   def main(args: Array[String]): Unit = {
     val baseNodes = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_NODES", "30000").toLong
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val midFactor = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_MIDFACTOR", "3").toInt
+    require(midFactor > 1 && midFactor < factor,
+      "densified midFactor must sit strictly between 1 and the factor")
     val m = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_M", "4").toInt
     val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPEATS", "1").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_FILE", "densified.json")
@@ -104,48 +139,60 @@ object DensifiedGraphAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // materialize both edge tables ONCE (parquet scratch) so generator
-    // cost never pollutes the operator timing, and both sizes read the
-    // same physical format
-    val scratch = sys.props("java.io.tmpdir").stripSuffix("/") +
-      s"/graft_densified_${spark.sparkContext.applicationId}"
-    DensifiedGraph.edges(spark, baseNodes, m)
-      .write.mode("overwrite").parquet(s"$scratch/base")
-    DensifiedGraph.edges(spark, baseNodes * factor, m)
-      .write.mode("overwrite").parquet(s"$scratch/scaled")
-    val eBase = spark.read.parquet(s"$scratch/base")
-    val eScaled = spark.read.parquet(s"$scratch/scaled")
+    // materialize all three edge tables ONCE (parquet scratch) so
+    // generator cost never pollutes the operator timing, and every size
+    // reads the same physical format
+    val scratch = graft.ops.Scratch.sessionDir(spark, "densified")
+    val sizes = Seq(
+      ("base", 1.0, baseNodes),
+      ("mid", midFactor.toDouble, baseNodes * midFactor),
+      ("scaled", factor.toDouble, baseNodes * factor))
+    sizes.foreach { case (tag, _, n) =>
+      DensifiedGraph.edges(spark, n, m)
+        .write.mode("overwrite").parquet(s"$scratch/$tag")
+    }
+    val tables = sizes.map { case (tag, f, _) =>
+      (tag, f, spark.read.parquet(s"$scratch/$tag")) }
     def reset(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache(); System.gc()
     }
-    def time(df: => DataFrame): Double =
-      (1 to math.max(1, repeats)).map { _ =>
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def time(df: => DataFrame): (Double, Double) = {
+      val t = (1 to math.max(1, repeats)).map { _ =>
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         reset(); dt
       }.min
-    val load0 = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+      (t, loadavg)
+    }
     val rows = probes.filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap { case (name, fn) =>
         try {
-          val tb = time(fn(eBase))
-          val ts = time(fn(eScaled))
+          val measured = tables.map { case (tag, f, e) =>
+            val (t, l) = time(fn(e)); (tag, f, t, l) }
+          val tb = measured.head._3
+          val ts = measured.last._3
           val exp = math.log(ts / math.max(1e-9, tb)) / math.log(factor.toDouble)
-          System.err.println(s"[densified] $name base=${fmt(tb)} scaled=${fmt(ts)} exp=${fmt(exp)}")
-          Some(s""""$name":{"base_sec":${fmt(tb)},"scaled_sec":${fmt(ts)},"exponent":${fmt(exp)}}""")
+          val fit = lsSlope(measured.map(p => (p._2, p._3)))
+          System.err.println(s"[densified] $name " +
+            measured.map(p => s"${p._1}=${fmt(p._3)}").mkString(" ") +
+            s" exp=${fmt(exp)} fit=${fmt(fit)}")
+          val fields = measured.flatMap { case (tag, _, t, l) =>
+            Seq(s""""${tag}_sec":${fmt(t)}""", s""""loadavg_$tag":${fmt(l)}""")
+          } ++ Seq(s""""exponent":${fmt(exp)}""",
+            s""""exponent_fit":${fmt(fit)}""")
+          Some(s""""$name":{${fields.mkString(",")}}""")
         } catch { case e: Throwable =>
           System.err.println(s"[densified] $name failed: ${e.getMessage}")
           None
         }
       }
-    val load1 = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     val json = s"""{"generator":"md5-seeded preferential attachment (u^2 index CDF)",""" +
-      s""""base_nodes":$baseNodes,"factor":$factor,"m":$m,"cpus":$cpus,""" +
-      s""""repeats":$repeats,"loadavg_start":${fmt(load0)},"loadavg_end":${fmt(load1)},""" +
+      s""""base_nodes":$baseNodes,"factor":$factor,"mid_factor":$midFactor,""" +
+      s""""m":$m,"cpus":$cpus,"repeats":$repeats,""" +
       s""""queries":{${rows.mkString(",")}}}"""
     val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
     try w.println(json) finally w.close()

@@ -164,7 +164,8 @@ object ScalingAudit {
     val rows = names.flatMap { n =>
       val only = Some(Set(n))
       def point(dir: String): Option[(Double, Double)] = {
-        val t = Bench.timeQueries(spark, dir, repeats, only, failed).toMap
+        val t = Bench.timeQueries(spark, dir, repeats, only, failed)
+          .map { case (k, v, _) => k -> v }.toMap
         t.get(n).map(v => (v.min, loadavg))
       }
       val res = for {

@@ -2078,6 +2078,27 @@ object Graft {
     Extensions102.charGramCapCard(corpus, idCol, textCol, threshold, n,
       gramSampleMod, caps)
 
+  /** Measure-then-act over the cap card: per-cap recall rows plus
+    * `chosen` = the smallest cap meeting `targetRecall` (largest swept
+    * cap when none does). The dial-picker for [[charGramNearDupPairs]].
+    */
+  def postingCapPlan(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.4, n: Int = 10, gramSampleMod: Int = 1,
+      caps: Seq[Int] = Seq(2, 8, 64), targetRecall: Double = 0.99): DataFrame =
+    Extensions102.postingCapPlan(corpus, idCol, textCol, threshold, n,
+      gramSampleMod, caps, targetRecall)
+
+  /** Codepoint near-dup pairs with the posting cap chosen by
+    * [[postingCapPlan]] on a bounded md5-sampled calibration slice —
+    * nobody hand-picks the stop-gram dial.
+    */
+  def charGramNearDupPairsPlanned(corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.4, n: Int = 10,
+      gramSampleMod: Int = 1, caps: Seq[Int] = Seq(2, 8, 64),
+      targetRecall: Double = 0.99, maxSample: Long = 2000L): DataFrame =
+    Extensions102.charGramJaccardPairsPlanned(corpus, idCol, textCol,
+      threshold, n, gramSampleMod, caps, targetRecall, maxSample)
+
   /** Near-dup pairs with per-document script routing: low-space-share
     * docs take the codepoint chain, the rest the word chain.
     */

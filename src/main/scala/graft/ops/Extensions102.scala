@@ -329,6 +329,84 @@ object Extensions102 {
     rows.toDF("posting_cap", "n_exact", "n_found", "n_missed", "n_extra", "recall")
   }
 
+  // ---- x321: posting-cap plan (measure-then-act) ----------------------------------
+
+  /** Measure-then-act over [[charGramCapCard]]'s sweep — the
+    * geometryPlan/blockingPlan/probePlan pattern applied to the x232
+    * stop-gram cap: same per-cap recall rows, plus `chosen` = the
+    * SMALLEST cap whose recall against the exact baseline meets
+    * `targetRecall` (falls back to the largest swept cap when none
+    * does — the highest-recall lossy option; the caller who needs more
+    * goes to postingCap = 0, the exact form). Run it on a bounded
+    * calibration slice; feed the chosen cap to
+    * [[charGramJaccardPairs]] — [[charGramJaccardPairsPlanned]] wires
+    * the two for corpora where nobody hand-picks the dial.
+    */
+  def postingCapPlan(
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.4, n: Int = 10, gramSampleMod: Int = 1,
+      caps: Seq[Int] = Seq(2, 8, 64),
+      targetRecall: Double = 0.99): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // |caps|-row local collect: the card's rows are already a driver fold
+    val rows = charGramCapCard(corpus, idCol, textCol, threshold, n,
+        gramSampleMod, caps)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    val chosen = rows.find(_._6 >= targetRecall).map(_._1)
+      .getOrElse(rows.last._1)
+    rows.map { case (c, ne, nf, nm, nx, rec) =>
+      (c, ne, nf, nm, nx, rec, c == chosen)
+    }.toSeq.toDF("posting_cap", "n_exact", "n_found", "n_missed",
+      "n_extra", "recall", "chosen")
+  }
+
+  /** [[charGramJaccardPairs]] with the posting cap CHOSEN by
+    * [[postingCapPlan]] on a bounded md5-sampled calibration slice
+    * (expected ≤ `maxSample` docs, deterministic — the
+    * blockingPlanSampled discipline; the full corpus is taken when it
+    * already fits). The plan's exact baseline runs only on the slice,
+    * so the quadratic-prone truth form never sees the corpus.
+    */
+  def charGramJaccardPairsPlanned(
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.4, n: Int = 10, gramSampleMod: Int = 1,
+      caps: Seq[Int] = Seq(2, 8, 64), targetRecall: Double = 0.99,
+      maxSample: Long = 2000L): DataFrame = {
+    import graft.functions.HashFunctions.md5_bucket60
+    val nDocs = corpus.select(col(idCol)).count()
+    val slice =
+      if (nDocs <= maxSample) corpus
+      else {
+        val m = 1L << 32
+        val thr = math.max(1L,
+          (BigInt(m) * 9 * maxSample / (BigInt(10) * nDocs)).toLong)
+        corpus.filter(
+          pmod(md5_bucket60(col(idCol).cast("string")), lit(m)) < lit(thr))
+      }
+    val plan = postingCapPlan(slice, idCol, textCol, threshold, n,
+        gramSampleMod, caps, targetRecall)
+      .filter(col("chosen")).select(col("posting_cap"))
+      .collect()
+    val cap = plan(0).getInt(0)
+    charGramJaccardPairs(corpus, idCol, textCol, threshold, n,
+      gramSampleMod, postingCap = cap)
+  }
+
+  /** x321: the plan on the x286 calibration slice — same fixture, same
+    * sweep, plus the chosen dial; the measure-then-act wiring the
+    * round-12 verdict asked for.
+    */
+  def x321PostingCapPlan(s: SparkSession, dir: String): DataFrame =
+    postingCapPlan(
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 600)
+        .select(col("doc_id"), translate(col("text"), " ", "").as("text")),
+      "doc_id", "text", gramSampleMod = 4)
+
   /** x286: the cap sweep on a bounded despaced-documents slice
     * (doc_id < 600 — all of sf0.01, a fixed-size calibration sample of
     * anything larger, so the exact baseline inside stays corpus-
@@ -375,11 +453,56 @@ object Extensions102 {
       ORDER BY posting_cap"""
   }
 
+  /** x321's oracle = the x286 sweep + the pick rule in SQL: smallest
+    * cap with recall >= 0.99, else the largest swept cap.
+    */
+  private val x321OracleSql: String = {
+    val capBlocks = Seq(2, 8, 64).map(c => cappedPairsCtes(c, s"_$c")).mkString(",")
+    val rows = Seq(2, 8, 64).map { c =>
+      s"""SELECT $c AS posting_cap,
+             (SELECT count(*) FROM ex) AS n_exact,
+             (SELECT count(*) FROM found_$c) AS n_found,
+             (SELECT count(*) FROM ex e LEFT JOIN found_$c f
+                ON e.doc_a = f.doc_a AND e.doc_b = f.doc_b
+              WHERE f.doc_a IS NULL) AS n_missed,
+             (SELECT count(*) FROM found_$c f LEFT JOIN ex e
+                ON e.doc_a = f.doc_a AND e.doc_b = f.doc_b
+              WHERE e.doc_a IS NULL) AS n_extra"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH ${oraclePrologue("doc_id < 600 AND")},
+      $capBlocks,
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM kd a JOIN kd b ON a.k = b.k AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      ex AS (SELECT doc_a, doc_b FROM prs
+             JOIN cnt ca ON ca.doc_id = prs.doc_a
+             JOIN cnt cb ON cb.doc_id = prs.doc_b
+             WHERE round(shared * 1.0 / (ca.sz + cb.sz - shared), 4) >= 0.4),
+      sweep AS ($rows),
+      scored AS (SELECT posting_cap, CAST(n_exact AS BIGINT) AS n_exact,
+             CAST(n_found AS BIGINT) AS n_found,
+             CAST(n_missed AS BIGINT) AS n_missed,
+             CAST(n_extra AS BIGINT) AS n_extra,
+             round((n_exact - n_missed) * 10000.0
+               / greatest(n_exact, 1), 0) / 10000.0 AS recall
+           FROM sweep),
+      pick AS (SELECT coalesce(
+          (SELECT min(posting_cap) FROM scored WHERE recall >= 0.99),
+          (SELECT max(posting_cap) FROM scored)) AS c)
+      SELECT s.posting_cap, s.n_exact, s.n_found, s.n_missed, s.n_extra,
+             s.recall, s.posting_cap = p.c AS chosen
+      FROM scored s, pick p
+      ORDER BY s.posting_cap"""
+  }
+
   val oracles: Map[String, String] = Map(
     "x232_chargram_dedup" -> x232OracleSql,
-    "x286_chargram_cap_card" -> x286OracleSql)
+    "x286_chargram_cap_card" -> x286OracleSql,
+    "x321_posting_cap_plan" -> x321OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x232_chargram_dedup" -> (x232CharGramDedup _),
-    "x286_chargram_cap_card" -> (x286CharGramCapCard _))
+    "x286_chargram_cap_card" -> (x286CharGramCapCard _),
+    "x321_posting_cap_plan" -> (x321PostingCapPlan _))
 }

@@ -126,12 +126,21 @@ object Extensions112 {
     require(agreeCols.nonEmpty && agreeCols.size <= 8,
       "1 to 8 agreement fields (pattern table is 2^k rows)")
     val k = agreeCols.size
+    // Bounded collect (r13 sweep): ≤ 2^k rows only holds when the
+    // agreement columns really are 0/1 — a non-binary column would make
+    // the grouped pattern table arbitrarily wide, so pull at most 2^k+1
+    // rows in one pass and loud-refuse on overflow instead of OOMing.
     val counted = pairs
       .groupBy(agreeCols.map(c => col(c).cast("int").as(c)): _*)
       .agg(count(lit(1)).as("n"))
+      .limit((1 << k) + 1)
       .collect()
       .map(r => (agreeCols.indices.map(r.getInt), r.getLong(k)))
       .toMap
+    require(counted.size <= (1 << k) &&
+        counted.keys.forall(_.forall(b => b == 0 || b == 1)),
+      "fellegiSunterLinkage: agreement columns must be 0/1 " +
+        s"(found ${counted.size} distinct patterns for $k fields)")
     val grid = (0 until (1 << k)).map { pid =>
       val bits = (0 until k).map(i => (pid >> (k - 1 - i)) & 1)
       (pid.toLong, bits, counted.getOrElse(bits, 0L))

@@ -81,11 +81,20 @@ object Extensions117 {
       ((s2 * 2 + BigInt(nVal) * 1000000L) /
         (BigInt(nVal) * 2000000L)).toLong
     }
+    // Bounded collect (r13 sweep): the loop below retrains one GD chain
+    // PER GROUP, so a near-unique group column is a cost explosion before
+    // it is a driver-memory one — loud-refuse past the cap in one pass,
+    // BEFORE paying for the full-model training.
+    val groupCap = 1000
+    val groups = labeled.select(col(groupCol).cast("string"))
+      .distinct().limit(groupCap + 1)
+      .collect().map(_.getString(0)).sorted
+    require(groups.length <= groupCap,
+      s"dataValuation: more than $groupCap distinct groups — each " +
+        "group costs a full retraining; coarsen the group column first")
     val wFull = Extensions26.trainLogreg(
       Extensions.materialized(train), iters = iters)
     val brierFull = brierMicro(wFull)
-    val groups = labeled.select(col(groupCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).sorted
     val rows = groups.map { g =>
       val tg = Extensions.materialized(train.filter(col("grp") =!= g))
       val nTrain = tg.count()

@@ -140,8 +140,16 @@ object Extensions121 {
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("doc_id"),
       col(srcCol).as("source"))
+    // Bounded collect (r13 sweep): the quota arithmetic below is a
+    // driver fold over sources — fine for corpus-mixing cardinalities,
+    // wrong for a near-unique source column; loud-refuse in one pass.
+    val sourceCap = 100000
     val counts = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .limit(sourceCap + 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.length <= sourceCap,
+      s"temperatureMix: more than $sourceCap distinct sources — the quota " +
+        "fold is per-source on the driver; coarsen the source column first")
     require(counts.nonEmpty, "temperatureMix: empty corpus")
     val weighted = counts.map { case (s, n) =>
       (s, n, math.floor(math.sqrt(n.toDouble)).toLong) }

@@ -39,9 +39,7 @@ object Extensions126 {
     // The applicationId keys the path per SESSION (the reads under the
     // returned aggregate are lazy — a host-shared fixed path would let
     // two concurrent sessions overwrite each other under the card).
-    val dir = scratchDir.getOrElse(
-      sys.props("java.io.tmpdir").stripSuffix("/") +
-        s"/graft_xml_rt_scratch_${spark.sparkContext.applicationId}")
+    val dir = scratchDir.getOrElse(Scratch.sessionDir(spark, "xml_rt_scratch"))
     // the default XML timestamp pattern truncates to milliseconds —
     // pin a microsecond format on BOTH sides (caught by the oracle:
     // last_us ...262777 came back ...262000 under the default)

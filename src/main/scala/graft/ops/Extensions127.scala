@@ -41,9 +41,7 @@ object Extensions127 {
     // DataFrame reads the scratch lazily, so a host-shared fixed path
     // would let two concurrent sessions (or two cards built before
     // evaluation) overwrite each other's data under the card.
-    val dir = scratchDir.getOrElse(
-      sys.props("java.io.tmpdir").stripSuffix("/") +
-        s"/graft_orc_rt_scratch_${spark.sparkContext.applicationId}")
+    val dir = scratchDir.getOrElse(Scratch.sessionDir(spark, "orc_rt_scratch"))
     events.write.mode("overwrite").format("orc").save(s"$dir/log")
     val back = spark.read.schema(events.schema).format("orc").load(s"$dir/log")
     back.groupBy(col("event_type"))

@@ -144,7 +144,10 @@ object Extensions131 {
       .crossJoin(broadcast(nTotal))
       .withColumn("gidx",
         when(col("ns") > 1L,
-          lit(1L) + expr("(2 * (r - 1) * (n - 1) + (ns - 1)) DIV (2 * (ns - 1))"))
+          // width (r13 table): (r-1)·(n-1) wraps a long past ~2.1e9 rows
+          // — the product rides DECIMAL; gidx <= n fits BIGINT by definition
+          lit(1L) + expr("CAST((2 * CAST(r - 1 AS DECIMAL(38,0)) * (n - 1)" +
+            " + (ns - 1)) DIV (2 * (ns - 1)) AS BIGINT)"))
           .otherwise(expr("(n + 1) DIV 2")))
     ranked
       .join(g.select(col("rn").as("gidx"), col("score").as("norm_score")),

@@ -118,16 +118,21 @@ object Extensions132 {
             .when(col("c_id") <= col("cn_id"), col("cy"))
             .otherwise(col("cn_cy")).as("cy")))
     val nT = treats.agg(count(lit(1)).as("n_treated"))
+    // width (r13 table): Σy·2e6 wraps a long past Σy ~ 4.6e12 — cents
+    // outcomes cross that at ~5e7 matched rows, so the sums and the
+    // mean numerators ride DECIMAL; the means themselves fit BIGINT
+    // (outcome scale × 1e6)
     matched.agg(
         count(lit(1)).as("n_matched"),
-        sum(col("ty")).as("sty"), sum(col("cy")).as("scy"))
+        sum(col("ty").cast("decimal(38,0)")).as("sty"),
+        sum(col("cy").cast("decimal(38,0)")).as("scy"))
       .crossJoin(broadcast(nT))
       .select(col("n_treated"), col("n_matched"),
         (col("n_treated") - col("n_matched")).as("n_unmatched"),
-        expr("(sty * 1000000 * 2 + n_matched) DIV (2 * n_matched)")
-          .as("mean_t_micro"),
-        expr("(scy * 1000000 * 2 + n_matched) DIV (2 * n_matched)")
-          .as("mean_mc_micro"))
+        expr("CAST((sty * 1000000 * 2 + n_matched) DIV (2 * n_matched)" +
+          " AS BIGINT)").as("mean_t_micro"),
+        expr("CAST((scy * 1000000 * 2 + n_matched) DIV (2 * n_matched)" +
+          " AS BIGINT)").as("mean_mc_micro"))
       .withColumn("att_micro", col("mean_t_micro") - col("mean_mc_micro"))
   }
 

@@ -74,6 +74,13 @@ object Extensions133 {
       maxSamplesPerTask: Long = 30L): DataFrame = {
     require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= maxSamplesPerTask),
       s"passAtK: ks must be in [1, $maxSamplesPerTask]")
+    // width (r13 table): the "raise maxSamplesPerTask knowingly" escape
+    // hatch silently wraps once C(n, n/2)·2e6 crosses 2^63 (~n = 46) —
+    // the long-exact combinatorics are only exact under this bound
+    require(maxSamplesPerTask <= 40L,
+      "passAtK: maxSamplesPerTask above 40 overflows the long-exact " +
+        "binomials (C(n, n/2)*2e6 crosses 2^63 near n = 46) — widen to " +
+        "DECIMAL before raising the cap")
     val spark = samples.sparkSession
     import spark.implicits._
     val byTask = Extensions.materialized(

@@ -55,6 +55,12 @@ object Extensions134 {
   private def perTaskCounts(
       samples: DataFrame, taskCol: String, passCol: String,
       maxSamplesPerTask: Long, caller: String): DataFrame = {
+    // width (r13 table): past n = 40 the long-exact binomial numerators
+    // (and best-of-k's r·C(n-1,k-1) sums) cross 2^63 — refuse loudly
+    // instead of wrapping when a caller raises the cap
+    require(maxSamplesPerTask <= 40L,
+      s"$caller: maxSamplesPerTask above 40 overflows the long-exact " +
+        "combinatorics — widen to DECIMAL before raising the cap")
     val byTask = Extensions.materialized(
       samples.groupBy(col(taskCol).as("task"))
         .agg(count(lit(1)).as("n"), sum(col(passCol).cast("long")).as("c")))
@@ -176,6 +182,9 @@ object Extensions134 {
       maxSamplesPerTask: Long = 30L): DataFrame = {
     require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 8),
       "bestOfKReward: ks must be in [1, 8]")
+    require(maxSamplesPerTask <= 40L,
+      "bestOfKReward: maxSamplesPerTask above 40 overflows the long-exact " +
+        "combinatorics - widen to DECIMAL before raising the cap")
     val spark = samples.sparkSession
     import spark.implicits._
     val ranked = samples.select(col(taskCol).as("task"),

@@ -314,7 +314,10 @@ object Extensions135 {
       .withColumn("total", max(col("pairs_within")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("share_micro",
-        expr("(1000000 * pairs_within * 2 + total) DIV (2 * total)"))
+        // width (r13 table): 2e6·pairs wraps a long past pairs ~ 4.6e12
+        // (nPivots·n reachable-pair rows) — the numerator rides DECIMAL
+        expr("CAST((1000000 * CAST(pairs_within AS DECIMAL(38,0)) * 2" +
+          " + total) DIV (2 * total) AS BIGINT)"))
     cum
       .withColumn("prev_share", lag(col("share_micro"), 1).over(Window.orderBy(col("h"))))
       .select(col("h"), col("pairs_within"),

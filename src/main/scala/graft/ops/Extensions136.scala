@@ -146,10 +146,19 @@ object Extensions136 {
   def clusterAgreement(
       assigned: DataFrame, clusterCol: String, labelCol: String): DataFrame = {
     val spark = assigned.sparkSession
+    // Bounded collect: pull at most cap+1 contingency cells in ONE pass
+    // (limit is order-arbitrary but the fold below is order-insensitive)
+    // and loud-refuse when the clustering is near-unique — the
+    // contingency, not the input, is what must fit on the driver.
+    val contCap = 100000
     val cont = assigned
       .groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
       .agg(count(lit(1)).as("nij"))
+      .limit(contCap + 1)
       .collect().map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2)))
+    require(cont.length <= contCap,
+      s"clusterAgreement: contingency exceeds $contCap cells " +
+        "(near-unique clustering?) — coarsen the cluster column first")
     require(cont.nonEmpty, "clusterAgreement: empty input")
     val n = cont.map(_._3).sum
     val a = cont.groupBy(_._1).map { case (_, rs) => rs.map(_._3).sum }.toSeq

@@ -46,23 +46,34 @@ object Extensions137 {
     * to the smaller arm index. Output per day: (t, arm, reward_micro,
     * cum_reward_micro, cum_regret_micro) — regret vs the best fixed
     * arm in hindsight.
+    *
+    * The input is aggregated to one row per (day, arm) INSIDE this
+    * function (sum of rewards — identity when the caller already
+    * pre-batched, as x310 does), so the driver collect pulls at most
+    * days·arms rows regardless of raw input size and duplicate keys
+    * compose additively instead of last-winning silently.
     */
   def ucb1Replay(
       rewards: DataFrame, dayCol: String, armCol: String,
       rewardCol: String): DataFrame = {
     val spark = rewards.sparkSession
     import spark.implicits._
-    val arms = rewards.select(col(armCol).cast("string").as("a"))
-      .distinct().orderBy(col("a")).collect().map(_.getString(0)).toSeq
-    val days = rewards.select(col(dayCol).as("d")).distinct()
-      .orderBy(col("d")).collect().map(_.get(0)).toSeq
-    require(arms.nonEmpty && days.size >= arms.size,
-      "ucb1Replay: need at least one day per arm")
-    require(days.size.toLong * arms.size <= 100000L,
-      "ucb1Replay: days*arms exceeds the bounded-series cap")
-    val rw = rewards.select(col(dayCol).as("d"),
+    val batched = rewards.select(col(dayCol).as("d"),
         col(armCol).cast("string").as("a"),
         col(rewardCol).cast("long").as("r"))
+      .groupBy(col("d"), col("a")).agg(sum(col("r")).as("r"))
+    // Cap BEFORE any collect: one cheap agg bounds every driver pull below.
+    val card = batched.agg(countDistinct(col("d")).as("nd"),
+        countDistinct(col("a")).as("na")).collect()(0)
+    val (nd, na) = (card.getLong(0), card.getLong(1))
+    require(na > 0 && nd >= na, "ucb1Replay: need at least one day per arm")
+    require(nd * na <= 100000L,
+      s"ucb1Replay: days*arms = ${nd * na} exceeds the bounded-series cap (100000)")
+    val arms = batched.select(col("a"))
+      .distinct().orderBy(col("a")).collect().map(_.getString(0)).toSeq
+    val days = batched.select(col("d")).distinct()
+      .orderBy(col("d")).collect().map(_.get(0)).toSeq
+    val rw = batched
       .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
     val a = arms.size
     val n = Array.fill(a)(0L)

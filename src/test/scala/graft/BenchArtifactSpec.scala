@@ -23,6 +23,22 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(!Bench.jsonBalanced("""{"a":[1,2}"""))     // still open bracket
   }
 
+  test("bench_full rows carry per-query loadavg + the clean gate (r12 verdict item 2)") {
+    // rounds 11-12 lost per-query regression triage to co-tenant noise
+    // invisible in the artifact; the full artifact must carry a loadavg
+    // per query row and a clean_bench verdict gated on the threshold
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/Bench.scala", "UTF-8").mkString
+    val fullLine = src.split("\n").find(_.contains("\"n_queries\":"))
+      .getOrElse(fail("bench_full template line not found"))
+    assert(fullLine.contains("\"loadavg\":$loadJson"),
+      "bench_full must embed the per-query loadavg map")
+    assert(fullLine.contains("\"clean_bench\":$cleanBench"),
+      "bench_full must carry the clean gate verdict")
+    assert(fullLine.contains("\"clean_loadavg_threshold\":"),
+      "the gate's threshold must be recorded next to its verdict")
+  }
+
   test("the final compact line never embeds the scaling blob (BENCH_r11 regression)") {
     // the shipped source must reference the pointer form in the last
     // println; a verbatim $scalingJson there is exactly the bug that

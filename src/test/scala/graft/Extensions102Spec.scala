@@ -106,4 +106,39 @@ class Extensions102Spec extends SparkSpec {
     assert(recalls.head < 1.0 && recalls.last == 1.0,
       s"cap=2 binds, cap=64 is lossless here: ${recalls.toSeq}")
   }
+
+  test("postingCapPlan: planted gram-frequency geometry flips the chosen cap") {
+    import spark.implicits._
+    def chosen(docs: org.apache.spark.sql.DataFrame): Int =
+      Extensions102.postingCapPlan(docs, "doc_id", "text")
+        .filter(org.apache.spark.sql.functions.col("chosen"))
+        .collect().map(_.getInt(0)).head
+    // cold geometry: each near-dup pair has its OWN gram vocabulary (a
+    // per-pair marker letter interleaves every position, so every
+    // 10-gram carries the marker) — posting lists are <= 2 and the
+    // tightest cap is already lossless
+    val cold = Seq('k', 'q', 'w').zipWithIndex.flatMap { case (m, p) =>
+      val base = (0 until 30).map(j => s"$m${('a' + j % 26).toChar}").mkString
+      Seq((2L * p, base), (2L * p + 1, base + "zzz"))
+    }.toDF("doc_id", "text")
+    assert(chosen(cold) == 2, "pair-local grams: cap=2 meets the target")
+    // hot geometry: one boilerplate body shared by 10 mutual dups — df=10
+    // posting lists starve cap=2 AND cap=8, only cap=64 recovers recall
+    val body = "the shared boilerplate body of this cluster repeats verbatim across every member"
+    val hot = (1L to 10L).map(i => (i, body + " tail" + i)).toDF("doc_id", "text")
+    assert(chosen(hot) == 64, "hot boilerplate grams force the largest cap")
+  }
+
+  test("charGramJaccardPairsPlanned: planned result equals the chosen-cap run") {
+    import spark.implicits._
+    val body = "the shared boilerplate body of this cluster repeats verbatim across every member"
+    val docs = (1L to 10L).map(i => (i, body + " tail" + i)).toDF("doc_id", "text")
+    val planned = Extensions102.charGramJaccardPairsPlanned(
+        docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Extensions102.charGramJaccardPairs(
+        docs, "doc_id", "text", postingCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planned == direct, "the plan must feed the dial it chose")
+  }
 }
