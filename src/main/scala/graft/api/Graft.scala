@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.model.Event
-import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, Extensions113, Extensions114, Extensions115, Extensions116, Extensions117, Extensions118, Extensions120, Extensions121, Extensions122, Extensions123, Extensions124, Extensions125, Extensions126, Extensions127, Extensions128, Extensions129, Extensions130, Extensions131, Extensions132, Extensions133, Extensions134, Extensions135, Extensions136, Extensions137, Extensions138, Extensions139, Extensions140, Extensions141, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
+import graft.ops.{Extensions, Extensions2, Extensions3, Extensions4, Extensions5, Extensions6, Extensions7, Extensions8, Extensions9, Extensions10, Extensions11, Extensions12, Extensions13, Extensions14, Extensions15, Extensions16, Extensions17, Extensions18, Extensions19, Extensions20, Extensions22, Extensions23, Extensions24, Extensions25, Extensions26, Extensions27, Extensions28, Extensions29, Extensions30, Extensions31, Extensions32, Extensions33, Extensions35, Extensions36, Extensions37, Extensions38, Extensions39, Extensions40, Extensions41, Extensions42, Extensions43, Extensions44, Extensions45, Extensions46, Extensions47, Extensions48, Extensions49, Extensions50, Extensions51, Extensions52, Extensions53, Extensions54, Extensions55, Extensions56, Extensions57, Extensions58, Extensions59, Extensions60, Extensions61, Extensions62, Extensions63, Extensions64, Extensions65, Extensions66, Extensions67, Extensions68, Extensions69, Extensions70, Extensions71, Extensions72, Extensions73, Extensions74, Extensions75, Extensions76, Extensions77, Extensions78, Extensions79, Extensions80, Extensions81, Extensions82, Extensions83, Extensions84, Extensions85, Extensions86, Extensions87, Extensions88, Extensions89, Extensions90, Extensions91, Extensions92, Extensions93, Extensions94, Extensions95, Extensions96, Extensions97, Extensions98, Extensions99, Extensions100, Extensions101, Extensions102, Extensions103, Extensions104, Extensions105, Extensions106, Extensions107, Extensions108, Extensions109, Extensions110, Extensions111, Extensions112, Extensions113, Extensions114, Extensions115, Extensions116, Extensions117, Extensions118, Extensions120, Extensions121, Extensions122, Extensions123, Extensions124, Extensions125, Extensions126, Extensions127, Extensions128, Extensions129, Extensions130, Extensions131, Extensions132, Extensions133, Extensions134, Extensions135, Extensions136, Extensions137, Extensions138, Extensions139, Extensions140, Extensions141, Extensions142, Extensions143, GraphStore, IvfStore, ModelStore, Multimodal, PostingStore, PqStore, SignatureStore, TrainStore}
 import graft.ops.{MediaAsset, MediaFeatures, SketchStore}
 import graft.state.Materialize
 import graft.stream.Materializer
@@ -2871,6 +2871,64 @@ object Graft {
   def ipsPolicyValue(logs: DataFrame, actionCol: String, rewardCol: String,
       targetCol: String): DataFrame =
     Extensions141.ipsPolicyValue(logs, actionCol, rewardCol, targetCol)
+
+  // ---- round-13 batches: layout, rank tests, attribution, guarantees --------
+
+  /** Distributed exact global inclusive prefix sum over a total order —
+    * the weighted sibling of the global rank (range partition + O(parts)
+    * offsets; never a one-task sort). Appends `ps` DECIMAL(38,0).
+    */
+  def globalPrefixSum(df: DataFrame, keys: Seq[String],
+      descending: Seq[Boolean], valueCol: String, parts: Int = 32): DataFrame =
+    graft.ops.Rank.globalPrefixSum(df, keys, descending, valueCol, parts)
+
+  /** GPT-style concat-and-chunk packing card: chunk count, the share of
+    * documents a context boundary cuts, last-chunk fill — the
+    * pretraining batch-layout pricing over a deterministic md5 order.
+    */
+  def packingCard(corpus: DataFrame, idCol: String, textCol: String,
+      ctxTokens: Long = 512L): DataFrame =
+    Extensions142.packingCard(corpus, idCol, textCol, ctxTokens)
+
+  /** Mann–Whitney U rank-sum card between two groups — the
+    * nonparametric two-sample test beside the MDE/SRM parametric tier;
+    * 2·U exact integer, tie-corrected z micro.
+    */
+  def mannWhitneyU(samples: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame =
+    Extensions142.mannWhitneyU(samples, groupCol, valueCol, groupA, groupB)
+
+  /** Linear + last-touch conversion attribution over the event log —
+    * 10⁶ micro credits per conversion, conserved exactly (floor split,
+    * remainder to the last touch).
+    */
+  def attributionCard(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String, windowDays: Int = 7): DataFrame =
+    Extensions142.attributionCard(events, userCol, tsCol, typeCol,
+      convType, windowDays)
+
+  /** Split-conformal coverage card over the house GD classifier:
+    * calibration-fold order-statistic threshold + realized held-out
+    * coverage — the distribution-free guarantee wrap.
+    */
+  def conformalCard(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, alphaPermille: Int = 100, iters: Int = 8): DataFrame =
+    Extensions143.conformalCard(labeled, idCol, textCol, labelCol,
+      alphaPermille, iters)
+
+  /** k-round greedy max-coverage selection over word shingles — the
+    * submodular diversity pick beside MMR's embedding geometry.
+    */
+  def greedyCoverageSelect(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, shingleN: Int = 3): DataFrame =
+    Extensions143.greedyCoverageSelect(corpus, idCol, textCol, k, shingleN)
+
+  /** Per-document max sliding-window unigram-surprisal burst — the
+    * localized junk detector a document-mean perplexity averages away.
+    */
+  def surprisalBurst(corpus: DataFrame, idCol: String, textCol: String,
+      window: Int = 20): DataFrame =
+    Extensions143.surprisalBurst(corpus, idCol, textCol, window)
 
   // ---- authorization (P5) --------------------------------------------------
 

@@ -109,6 +109,56 @@ object Rank {
       .drop("__pid", "__lrn", "__lrk", "__ldr", "__rows_before", "__keys_before")
   }
 
+  /** Exact global INCLUSIVE prefix sum of `valueCol` over the total
+    * order given by `keys` × `descending` — the weighted sibling of
+    * [[globalRank]], same two-pass order-statistics shape: range
+    * partition on the sort key, one O(parts)-row per-partition-sum
+    * collect, per-partition window + broadcast cumulative offsets.
+    * Appends a `ps` DECIMAL(38,0) column (sums ride DECIMAL per the
+    * width rule: a token-count prefix over 1e12 docs is fine in a
+    * long, but a cents prefix is not). The primitive under sequence
+    * packing (x322) and any "where does this row land in the global
+    * accumulation" question a single-partition window cannot survive.
+    */
+  def globalPrefixSum(
+      df: DataFrame, keys: Seq[String], descending: Seq[Boolean],
+      valueCol: String, parts: Int = 32): DataFrame = {
+    require(keys.nonEmpty && keys.length == descending.length,
+      "globalPrefixSum: keys and descending flags must align")
+    require(parts >= 1)
+    val sortCols: Seq[Column] = keys.zip(descending).map {
+      case (k, true)  => col(k).desc
+      case (k, false) => col(k).asc
+    }
+    val parted = Extensions.materialized(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val stats = parted.groupBy(col("__pid"))
+      .agg(sum(col(valueCol).cast("decimal(38,0)")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger)))
+      .sortBy(_._1)
+    var acc = BigInt(0)
+    val offs = stats.map { case (pid, s) =>
+      val o = (pid, BigDecimal(acc)); acc += s; o
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf =
+      if (offs.isEmpty)
+        Seq((0, BigDecimal(0))).toDF("__pid", "__sum_before").limit(0)
+      else offs.toDF("__pid", "__sum_before")
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("__lps", sum(col(valueCol).cast("decimal(38,0)")).over(w))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("ps",
+        (col("__lps") + col("__sum_before")).cast("decimal(38,0)"))
+      .drop("__pid", "__lps", "__sum_before")
+  }
+
   /** x231: q20's quartile/dense-rank card re-planned scale-safe — the
     * same per-customer spend ranking, but through [[globalRank]]'s
     * range-partitioned order statistics instead of a single-partition
