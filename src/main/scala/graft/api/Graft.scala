@@ -2898,9 +2898,9 @@ object Graft {
       groupA: String, groupB: String): DataFrame =
     Extensions142.mannWhitneyU(samples, groupCol, valueCol, groupA, groupB)
 
-  /** Linear + last-touch conversion attribution over the event log —
-    * 10⁶ micro credits per conversion, conserved exactly (floor split,
-    * remainder to the last touch).
+  /** Time-windowed conversion attribution — the bounded-lookback,
+    * exactly-conserved sibling of [[attribution]] (x113): trailing
+    * `windowDays` only, 10⁶ micro per conversion reconciles to zero.
     */
   def attributionCard(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, convType: String, windowDays: Int = 7): DataFrame =

@@ -23,12 +23,13 @@ import graft.model.Tables
   *    tie-corrected normal approximation. 2·U is an exact integer
   *    (midrank doubles clear the half), so the statistic is integer-
   *    exact and only the final z takes a square root.
-  *  - ATTRIBUTION CARD (x325): linear and last-touch conversion credit
-  *    over the event log — per conversion, the trailing `windowDays`
-  *    of the user's non-conversion events split 10⁶ micro credits
-  *    (equal split, integer floor, remainder to the LAST touch so the
-  *    total is conserved exactly) vs winner-takes-all. The event-log
-  *    sibling of the x300 path card.
+  *  - WINDOWED ATTRIBUTION CARD (x325): the time-bounded sibling of
+  *    x113's conversion-scoped multi-touch attribution — credit only
+  *    the trailing `windowDays` of touches (x113 scopes by previous
+  *    conversion, unbounded in time), and conserve EXACTLY 10⁶ micro
+  *    per conversion (integer floor split, remainder to the last
+  *    touch — x113's halfAway shares can drift a few micro per
+  *    conversion; an attribution ledger that must reconcile cannot).
   *
   * Determinism: the packing order is an md5 lane; attribution
   * tie-breaks on (ts desc, event_id desc); the U statistic is exact
@@ -198,7 +199,7 @@ object Extensions142 {
 
   // ---- x325: attribution card ----------------------------------------------------------
 
-  /** Per-touch-type conversion credit: (event_type, n_touches,
+  /** Time-windowed per-touch-type conversion credit: (event_type, n_touches,
     * linear_micro, last_micro). Each conversion (an event of
     * `convType`) credits the user's non-conversion events in the
     * trailing `windowDays`: linear = 10⁶ DIV k to every touch with the
