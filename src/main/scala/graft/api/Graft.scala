@@ -2971,6 +2971,14 @@ object Graft {
       textCol: String, threshold: Double = 0.5, dfCap: Int = 20): DataFrame =
     Extensions146.weightedJaccardPairs(corpus, idCol, textCol, threshold, dfCap)
 
+  /** RAG-style overlapping token chunker with stable (doc, idx) chunk
+    * ids - map-only, chunks never cross documents; the retrieval-side
+    * segmentation beside packingCard's pretraining layout.
+    */
+  def chunkText(corpus: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, overlapTokens: Int = 32): DataFrame =
+    Extensions146.chunkText(corpus, idCol, textCol, chunkTokens, overlapTokens)
+
   // ---- authorization (P5) --------------------------------------------------
 
   /** Row/column-restricted view — the engine-side analog of the reference's

@@ -118,9 +118,75 @@ object Extensions146 {
       WHERE round(sm.sm * 10000.0 / (na.n + nb.n - sm.sm), 0) / 10000.0 >= 0.5
       ORDER BY doc_a, doc_b"""
 
+  // ---- x333: overlapping token chunking -------------------------------------------------
+
+  /** RAG-style overlapping chunker: split each document's token stream
+    * into windows of `chunkTokens` starting every
+    * `chunkTokens − overlapTokens` tokens — one row per chunk with a
+    * STABLE id (doc_id, chunk_idx): (doc_id, chunk_idx, start_tok,
+    * n_chunk_tokens, chunk_text). The last window may be short; a doc
+    * shorter than one stride still yields exactly one chunk. Where
+    * x322 prices the concat-and-cut PRETRAINING layout, this is the
+    * retrieval-side segmentation — chunks never cross documents.
+    *
+    * Scale: map-only (tokenize once, slice per start) — embarrassingly
+    * parallel, no shuffle, no state.
+    */
+  def chunkText(
+      corpus: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, overlapTokens: Int = 32): DataFrame = {
+    require(chunkTokens >= 1 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens,
+      "chunkText: need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    corpus
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(lower(col(textCol)), " "), t => length(t) > 0).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        // integer chunk-count arithmetic must be DIV, not `/` (Divide
+        // is double and sequence() wants integrals)
+        explode(expr(
+          s"sequence(0L, greatest(size(tk) - 1, 0) DIV $stride)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        slice(col("tk"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("ck"))
+      .filter(size(col("ck")) > 0)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ck")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("ck")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** x333: the documents table chunked at 128 tokens, 32 overlap. */
+  def x333ChunkText(s: SparkSession, dir: String): DataFrame =
+    chunkText(Tables.load(s, dir, "documents"), "doc_id", "text")
+
+  private val x333OracleSql: String = """
+      WITH d AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+           FROM documents),
+      nz AS (SELECT * FROM d WHERE len(tk) > 0),
+      ix AS (SELECT doc_id, tk, u.ci AS chunk_idx
+             FROM nz, LATERAL unnest(generate_series(0,
+               greatest(len(tk) - 1, 0) // 96)) AS u(ci)),
+      ck AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * 96 AS BIGINT) AS start_tok,
+               tk[chunk_idx * 96 + 1 : chunk_idx * 96 + 128] AS ckl
+             FROM ix)
+      SELECT doc_id, chunk_idx, start_tok,
+             CAST(len(ckl) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(ckl, ' ') AS chunk_text
+      FROM ck WHERE len(ckl) > 0
+      ORDER BY doc_id, chunk_idx"""
+
   val oracles: Map[String, String] = Map(
-    "x332_weighted_jaccard" -> x332OracleSql)
+    "x332_weighted_jaccard" -> x332OracleSql,
+    "x333_chunk_text" -> x333OracleSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x332_weighted_jaccard" -> (x332WeightedJaccard _))
+    "x332_weighted_jaccard" -> (x332WeightedJaccard _),
+    "x333_chunk_text" -> (x333ChunkText _))
 }

@@ -38,4 +38,28 @@ class Extensions146Spec extends SparkSpec {
       threshold = 0.3, dfCap = 4)
     assert(loose.count() == 6L, "raising the cap recovers all 6 dup pairs")
   }
+
+  test("chunkText: hand-computed windows, overlap preserved, stable ids") {
+    // 10 tokens, chunk 4, overlap 2 -> stride 2, starts 0,2,4,6,8
+    val df = docs(Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))))
+    val got = Extensions146.chunkText(df, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.length == 5, s"${got.toSeq}")
+    assert(got(0) == ((0L, 0L, 4L, "t1 t2 t3 t4")), s"${got.toSeq}")
+    assert(got(1) == ((1L, 2L, 4L, "t3 t4 t5 t6")), s"${got.toSeq}")
+    assert(got(4) == ((4L, 8L, 2L, "t9 t10")), s"${got.toSeq}")
+    // every adjacent pair overlaps by exactly 2 tokens
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 - a._2 == 2L, s"stride 2: ${got.toSeq}")
+    }
+  }
+
+  test("chunkText: a doc shorter than one chunk yields exactly one chunk") {
+    val df = docs(Seq((1L, "a b c")))
+    val got = Extensions146.chunkText(df, "doc_id", "text").collect()
+    assert(got.length == 1 && got(0).getLong(3) == 3L &&
+      got(0).getString(4) == "a b c", s"${got.toSeq}")
+  }
 }
