@@ -145,8 +145,9 @@ object Bench {
     depth == 0 && !inStr
   }
 
-  private def runIsolated(names: Seq[String]): Option[Map[String, Double]] = {
-    if (names.isEmpty) return Some(Map.empty)
+  private def runIsolated(
+      names: Seq[String]): Option[(Map[String, Double], Map[String, Double])] = {
+    if (names.isEmpty) return Some((Map.empty, Map.empty))
     try {
       val javaBin = new java.io.File(new java.io.File(
         sys.props("java.home"), "bin"), "java").getAbsolutePath
@@ -180,13 +181,25 @@ object Bench {
         proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
       }
       out.reverseIterator.find(_.startsWith("{\"isolated\":")).map { line =>
-        // minimal parse of {"isolated":{"name":1.23,...}}
-        val body = line.stripPrefix("{\"isolated\":{").stripSuffix("}}")
-        if (body.isEmpty) Map.empty[String, Double]
-        else body.split(",").map { kv =>
-          val Array(k, v) = kv.split(":", 2)
-          k.stripPrefix("\"").stripSuffix("\"") -> v.toDouble
-        }.toMap
+        // minimal parse of
+        // {"isolated":{"name":1.23,...},"isolated_load":{"name":2.1,...}}
+        // — the load map is the r13 verdict's watch item: iso children
+        // also run under whatever the box is doing, so their loadavg
+        // must land in the artifact like every suite measurement's
+        val stripped = line.stripPrefix("{\"isolated\":{").stripSuffix("}}")
+        val sepTok = "},\"isolated_load\":{"
+        val (minsBody, loadsBody) = stripped.indexOf(sepTok) match {
+          case -1 => (stripped, "")
+          case i => (stripped.substring(0, i),
+            stripped.substring(i + sepTok.length))
+        }
+        def parse(body: String): Map[String, Double] =
+          if (body.isEmpty) Map.empty
+          else body.split(",").map { kv =>
+            val Array(k, v) = kv.split(":", 2)
+            k.stripPrefix("\"").stripSuffix("\"") -> v.toDouble
+          }.toMap
+        (parse(minsBody), parse(loadsBody))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] isolated fork unavailable: ${e.getMessage}")
@@ -207,10 +220,12 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = timeQueries(spark, sfDir, repeats, only, failed)
     if (isolatedChild) {
-      // child contract: ONE JSON line, min per query, exit
+      // child contract: ONE JSON line, min + max-loadavg per query, exit
       val body = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v.min) }
         .mkString(",")
-      println(s"""{"isolated":{$body}}""")
+      val loads = results.map { case (k, _, ls) =>
+        s"\"" + k + "\":" + fmt(ls.max) }.mkString(",")
+      println(s"""{"isolated":{$body},"isolated_load":{$loads}}""")
       spark.stop()
       return
     }
@@ -248,9 +263,19 @@ object Bench {
         if v.max / math.max(1e-9, v.min) > spreadThresh => n }).distinct
     val isolated = if (isolateTop <= 0) None else runIsolated(slowNames)
     val isoJson = isolated match {
-      case Some(m) => jsonMap(slowNames.flatMap(n => m.get(n).map(n -> fmt(_))))
+      case Some((m, _)) => jsonMap(slowNames.flatMap(n => m.get(n).map(n -> fmt(_))))
       case None => "{}"
     }
+    // Per-iso-child loadavg + gate (r13 verdict item 4): an isolated
+    // number recorded under co-tenant load is the noisiest signal left —
+    // bind the children to the same clean threshold as the suite, so a
+    // dirty iso rerun is flaggable from the artifact alone.
+    val isoLoadJson = isolated match {
+      case Some((_, l)) => jsonMap(slowNames.flatMap(n => l.get(n).map(n -> fmt(_))))
+      case None => "{}"
+    }
+    val isolatedClean = isolated.forall { case (_, l) =>
+      l.values.forall(v => v >= 0.0 && v <= cleanThresh) }
     // The sf1 scaling audit (graft.ScalingAudit: the slowest queries at
     // sf0.1 AND a synthesized 10× sf1, per-query scaling exponents) rides
     // along whole so the round artifact answers the 100×-question with
@@ -278,7 +303,7 @@ object Bench {
         }
       } else "{}"
     } catch { case _: Throwable => "{}" }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"loadavg":$loadJson,"loadavg_max":${fmt(loadMax)},"clean_bench":$cleanBench,"isolated_min":$isoJson,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"loadavg":$loadJson,"loadavg_max":${fmt(loadMax)},"clean_bench":$cleanBench,"isolated_min":$isoJson,"isolated_load":$isoLoadJson,"isolated_clean":$isolatedClean,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
     // The FULL per-query artifact as a standalone file: the driver's tail
     // capture truncates the line above past ~56 queries, leaving 84% of
     // queries invisible to cross-round regression triage (round-9 item 7).
@@ -287,7 +312,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(new java.io.File(fullPath), "UTF-8")
       try w.println(
-        s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"loadavg":$loadJson,"loadavg_max":${fmt(loadMax)},"clean_loadavg_threshold":${fmt(cleanThresh)},"clean_bench":$cleanBench,"isolated_min":$isoJson,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMed)},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_median":$qsMed,"spread_max_over_min":$spread,"loadavg":$loadJson,"loadavg_max":${fmt(loadMax)},"clean_loadavg_threshold":${fmt(cleanThresh)},"clean_bench":$cleanBench,"isolated_min":$isoJson,"isolated_load":$isoLoadJson,"isolated_clean":$isolatedClean,"sf1_scaling":$scalingJson,"runs_per_query":$repeats,"errors":$errs,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
@@ -302,7 +327,7 @@ object Bench {
     // the blob itself; the full section lives only in the file artifacts.
     val slowest = results.sortBy { case (_, v, _) => -v.min }.take(5)
       .map { case (k, v, ls) =>
-        val iso = isolated.flatMap(_.get(k)).map(d => ",\"iso\":" + fmt(d)).getOrElse("")
+        val iso = isolated.flatMap(_._1.get(k)).map(d => ",\"iso\":" + fmt(d)).getOrElse("")
         s"\"" + k + "\":{\"min\":" + fmt(v.min) + ",\"med\":" + fmt(med(v)) +
           ",\"load\":" + fmt(ls.max) + iso + "}"
       }

@@ -126,9 +126,19 @@ object DensifiedGraphAudit {
   def main(args: Array[String]): Unit = {
     val baseNodes = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_NODES", "30000").toLong
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-    val midFactor = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_MIDFACTOR", "3").toInt
-    require(midFactor > 1 && midFactor < factor,
-      "densified midFactor must sit strictly between 1 and the factor")
+    require(factor > 1, "densified factor must exceed 1")
+    // default mid point ~√factor so the three sizes are log-spaced; at
+    // factor <= 3 there is no room for a distinct mid point, so the
+    // audit degrades to a 2-point fit instead of refusing (ADVICE
+    // round-14: a previously-valid SPARK_GRAFT_SCALE_FACTOR=2 run must
+    // not break because round 13 added the mid size)
+    val midFactor = sys.env.get("SPARK_GRAFT_DENSIFIED_MIDFACTOR")
+      .map(_.toInt)
+      .getOrElse(math.max(2, math.ceil(math.sqrt(factor.toDouble)).toInt))
+    val threePoint = factor > 3 || (midFactor > 1 && midFactor < factor)
+    if (threePoint)
+      require(midFactor > 1 && midFactor < factor,
+        "densified midFactor must sit strictly between 1 and the factor")
     val m = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_M", "4").toInt
     val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPEATS", "1").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_DENSIFIED_FILE", "densified.json")
@@ -143,10 +153,14 @@ object DensifiedGraphAudit {
     // generator cost never pollutes the operator timing, and every size
     // reads the same physical format
     val scratch = graft.ops.Scratch.sessionDir(spark, "densified")
-    val sizes = Seq(
-      ("base", 1.0, baseNodes),
-      ("mid", midFactor.toDouble, baseNodes * midFactor),
-      ("scaled", factor.toDouble, baseNodes * factor))
+    val sizes =
+      if (threePoint) Seq(
+        ("base", 1.0, baseNodes),
+        ("mid", midFactor.toDouble, baseNodes * midFactor),
+        ("scaled", factor.toDouble, baseNodes * factor))
+      else Seq(
+        ("base", 1.0, baseNodes),
+        ("scaled", factor.toDouble, baseNodes * factor))
     sizes.foreach { case (tag, _, n) =>
       DensifiedGraph.edges(spark, n, m)
         .write.mode("overwrite").parquet(s"$scratch/$tag")
@@ -157,8 +171,13 @@ object DensifiedGraphAudit {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache(); System.gc()
     }
-    def loadavg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // NaN-guard like Bench: getSystemLoadAverage returns NaN/-1 on some
+    // platforms and NaN is not valid JSON (ADVICE round-14)
+    def loadavg: Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (l.isNaN) -1.0 else l
+    }
     def time(df: => DataFrame): (Double, Double) = {
       val t = (1 to math.max(1, repeats)).map { _ =>
         val t0 = System.nanoTime()

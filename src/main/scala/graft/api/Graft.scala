@@ -2901,11 +2901,16 @@ object Graft {
   /** Time-windowed conversion attribution — the bounded-lookback,
     * exactly-conserved sibling of [[attribution]] (x113): trailing
     * `windowDays` only, 10⁶ micro per conversion reconciles to zero.
+    * `eventIdCol` names the per-event id column (conversion/touch
+    * identity); a hub user fanning past `maxUserCandidates`
+    * conversion×touch candidates loud-refuses before the join.
     */
   def attributionCard(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, convType: String, windowDays: Int = 7): DataFrame =
+      typeCol: String, convType: String, windowDays: Int = 7,
+      eventIdCol: String = "event_id",
+      maxUserCandidates: Long = 10000000L): DataFrame =
     Extensions142.attributionCard(events, userCol, tsCol, typeCol,
-      convType, windowDays)
+      convType, windowDays, eventIdCol, maxUserCandidates)
 
   /** Split-conformal coverage card over the house GD classifier:
     * calibration-fold order-statistic threshold + realized held-out

@@ -191,30 +191,22 @@ object Extensions105 {
     * Scale: one projection + one explode; chunk count per doc is
     * ~len/step, so output volume is corpus × (1 + overlap/step) tokens
     * — linear, no joins, no windows.
+    *
+    * Thin adapter over [[Chunker.strided]] (round-14 consolidation;
+    * kernel siblings: x36 [[Extensions4.chunkDocuments]] keeps raw
+    * tokens and short tails, x333 [[Extensions146.chunkText]] lowercases
+    * and trims fully-redundant tails — this form clamps the last start
+    * so the final chunk is full-size).
     */
   def chunkDocuments(
       corpus: DataFrame, idCol: String, textCol: String,
       size: Int = 64, overlap: Int = 16): DataFrame = {
     require(size >= 1 && overlap >= 0 && overlap < size)
-    val step = size - overlap
-    corpus
-      .select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("toks"))
-      .withColumn("toks", filter(col("toks"), t => length(t) > 0))
-      .withColumn("len", size_(col("toks")))
-      .filter(col("len") > 0)
-      .withColumn("starts", array_distinct(transform(
-        sequence(lit(1), greatest(col("len") - overlap, lit(1)), lit(step)),
-        s => least(s, greatest(col("len") - size + 1, lit(1))))))
-      .select(col("doc_id"), col("toks"),
-        posexplode(col("starts")).as(Seq("chunk_idx", "start")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        col("start").cast("long").as("start"),
-        size_(slice(col("toks"), col("start"), lit(size))).cast("long").as("n_toks"),
-        array_join(slice(col("toks"), col("start"), lit(size)), " ").as("chunk_text"))
+    Chunker.strided(corpus, idCol, textCol, size, size - overlap,
+        lowercase = false, dropEmptyTokens = true, Chunker.ClampedTail)
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("start0") + 1L).as("start"), col("n_toks"), col("chunk_text"))
   }
-
-  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
   /** x240: chunk the fixture corpus for embedding prep. */
   def x240Chunks(s: SparkSession, dir: String): DataFrame =

@@ -36,20 +36,11 @@ object Extensions108 {
 
   // ---- x247: random sign projection + distortion sweep ---------------------------
 
-  /** Driver-side twin of the portable 60-bit md5 hash
-    * ([[graft.functions.HashFunctions.md5_bucket60]]): first 15 hex
-    * chars of md5, parsed as a long. Used to materialize the sign
-    * matrix ONCE — same formula, so the SQL oracle replays it.
+  /** ±1 sign for matrix cell (i, j): lowest bit of md5("i_j") — the
+    * x39/x247 lane over [[SignProject.md5bucket60]].
     */
-  private def md5bucket60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.take(15), 16)
-  }
-
-  /** ±1 sign for matrix cell (i, j): lowest bit of md5("i_j"). */
   private[ops] def signCell(i: Int, j: Int): Long =
-    if (md5bucket60(s"${i}_$j") % 2 == 1) 1L else -1L
+    if (SignProject.md5bucket60(s"${i}_$j") % 2 == 1) 1L else -1L
 
   /** The array-out, integer-exact sibling of [[Extensions5.jlProject]]
     * (x39): same Achlioptas ±1 hash matrix idea, but components
@@ -70,13 +61,15 @@ object Extensions108 {
   def randomProjection(
       emb: DataFrame, vecCol: String, inDims: Int, outDims: Int): DataFrame = {
     require(inDims >= 1 && outDims >= 1)
+    // round-14: thin adapter over the shared SignProject kernel (kernel
+    // sibling: x330 Extensions145.jlProjectionCard — same literal ±1
+    // matrix machinery, different md5 lane and a distortion card on top)
     val ql = transform(col(vecCol), x =>
       round(x.cast("double") * lit(1e4), 0).cast("long"))
-    val cols = (0 until outDims).map { j =>
-      val signs = Seq.tabulate(inDims)(i => signCell(i, j))
-      graft.functions.VectorFunctions.long_dot(ql, typedLit(signs))
-    }
-    emb.withColumn("proj", array(cols: _*))
+    SignProject.literalProject(
+        emb.withColumn("__ql", ql), "__ql", "proj",
+        outDims, inDims, (j, i) => signCell(i, j))
+      .drop("__ql")
   }
 
   /** x247: the distortion sweep — 10 query vectors × their 20-candidate

@@ -124,8 +124,21 @@ object Extensions142 {
     * normal approximation, micro-rounded — the one √ in the chain,
     * mirrored textually in the oracle (the x314 discipline).
     *
-    * Scale: one hash-agg to the value grid, one bounded window over
-    * the grid (value-domain rows, the x157 shape), one 1-row agg.
+    * Scale: one hash-agg to the value grid, cumulative counts via
+    * [[GridStats.rankSumReduce]]'s distributed prefix sum (round-14:
+    * the cents grid is corpus-derived — 10⁷–10⁹ distinct values at
+    * 100 TB — so the cumulation must never be a one-task
+    * `Window.orderBy`), one 1-row agg.
+    *
+    * Kernel sibling: x157 [[Extensions62.mannWhitney]] — the SAME
+    * tie-corrected rank-sum test over [[GridStats.rankSumReduce]];
+    * delta is only the input contract (explicit two groups here vs md5
+    * A/B arms over per-user sums there) and the z rendering (micro here,
+    * 4dp there).
+    *
+    * Degenerate input loud-refuses (either group empty, or every value
+    * tied → the variance is 0 and z is undefined) instead of emitting an
+    * Infinity/NULL that the two engines could disagree on.
     */
   def mannWhitneyU(
       samples: DataFrame, groupCol: String, valueCol: String,
@@ -137,18 +150,16 @@ object Extensions142 {
     val grid = sel.groupBy(col("v"))
       .agg(count(lit(1)).as("c"),
         sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"))
-    val wOrd = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val mr = grid
-      .withColumn("cb", coalesce(sum(col("c")).over(wOrd), lit(0L)))
-      .withColumn("mr2", lit(2L) * col("cb") + col("c") + lit(1L))
-    mr.agg(
-        sum(col("ca")).as("na"),
-        sum(col("c") - col("ca")).as("nb"),
-        sum((col("mr2").cast("decimal(38,0)") * col("ca"))
-          .cast("decimal(38,0)")).as("r2a"),
-        sum((col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c"))
-          .cast("decimal(38,0)")).as("ties"))
+    val red = Extensions.materialized(
+      GridStats.rankSumReduce(grid, "v", "ca", "c"))
+    val chk = red.select(col("na"), col("nb"), col("n_grid")).collect()(0)
+    require(chk.getLong(0) > 0L && chk.getLong(1) > 0L,
+      s"mannWhitneyU: both groups must be non-empty " +
+        s"(n_a = ${chk.getLong(0)}, n_b = ${chk.getLong(1)})")
+    require(chk.getLong(2) >= 2L,
+      "mannWhitneyU: all selected values are tied — the variance is 0 " +
+        "and z is undefined")
+    red
       .select(col("na"), col("nb"),
         // width: na·(na+1) and na·nb wrap a long past ~3e9 samples per
         // side — the compositions ride DECIMAL (u2_a itself is bounded
@@ -210,18 +221,45 @@ object Extensions142 {
     *
     * Scale: the conversion→touch join is user-keyed with a bounded
     * time predicate — candidates are a user's own recent events, never
-    * event×event; ranks are per-conversion windows.
+    * event×event; ranks are per-conversion windows. The per-user
+    * fan-out is still conversions×touches BEFORE the time filter, so a
+    * bot/hub user (10⁵ events in a window → ~10¹⁰ candidate rows in ONE
+    * key) is measured FIRST (one hash-agg + an O(1) TakeOrdered) and
+    * loud-refused over `maxUserCandidates` — the collect-cap
+    * discipline: refuse visibly, never silently stall a stage on one
+    * skewed key (round-14, verdict task 3).
+    *
+    * `eventIdCol` names the stable per-event id used for conversion and
+    * touch identity (round-14: was hardcoded `event_id`).
     */
   def attributionCard(
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
-      convType: String, windowDays: Int = 7): DataFrame = {
+      convType: String, windowDays: Int = 7,
+      eventIdCol: String = "event_id",
+      maxUserCandidates: Long = 10000000L): DataFrame = {
     require(windowDays >= 1)
+    require(maxUserCandidates >= 1L)
+    val hub = events
+      .groupBy(col(userCol).as("u"))
+      .agg(sum(when(col(typeCol) === convType, 1L).otherwise(0L)).as("nc"),
+        sum(when(col(typeCol) =!= convType, 1L).otherwise(0L)).as("nt"))
+      .withColumn("cand", col("nc").cast("decimal(38,0)") * col("nt"))
+      .orderBy(col("cand").desc).limit(1).collect()
+    if (hub.nonEmpty) {
+      val h = hub(0)
+      val cand = BigInt(h.getDecimal(3).toBigInteger)
+      require(cand <= BigInt(maxUserCandidates),
+        s"attributionCard: user '${h.get(0)}' fans out to $cand " +
+          s"conversion×touch candidates (> $maxUserCandidates). A hub/bot " +
+          "key this hot serializes the per-user join — filter it, shard " +
+          "it upstream, or raise maxUserCandidates deliberately.")
+    }
     val conv = events.filter(col(typeCol) === convType)
       .select(col(userCol).as("u"), col(tsCol).as("cts"),
-        col("event_id").as("conv_id"))
+        col(eventIdCol).as("conv_id"))
     val touch = events.filter(col(typeCol) =!= convType)
       .select(col(userCol).as("u"), col(tsCol).as("tts"),
-        col(typeCol).as("ttype"), col("event_id").as("touch_id"))
+        col(typeCol).as("ttype"), col(eventIdCol).as("touch_id"))
     val joined = conv.join(touch, Seq("u"))
       .filter(col("tts") < col("cts") &&
         col("tts") >= col("cts") - expr(s"INTERVAL $windowDays DAYS"))

@@ -75,9 +75,13 @@ object Extensions143 {
     // and the card would read coverage 1 vacuously — refuse instead
     require(k <= nc, s"conformalCard: calibration fold too small for " +
       s"alpha = $alphaPermille permille (k = $k > n_calib = $nc)")
-    val q = Rank.globalRank(calib, Seq("s", "doc_id"), Seq(false, false))
-      .filter(col("rn") === k)
-      .select(col("s")).collect()(0).getLong(0)
+    // round-14: the order statistic reads off GridStats.conformalQhat
+    // (shared kernel with x145 Extensions56.conformalGate — the delta is
+    // the degrade policy: loud-refuse above vs full sets there)
+    val q = GridStats.conformalQhat(
+        calib.groupBy(col("s")).agg(count(lit(1)).as("cnt")),
+        "s", "cnt", Seq(1000 - alphaPermille))
+      .select(col("qhat")).collect()(0).getLong(0)
     test.agg(count(lit(1)).as("n_test"),
         sum(when(col("s") <= q, 1L).otherwise(0L)).as("cov"))
       .select(lit(nc).as("n_calib"), col("n_test"),

@@ -37,6 +37,14 @@ object Extensions144 {
     * (metric id, p_micro, rk, rejected) where `rejected` marks every
     * rank ≤ i* = max{i : p_(i)·m·1000 ≤ α‰·i·10⁶}. Ties on p break by
     * the id column (both engines sort the same tuple).
+    *
+    * Thin adapter over [[GridStats.bhStepUp]] (round-14: one BH walk in
+    * the house). Kernel sibling: x134 [[Extensions51.bhCorrect]] — same
+    * step-up, 4dp double p-values and a critical-value column there,
+    * micro longs here. The accept test is all DECIMAL (p·m wraps a long
+    * past ~9e6 metrics at p near 1e6); m and the cutoff travel as
+    * broadcast 1-row tables — never an unpartitioned window over the
+    * metric table.
     */
   def bhFdr(
       metrics: DataFrame, idCol: String, pMicroCol: String,
@@ -44,21 +52,10 @@ object Extensions144 {
     require(alphaPermille >= 1 && alphaPermille <= 999)
     val base = metrics.select(col(idCol).as("metric_id"),
       col(pMicroCol).cast("long").as("p_micro"))
-    val ranked = Extensions.materialized(Rank.globalRank(
-        base, Seq("p_micro", "metric_id"), Seq(false, false))
-      .select(col("metric_id"), col("p_micro"), col("rn").as("rk")))
-    // global m and the step-up cutoff travel as broadcast 1-row tables —
-    // never an unpartitioned window over the metric table. The accept
-    // test is all DECIMAL (p·m wraps a long past ~9e6 metrics at p near
-    // 1e6).
-    val m = ranked.agg(count(lit(1)).as("m"))
-    val flagged = ranked.crossJoin(broadcast(m))
-      .withColumn("ok",
-        (col("p_micro").cast("decimal(38,0)") * col("m") * 1000L) <=
-          (lit(alphaPermille.toLong).cast("decimal(38,0)") * col("rk") * 1000000L))
-    val cutoff = flagged.agg(max(when(col("ok"), col("rk"))).as("istar"))
-    flagged.crossJoin(broadcast(cutoff))
-      .withColumn("rejected", coalesce(col("rk") <= col("istar"), lit(false)))
+    GridStats.bhStepUp(base, "metric_id", "p_micro",
+        (p, m, rk) =>
+          (p.cast("decimal(38,0)") * m * 1000L) <=
+            (lit(alphaPermille.toLong).cast("decimal(38,0)") * rk * 1000000L))
       .select(col("metric_id"), col("p_micro"), col("rk"), col("rejected"))
       .orderBy(col("rk"))
   }
@@ -115,16 +112,17 @@ object Extensions144 {
     val cents = round(col(valueCol) * 100.0d, 0).cast("long")
     val grid = samples.select(cents.as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val wOrd = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid.withColumn("cum", sum(col("c")).over(wOrd))
-      .withColumn("n", sum(col("c")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("klo", expr(s"(n * $loPermille + 999) DIV 1000"))
-      .withColumn("khi", expr(s"(n * $hiPermille + 999) DIV 1000"))
-    val cuts = cum.agg(
-        min(when(col("cum") >= col("klo"), col("v"))).as("lo"),
-        min(when(col("cum") >= col("khi"), col("v"))).as("hi"))
+    // round-14: the cents grid is corpus-derived (10⁷–10⁹ distinct
+    // values at 100 TB) — order statistics come off
+    // GridStats.permilleCuts' distributed prefix sum, never an
+    // unpartitioned grid window. Kernel sibling: x151
+    // Extensions59.winsorizedReadout — INTERPOLATED percentile() per md5
+    // arm there vs exact grid order statistics here; the clamp-and-
+    // decompose readout is the shared idea, the cut definition is the
+    // documented delta.
+    val cuts = GridStats.permilleCuts(grid, "v", "c",
+        Seq("lo" -> loPermille, "hi" -> hiPermille))
+      .select(col("lo"), col("hi"))
     grid.crossJoin(broadcast(cuts))
       .withColumn("w", least(greatest(col("v"), col("lo")), col("hi")))
       .agg(sum(col("c")).as("n"),

@@ -59,15 +59,24 @@ object Extensions145 {
           col("vec_id"))
         .limit(sampleCap))
     // sign(j, i) = ±1 from the md5 lane parity of (j, i); y_j = Σ_i s·x_i
-    def sign(j: Column, i: Column): Column =
-      pmod(md5_bucket60(concat(lit("jl:"), j.cast("string"), lit(":"),
-        i.cast("string"))), lit(2L)) * 2L - 1L
+    // — round-14: through the shared SignProject literal-matrix kernel
+    // (kernel sibling: x247 Extensions108.randomProjection — same
+    // machinery, "i_j" lane there vs "jl:j:i" here; both oracles replay
+    // their own lane). The dimensionality is read off the bounded sample
+    // (one O(1) job) so the matrix inlines as driver literals.
+    val dims = sample.agg(
+        min(size(col("qv"))).as("dmin"), max(size(col("qv"))).as("dmax"))
+      .collect()(0)
+    require(!dims.isNullAt(0) && dims.getInt(0) >= 1 &&
+      dims.getInt(0) == dims.getInt(1),
+      "jlProjectionCard: embeddings must be non-empty and share one " +
+        s"dimensionality (got min=${dims.get(0)}, max=${dims.get(1)})")
+    val signAt = (j0: Int, i0: Int) =>
+      (SignProject.md5bucket60(s"jl:${j0 + 1}:${i0 + 1}") % 2L) * 2L - 1L
     val projected = Extensions.materialized(
-      sample.select(col("vec_id"), col("qv"),
-        transform(sequence(lit(1), lit(kDims)), j =>
-          aggregate(sequence(lit(1), size(col("qv"))), lit(0L),
-            (acc, i) => acc + sign(j, i) * element_at(col("qv"), i)))
-          .as("yv")))
+      SignProject.literalProject(
+        sample.select(col("vec_id"), col("qv")),
+        "qv", "yv", kDims, dims.getInt(0), signAt))
     val d2 = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
     val pairs = projected.as("a")

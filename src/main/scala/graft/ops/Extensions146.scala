@@ -125,9 +125,20 @@ object Extensions146 {
     * `chunkTokens − overlapTokens` tokens — one row per chunk with a
     * STABLE id (doc_id, chunk_idx): (doc_id, chunk_idx, start_tok,
     * n_chunk_tokens, chunk_text). The last window may be short; a doc
-    * shorter than one stride still yields exactly one chunk. Where
-    * x322 prices the concat-and-cut PRETRAINING layout, this is the
+    * shorter than one stride still yields exactly one chunk — but a
+    * chunk is emitted ONLY when it contains at least one token past the
+    * previous chunk's overlap (round-14 spec fix: the former bound
+    * emitted a fully-redundant trailing chunk whenever
+    * docLen mod stride ∈ [1, overlap] — e.g. a 128-token doc at
+    * 128/32 yielded chunk 1 = tokens 97–128, a strict subset of chunk
+    * 0, silently inflating any RAG index built on it). Where x322
+    * prices the concat-and-cut PRETRAINING layout, this is the
     * retrieval-side segmentation — chunks never cross documents.
+    *
+    * Thin adapter over [[Chunker.strided]] (round-14 consolidation;
+    * kernel siblings: x36 [[Extensions4.chunkDocuments]] keeps raw
+    * tokens, short tails and every start; x240
+    * [[Extensions105.chunkDocuments]] clamps the tail full-size).
     *
     * Scale: map-only (tokenize once, slice per start) — embarrassingly
     * parallel, no shuffle, no state.
@@ -138,25 +149,14 @@ object Extensions146 {
     require(chunkTokens >= 1 && overlapTokens >= 0 &&
       overlapTokens < chunkTokens,
       "chunkText: need 0 <= overlap < chunkTokens")
-    val stride = chunkTokens - overlapTokens
-    corpus
-      .select(col(idCol).cast("long").as("doc_id"),
-        filter(split(lower(col(textCol)), " "), t => length(t) > 0).as("tk"))
-      .filter(size(col("tk")) > 0)
-      .select(col("doc_id"), col("tk"),
-        // integer chunk-count arithmetic must be DIV, not `/` (Divide
-        // is double and sequence() wants integrals)
-        explode(expr(
-          s"sequence(0L, greatest(size(tk) - 1, 0) DIV $stride)"))
-          .as("chunk_idx"))
+    val pre = corpus.select(col(idCol).cast("long").as("__did"),
+      col(textCol).as("__txt"))
+    Chunker.strided(pre, "__did", "__txt", chunkTokens,
+        chunkTokens - overlapTokens,
+        lowercase = true, dropEmptyTokens = true, Chunker.TrimmedTail)
       .select(col("doc_id"), col("chunk_idx"),
-        (col("chunk_idx") * stride).as("start_tok"),
-        slice(col("tk"), (col("chunk_idx") * stride + 1).cast("int"),
-          lit(chunkTokens)).as("ck"))
-      .filter(size(col("ck")) > 0)
-      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
-        size(col("ck")).cast("long").as("n_chunk_tokens"),
-        concat_ws(" ", col("ck")).as("chunk_text"))
+        col("start0").as("start_tok"),
+        col("n_toks").as("n_chunk_tokens"), col("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
@@ -171,7 +171,7 @@ object Extensions146 {
       nz AS (SELECT * FROM d WHERE len(tk) > 0),
       ix AS (SELECT doc_id, tk, u.ci AS chunk_idx
              FROM nz, LATERAL unnest(generate_series(0,
-               greatest(len(tk) - 1, 0) // 96)) AS u(ci)),
+               greatest((len(tk) - 32 - 1) // 96, 0))) AS u(ci)),
       ck AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
                CAST(chunk_idx * 96 AS BIGINT) AS start_tok,
                tk[chunk_idx * 96 + 1 : chunk_idx * 96 + 128] AS ckl

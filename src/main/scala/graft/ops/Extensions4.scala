@@ -345,24 +345,20 @@ object Extensions4 {
     * Complements [[Extensions3]]'s sequence packing (x23): chunking SPLITS
     * long documents, packing CONCATENATES short ones — real pipelines run
     * chunk → pack.
+    *
+    * Thin adapter over [[Chunker.strided]] (round-14 consolidation;
+    * kernel siblings: x240 [[Extensions105.chunkDocuments]] clamps the
+    * tail to full-size, x333 [[Extensions146.chunkText]] lowercases and
+    * trims fully-redundant tails — this form keeps raw tokens and short
+    * tails).
     */
   def chunkDocuments(
       corpus: DataFrame, idCol: String, textCol: String,
-      window: Int, stride: Int): DataFrame = {
-    require(window > 0 && stride > 0 && stride <= window,
-      s"need 0 < stride <= window, got window=$window stride=$stride")
-    val toks = split(col(textCol), " ")
-    corpus
-      .select(col(idCol).as("doc_id"), toks.as("tk"))
-      .select(col("doc_id"), col("tk"),
-        posexplode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)),
-          lit(stride))).as(Seq("chunk_id", "start")))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        slice(col("tk"), col("start") + 1, lit(window)).as("chunk"))
-      .select(col("doc_id"), col("chunk_id"),
-        size(col("chunk")).cast("long").as("n_tokens"),
-        array_join(col("chunk"), " ").as("chunk_text"))
-  }
+      window: Int, stride: Int): DataFrame =
+    Chunker.strided(corpus, idCol, textCol, window, stride,
+        lowercase = false, dropEmptyTokens = false, Chunker.ShortTail)
+      .select(col("doc_id"), col("chunk_idx").as("chunk_id"),
+        col("n_toks").as("n_tokens"), col("chunk_text"))
 
   /** x36: [[chunkDocuments]] at window 50 / stride 40 (10-token overlap)
     * on the documents fixture.

@@ -82,27 +82,28 @@ object Extensions51 {
     * discovered. The comparison is EXACT: with pm = p·10⁴ (an integer
     * by the 4dp contract), p ≤ rank·α/m ⟺ pm·m ≤ rank·α_permille·10.
     * Output (key, p_value, bh_rank, bh_critical, discovered) ordered by
-    * rank. Window + aggregation over the ≤ m hypothesis rows only.
+    * rank.
+    *
+    * Thin adapter over [[GridStats.bhStepUp]] (round-14, verdict task
+    * 7: the former unpartitioned rank/max windows over the hypothesis
+    * table — fine at ≤10⁶ metrics but inconsistent with the x328 plan —
+    * now ride the distributed global rank + broadcast cutoff). Kernel
+    * sibling: x328 [[Extensions144.bhFdr]] — same walk, micro-long
+    * p-values and no critical column there.
     */
   def bhCorrect(
       pvals: DataFrame, keyCol: String, pCol: String,
       alphaPermille: Int = 50): DataFrame = {
-    val m = pvals.agg(count(lit(1)).as("m"))
-    val wRk = Window.orderBy(col("p"), col("key"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    pvals.select(col(keyCol).as("key"), col(pCol).as("p"))
-      .crossJoin(broadcast(m))
-      .withColumn("bh_rank", row_number().over(wRk).cast("long"))
-      .withColumn("pm", round(col("p") * 1e4, 0).cast("long"))
-      .withColumn("qualifies",
-        col("pm") * col("m") <= col("bh_rank") * alphaPermille * 10L)
-      .withColumn("maxk",
-        max(when(col("qualifies"), col("bh_rank"))).over(wAll))
-      .select(col("key"), col("p").as("p_value"), col("bh_rank"),
-        Extensions.round4o(col("bh_rank") * lit(alphaPermille)
+    GridStats.bhStepUp(
+        pvals.select(col(keyCol).as("key"), col(pCol).as("p")),
+        "key", "p",
+        (p, m, rk) =>
+          round(p * 1e4, 0).cast("long") * m <= rk * alphaPermille * 10L)
+      .select(col("key"), col("p").as("p_value"),
+        col("rk").as("bh_rank"),
+        Extensions.round4o(col("rk") * lit(alphaPermille)
           / (lit(1000.0) * col("m"))).as("bh_critical"),
-        coalesce(col("bh_rank") <= col("maxk"), lit(false)).as("discovered"))
+        col("rejected").as("discovered"))
       .orderBy(col("bh_rank"))
   }
 

@@ -189,19 +189,12 @@ object Extensions56 {
       .withColumn("a", when(col("y") === 1L, lit(1000L) - col("s"))
         .otherwise(col("s")))
     val grid = calib.groupBy(col("a")).agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy(col("a"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid.withColumn("c", sum(col("cnt")).over(wCum))
-    val nCal = calib.agg(count(lit(1)).as("n_cal"))
-    val spark = scored.sparkSession
-    import spark.implicits._
-    val spine = levels.sorted.map(_.toLong).toDF("level")
-    val ks = spine.crossJoin(broadcast(nCal))
-      // integer ceil: k = ⌈(n+1)·level/1000⌉ = ((n+1)·level + 999) DIV 1000
-      .withColumn("k", expr("((n_cal + 1) * level + 999) DIV 1000"))
-    val qhats = ks.join(cum, cum("c") >= ks("k"), "left_outer")
-      .groupBy(col("level"), col("n_cal"), col("k"))
-      .agg(coalesce(min(col("a")), lit(1000L)).as("qhat"))
+    // round-14: the conformal quantile reads off GridStats.conformalQhat
+    // (shared kernel with x324 Extensions143.conformalCard — the delta is
+    // the degrade policy: full sets at k > n_cal here, loud-refuse there)
+    val qhats = GridStats.conformalQhat(grid, "a", "cnt", levels)
+      .withColumn("qhat", coalesce(col("qhat"), lit(1000L)))
+      .drop("k")
     val eval = base.filter(col("pm") >= 500L)
     eval.crossJoin(broadcast(qhats))
       .withColumn("cov", when(col("y") === 1L, lit(1000L) - col("s") <= col("qhat"))

@@ -156,9 +156,15 @@ object Extensions62 {
     * shared double expression — identical in both engines. z NULL when
     * either arm is empty or the variance vanishes (all values tied).
     *
-    * Scale: one user hash-agg, one value-grid hash-agg, a window over
-    * the O(distinct values) grid, a 1-row reduce. No row-level rank
-    * window — the classic rank test without the global sort.
+    * Scale: one user hash-agg, one value-grid hash-agg, cumulative
+    * counts via [[GridStats.rankSumReduce]]'s distributed prefix sum
+    * (round-14: the unpartitioned grid window this op carried is gone),
+    * a 1-row reduce. No row-level rank window — the classic rank test
+    * without the global sort.
+    *
+    * Kernel sibling: x323 [[Extensions142.mannWhitneyU]] — same
+    * [[GridStats.rankSumReduce]], explicit two-group input contract and
+    * micro-scaled z instead of the md5 arm split and 4dp here.
     */
   def mannWhitney(
       events: DataFrame, userCol: String, valueCol: String): DataFrame = {
@@ -170,33 +176,31 @@ object Extensions62 {
         when(pmod(HashFunctions.md5_bucket60(col("user_id").cast("string")),
           lit(2L)) === 0L, 1L).otherwise(0L))
     val grid = perUser.groupBy(col("y")).agg(
-      sum(col("c1")).as("nc"), sum(lit(1L) - col("c1")).as("nt"))
-    val wOrd = Window.orderBy(col("y"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = grid
-      .withColumn("below", coalesce(sum(col("nc") + col("nt")).over(wOrd), lit(0L)))
-      .withColumn("ar2", lit(2L) * col("below") + col("nc") + col("nt") + 1L)
-      .withColumn("tie", col("nc") + col("nt"))
-    val red = ranked.agg(
-      sum(col("nc")).as("n1"), sum(col("nt")).as("n2"),
-      sum(col("nc") * col("ar2")).as("r1x2"),
-      sum(col("tie") * col("tie") * col("tie") - col("tie")).as("tsum"))
+        sum(col("c1")).as("nc"), sum(lit(1L) - col("c1")).as("nt"))
+      .withColumn("ctot", col("nc") + col("nt"))
+    val red = GridStats.rankSumReduce(grid, "y", "nc", "ctot")
+      .withColumnRenamed("na", "n1").withColumnRenamed("nb", "n2")
+      .withColumnRenamed("r2a", "r1x2").withColumnRenamed("ties", "tsum")
     red
-      .withColumn("u2", col("r1x2") - col("n1") * (col("n1") + 1L))
+      // r1x2/tsum ride DECIMAL out of the kernel; the n1·(n1+1) and
+      // n1·n2 compositions join them there (they wrap a long past ~3e9
+      // users a side) — the z chain is double either way
+      .withColumn("u2",
+        col("r1x2") - col("n1").cast("decimal(38,0)") * (col("n1") + 1L))
       .withColumn("nn", col("n1") + col("n2"))
       .withColumn("vpos",
         (col("n1") + col("n2") + 1L).cast("double") * (col("n1") + col("n2"))
           * (col("n1") + col("n2") - 1L) - col("tsum"))
       .withColumn("z", when(col("n1") > 0L && col("n2") > 0L && col("vpos") > 0.0d,
         Extensions.round4o(
-          (col("u2") - col("n1") * col("n2")).cast("double") /
+          (col("u2") - col("n1").cast("decimal(38,0)") * col("n2")).cast("double") /
             (lit(2.0d) * sqrt(
               col("n1").cast("double") * col("n2") *
                 ((col("nn") + 1L).cast("double") * col("nn") * (col("nn") - 1L)
                   - col("tsum")) /
                 (lit(12.0d) * col("nn") * (col("nn") - 1L)))))))
       .select(col("n1").as("n_control"), col("n2").as("n_treatment"),
-        (col("u2") / lit(2.0d)).as("u_statistic"), col("z"))
+        (col("u2") / lit(2.0d)).cast("double").as("u_statistic"), col("z"))
   }
 
   /** x157: rank-sum A/A on the events fixture (|z| should be modest). */

@@ -118,10 +118,12 @@ object Extensions69 {
       .groupBy(col("g"), col("u")).agg(sum(col("cents")).as("y"))
     val grid = perUser.groupBy(col("g"), col("y"))
       .agg(count(lit(1)).as("c"))
-    val wOrd = Window.partitionBy(col("g")).orderBy(col("y"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val t2 = grid
-      .withColumn("cb", coalesce(sum(col("c")).over(wOrd), lit(0L)))
+    // round-14: the per-group cumulative counts ride GridStats.withBelow
+    // (grouped distributed prefix sum) — a window PARTITIONED by a
+    // handful of event types is still a one-task-per-group sort of a
+    // corpus-derived value grid
+    val t2 = GridStats.withBelow(grid, Seq("g"), "y", Seq("c"))
+      .withColumnRenamed("below_c", "cb")
       .groupBy(col("g")).agg(
         sum(col("c")).as("n"),
         // width audit (r12): c·cb multiplies two user-count quantities

@@ -50,26 +50,26 @@ object Extensions75 {
           lit(2L)) === 0L, 1L).otherwise(0L))
     val grid = perUser.groupBy(col("y")).agg(
       sum(col("c1")).as("a"), sum(lit(1L) - col("c1")).as("b"))
-    val wCum = Window.orderBy(col("y"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val cum = grid
-      .withColumn("ca", sum(col("a")).over(wCum))
-      .withColumn("cb", sum(col("b")).over(wCum))
-      .withColumn("n1", sum(col("a")).over(wAll))
-      .withColumn("n2", sum(col("b")).over(wAll))
+    // round-14: both arms' cumulative counts ride ONE
+    // GridStats.withBelow pass (distributed prefix sums — the per-user-
+    // sum grid is corpus-derived, so the former unpartitioned grid
+    // windows were a one-task sort at scale); the totals travel as a
+    // broadcast 1-row aggregate, the argmax as a TakeOrdered(1)
+    val cum = GridStats.withBelow(grid, Seq.empty, "y", Seq("a", "b"))
+      .withColumn("ca", col("below_a") + col("a"))
+      .withColumn("cb", col("below_b") + col("b"))
+    val tot = grid.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    val gap = cum.crossJoin(broadcast(tot))
       // overflow headroom: ca·n2 and n1·n2 are PRODUCTS of per-arm user
       // counts — 3e9 users a side wraps a long (9e18). The gap/argmax
       // and the D render run in 128-bit integers (DECIMAL(38,0) here,
       // HUGEINT in the oracle): same values, exact to 1e38
       .withColumn("gap",
         expr("abs(CAST(ca AS DECIMAL(38,0)) * n2 - CAST(cb AS DECIMAL(38,0)) * n1)"))
-    cum
-      .withColumn("gmax", max(col("gap")).over(wAll))
-      .withColumn("vbest",
-        min(when(col("gap") === col("gmax"), col("y"))).over(wAll))
-      .filter(col("y") === col("vbest"))
+    val gmax = gap.agg(max(col("gap")).as("gmax"))
+    gap.crossJoin(broadcast(gmax))
+      .filter(col("gap") === col("gmax"))
+      .orderBy(col("y")).limit(1)
       .select(col("n1").as("n_control"), col("n2").as("n_treatment"),
         expr("((CAST(gmax AS DECIMAL(38,0)) * 10000 * 2 + CAST(n1 AS DECIMAL(38,0)) * n2) DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2)) / 10000.0D")
           .as("d_stat"),

@@ -122,10 +122,22 @@ object Rank {
     */
   def globalPrefixSum(
       df: DataFrame, keys: Seq[String], descending: Seq[Boolean],
-      valueCol: String, parts: Int = 32): DataFrame = {
+      valueCol: String, parts: Int = 32): DataFrame =
+    globalPrefixSums(df, keys, descending, Seq(valueCol), parts)
+      .withColumnRenamed(s"ps_$valueCol", "ps")
+
+  /** Multi-column sibling of [[globalPrefixSum]]: ONE range shuffle and
+    * ONE stats pass carrying every requested running sum (appends a
+    * `ps_<col>` DECIMAL(38,0) per value column). The shape the KS
+    * statistic needs (two arms' cumulative counts over one shared value
+    * grid) without paying the two-pass machinery per column.
+    */
+  def globalPrefixSums(
+      df: DataFrame, keys: Seq[String], descending: Seq[Boolean],
+      valueCols: Seq[String], parts: Int = 32): DataFrame = {
     require(keys.nonEmpty && keys.length == descending.length,
-      "globalPrefixSum: keys and descending flags must align")
-    require(parts >= 1)
+      "globalPrefixSums: keys and descending flags must align")
+    require(parts >= 1 && valueCols.nonEmpty)
     val sortCols: Seq[Column] = keys.zip(descending).map {
       case (k, true)  => col(k).desc
       case (k, false) => col(k).asc
@@ -134,29 +146,50 @@ object Rank {
       df.repartitionByRange(parts, sortCols: _*)
         .withColumn("__pid", spark_partition_id()))
     val stats = parted.groupBy(col("__pid"))
-      .agg(sum(col(valueCol).cast("decimal(38,0)")).as("s"))
+      .agg(sum(col(valueCols.head).cast("decimal(38,0)")).as("s0"),
+        valueCols.tail.zipWithIndex.map { case (c, i) =>
+          sum(col(c).cast("decimal(38,0)")).as(s"s${i + 1}")
+        }: _*)
       .collect()
-      .map(r => (r.getInt(0),
-        if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger)))
+      .map(r => (r.getInt(0), valueCols.indices.map(i =>
+        if (r.isNullAt(i + 1)) BigInt(0)
+        else BigInt(r.getDecimal(i + 1).toBigInteger))))
       .sortBy(_._1)
-    var acc = BigInt(0)
-    val offs = stats.map { case (pid, s) =>
-      val o = (pid, BigDecimal(acc)); acc += s; o
+    val accs = Array.fill(valueCols.length)(BigInt(0))
+    val offs = stats.map { case (pid, ss) =>
+      val o = (pid, valueCols.indices.map(i => BigDecimal(accs(i))))
+      valueCols.indices.foreach(i => accs(i) += ss(i))
+      o
     }.toSeq
     val spark = df.sparkSession
-    import spark.implicits._
-    val offDf =
-      if (offs.isEmpty)
-        Seq((0, BigDecimal(0))).toDF("__pid", "__sum_before").limit(0)
-      else offs.toDF("__pid", "__sum_before")
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        valueCols.indices.map(i =>
+          org.apache.spark.sql.types.StructField(s"__sb$i",
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0),
+            nullable = false)))
+    val offRows = offs.map { case (pid, bs) =>
+      org.apache.spark.sql.Row.fromSeq(
+        pid +: bs.map(_.underlying().setScale(0)))
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
     val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .withColumn("__lps", sum(col(valueCol).cast("decimal(38,0)")).over(w))
-      .join(broadcast(offDf), Seq("__pid"))
-      .withColumn("ps",
-        (col("__lps") + col("__sum_before")).cast("decimal(38,0)"))
-      .drop("__pid", "__lps", "__sum_before")
+    val localised = valueCols.zipWithIndex.foldLeft(parted) {
+      case (d, (c, i)) =>
+        d.withColumn(s"__lps$i", sum(col(c).cast("decimal(38,0)")).over(w))
+    }
+    val joined = localised.join(broadcast(offDf), Seq("__pid"))
+    val summed = valueCols.zipWithIndex.foldLeft(joined) {
+      case (d, (c, i)) =>
+        d.withColumn(s"ps_$c",
+          (col(s"__lps$i") + col(s"__sb$i")).cast("decimal(38,0)"))
+    }
+    summed.drop(
+      "__pid" +: valueCols.indices.flatMap(i =>
+        Seq(s"__lps$i", s"__sb$i")): _*)
   }
 
   /** x231: q20's quartile/dense-rank card re-planned scale-safe — the

@@ -39,6 +39,26 @@ class BenchArtifactSpec extends AnyFunSuite {
       "the gate's threshold must be recorded next to its verdict")
   }
 
+  test("iso children report per-query loadavg and the artifact gates on it (r13 verdict item 4)") {
+    // the r13 watch item: x99's ISOLATED number moved 10.97 -> 14.39s
+    // with zero commits because the iso children also ran under suite
+    // load. The child line must carry an isolated_load map and the
+    // artifact an isolated_clean verdict bound to the same threshold as
+    // clean_bench.
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/Bench.scala", "UTF-8").mkString
+    assert(src.contains("\"isolated_load\":{$loads}"),
+      "isolated child must emit its per-query max loadavg")
+    val fullLine = src.split("\n").find(_.contains("\"n_queries\":"))
+      .getOrElse(fail("bench_full template line not found"))
+    assert(fullLine.contains("\"isolated_load\":$isoLoadJson"),
+      "bench_full must embed the per-iso-child loadavg map")
+    assert(fullLine.contains("\"isolated_clean\":$isolatedClean"),
+      "bench_full must carry the iso clean gate")
+    assert(src.contains("l.values.forall(v => v >= 0.0 && v <= cleanThresh)"),
+      "the iso gate must bind to the same clean threshold")
+  }
+
   test("the final compact line never embeds the scaling blob (BENCH_r11 regression)") {
     // the shipped source must reference the pointer form in the last
     // println; a verbatim $scalingJson there is exactly the bug that

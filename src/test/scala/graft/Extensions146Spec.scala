@@ -40,19 +40,40 @@ class Extensions146Spec extends SparkSpec {
   }
 
   test("chunkText: hand-computed windows, overlap preserved, stable ids") {
-    // 10 tokens, chunk 4, overlap 2 -> stride 2, starts 0,2,4,6,8
+    // 10 tokens, chunk 4, overlap 2 -> stride 2, starts 0,2,4,6 — a 5th
+    // chunk at start 8 would be tokens 9–10, a strict subset of chunk 3
+    // (tokens 7–10): the round-14 trimmed-tail rule never emits it
     val df = docs(Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))))
     val got = Extensions146.chunkText(df, "doc_id", "text",
         chunkTokens = 4, overlapTokens = 2)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getString(4)))
-    assert(got.length == 5, s"${got.toSeq}")
+    assert(got.length == 4, s"${got.toSeq}")
     assert(got(0) == ((0L, 0L, 4L, "t1 t2 t3 t4")), s"${got.toSeq}")
     assert(got(1) == ((1L, 2L, 4L, "t3 t4 t5 t6")), s"${got.toSeq}")
-    assert(got(4) == ((4L, 8L, 2L, "t9 t10")), s"${got.toSeq}")
+    assert(got(3) == ((3L, 6L, 4L, "t7 t8 t9 t10")), s"${got.toSeq}")
     // every adjacent pair overlaps by exactly 2 tokens
     got.sliding(2).foreach { case Array(a, b) =>
       assert(b._2 - a._2 == 2L, s"stride 2: ${got.toSeq}")
+    }
+  }
+
+  test("chunkText: every token is covered and no chunk is a subset of its predecessor") {
+    // lengths straddling the docLen mod stride in [1, overlap] band that
+    // used to emit a fully-redundant trailing chunk (ADVICE round-14)
+    for (len <- Seq(3, 4, 5, 6, 7, 9, 10, 11, 12, 13)) {
+      val df = docs(Seq((1L, (1 to len).map(i => s"t$i").mkString(" "))))
+      val got = Extensions146.chunkText(df, "doc_id", "text",
+          chunkTokens = 4, overlapTokens = 2)
+        .collect().map(r => (r.getLong(2), r.getLong(3)))
+      // coverage: last chunk reaches the final token
+      assert(got.last._1 + got.last._2 == len.toLong, s"len=$len ${got.toSeq}")
+      // non-redundancy: each chunk ends strictly after its predecessor
+      got.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._1 + b._2 > a._1 + a._2, s"len=$len ${got.toSeq}")
+        case _ => ()
+      }
     }
   }
 
