@@ -2252,6 +2252,17 @@ object Graft {
       idCol: String, textCol: String, k: Int, mu: Double = 2000.0): DataFrame =
     Extensions111.dirichletQueryLikelihood(corpus, queries, idCol, textCol, k, mu)
 
+  /** Array-out ±1 random sign projection (Achlioptas) to `outDims`
+    * NESTED components — integer-exact over 1e4-quantized inputs, the
+    * sign matrix driver-materialized as literals (SignProject kernel;
+    * siblings: [[jlProjectionCard]]'s distortion card on the same
+    * kernel, [[jlProject]]'s row-shaped norm-preserving form).
+    * Round-14: was engine-internal (x247); surfaced for facade parity.
+    */
+  def randomProjection(emb: DataFrame, vecCol: String, inDims: Int,
+      outDims: Int): DataFrame =
+    Extensions108.randomProjection(emb, vecCol, inDims, outDims)
+
   /** Sorted-neighborhood blocking: candidate pairs within window `w` of
     * the (sortKey-prefix, id) rank order, verified by exact shingle
     * Jaccard — the record-linkage block for sort-key-concentrated dups.

@@ -190,24 +190,24 @@ object Extensions26 {
   }
 
   /** Threshold-free ranking quality of a scored table: the Mann–Whitney
-    * AUC from the rank-sum over (score, tie-broken) ranks — one sort-
-    * free window pass + one aggregation. Used by the spec as the "did
-    * training actually learn the labels" gate (AUC ≈ 0.5 is chance).
+    * AUC = (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) with the doubled positive
+    * rank-sum 2·R⁺ exact off the score grid
+    * ([[GridStats.rankSumReduce]] — round-14: the former ROW-LEVEL
+    * unpartitioned rank window was a one-task sort of the scored
+    * corpus; midranks off grid cumulative counts are the same numbers
+    * without the sort). Used by the spec as the "did training actually
+    * learn the labels" gate (AUC ≈ 0.5 is chance).
     */
   def rankAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(scoreCol))
-    // average rank within score ties = (2·cume_rank_low + n_tied − 1)/2,
-    // computed from rank() (low end) and count over the tie partition
-    val byScore = org.apache.spark.sql.expressions.Window.partitionBy(col(scoreCol))
-    scored
-      .select(col(labelCol).cast("long").as("y"),
-        (rank().over(w) + (count(lit(1)).over(byScore) - 1) / 2.0).as("r"))
-      .agg(
-        sum(col("y")).as("n_pos"),
-        (count(lit(1)) - sum(col("y"))).as("n_neg"),
-        sum(when(col("y") === 1L, col("r")).otherwise(0.0)).as("rank_sum"))
-      .select(round((col("rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2.0)
-        / (col("n_pos") * col("n_neg")), 4).as("auc"))
+    val grid = scored
+      .select(col(scoreCol).as("s"), col(labelCol).cast("long").as("y"))
+      .groupBy(col("s")).agg(count(lit(1)).as("c"), sum(col("y")).as("ca"))
+    GridStats.rankSumReduce(grid, "s", "ca", "c")
+      .select(round(
+        (col("r2a") - col("na").cast("decimal(38,0)") * (col("na") + 1L))
+          .cast("double") /
+          (lit(2.0d) * col("na").cast("double") * col("nb").cast("double")),
+        4).as("auc"))
   }
 
   /** Score a labeled corpus with a GIVEN weight vector — the serving

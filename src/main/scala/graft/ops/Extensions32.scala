@@ -109,9 +109,10 @@ object Extensions32 {
     * The integer target (permille) keeps the gate comparison exact:
     * precision ≥ target ⇔ 1000·TP ≥ target·kept.
     *
-    * Scale: one hash-agg to distinct margins (bounded by the score
-    * grid), one window over the aggregated table (the x65 "window over
-    * aggregated rows only" discipline), one top-1.
+    * Scale: one hash-agg to distinct margins, running counts via the
+    * distributed prefix sum (the margin grid is corpus-derived — micro
+    * dot products are near-unique per doc, so it is NOT a bounded score
+    * grid), one top-1.
     */
   def calibrateThreshold(
       scored: DataFrame, marginCol: String, labelCol: String,
@@ -120,14 +121,18 @@ object Extensions32 {
       .groupBy(col(marginCol).as("margin"))
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("npos"))
-    val wDesc = Window.orderBy(col("margin").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = scored.agg(
       sum(col(labelCol).cast("long")).as("total_pos"),
       count(lit(1)).as("total_n"))
-    perMargin
-      .withColumn("kept", sum(col("n")).over(wDesc))
-      .withColumn("tp", sum(col("npos")).over(wDesc))
+    // round-14: distinct GD margins grow with the corpus (a micro dot
+    // product is near-unique per doc), so the running kept/TP counts
+    // ride GridStats.withBelow's distributed prefix sums — the former
+    // unpartitioned desc window was a one-task sort of a corpus-sized
+    // grid
+    GridStats.withBelow(perMargin, Seq.empty, "margin", Seq("n", "npos"),
+        descending = true)
+      .withColumn("kept", col("below_n") + col("n"))
+      .withColumn("tp", col("below_npos") + col("npos"))
       .filter(col("tp") * 1000L >= col("kept") * targetPermille)
       .orderBy(col("kept").desc, col("margin"))
       .limit(1)

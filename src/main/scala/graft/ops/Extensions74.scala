@@ -45,14 +45,15 @@ object Extensions74 {
     val grid = scored
       .select(col(marginCol).as("m"), col(labelCol).cast("long").as("y"))
       .groupBy(col("m")).agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
-    val wDesc = Window.orderBy(col("m").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val banded = grid
-      .withColumn("cb", coalesce(sum(col("c")).over(wDesc), lit(0L)))
-      .withColumn("n", sum(col("c")).over(wAll))
-      .withColumn("ptot", sum(col("p")).over(wAll))
+    // round-14: distinct margins grow with the corpus — the rank-before
+    // count rides GridStats.withBelow's distributed prefix sum and the
+    // totals broadcast; only the ≤10-row decile cum window keeps the
+    // unpartitioned shape (bounded by construction)
+    val tot = grid.agg(sum(col("c")).as("n"), sum(col("p")).as("ptot"))
+    val banded = GridStats.withBelow(grid, Seq.empty, "m", Seq("c"),
+        descending = true)
+      .withColumnRenamed("below_c", "cb")
+      .crossJoin(broadcast(tot))
       .withColumn("decile", expr("(10 * cb) DIV n"))
     val wCum = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -116,8 +117,9 @@ object Extensions74 {
     * keep-everything gate's utility, so the row shows what the cut
     * EARNS; ties prefer the highest threshold (keep less).
     *
-    * Scale: the margin grid again — cumulative TP/FP from two windows
-    * over ≤1001 rows, the argmax via one more window. All integer.
+    * Scale: the margin grid again (corpus-derived, NOT a bounded score
+    * grid) — cumulative TP/FP from distributed prefix sums, the argmax
+    * via one TakeOrdered(1). All integer.
     */
   def utilityGate(
       scored: DataFrame, marginCol: String, labelCol: String,
@@ -126,22 +128,18 @@ object Extensions74 {
     val grid = scored
       .select(col(marginCol).as("m"), col(labelCol).cast("long").as("y"))
       .groupBy(col("m")).agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
-    val wDesc = Window.orderBy(col("m").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val cand = grid
-      .withColumn("kept", sum(col("c")).over(wDesc))
-      .withColumn("tp", sum(col("p")).over(wDesc))
-      .withColumn("ptot", sum(col("p")).over(wAll))
-      .withColumn("ntot", sum(col("c")).over(wAll))
+    // round-14: same margin-grid re-plan as gainsChart — prefix sums
+    // distributed, totals broadcast, argmax (max u, ties to highest
+    // threshold) as one TakeOrdered(1)
+    val tot = grid.agg(sum(col("p")).as("ptot"), sum(col("c")).as("ntot"))
+    val cand = GridStats.withBelow(grid, Seq.empty, "m", Seq("c", "p"),
+        descending = true)
+      .withColumn("kept", col("below_c") + col("c"))
+      .withColumn("tp", col("below_p") + col("p"))
+      .crossJoin(broadcast(tot))
       .withColumn("fp", col("kept") - col("tp"))
       .withColumn("u", lit(benefit) * col("tp") - lit(cost) * col("fp"))
-    val best = cand
-      .withColumn("umax", max(col("u")).over(wAll))
-      .filter(col("u") === col("umax"))
-      .withColumn("mbest", max(col("m")).over(wAll))
-      .filter(col("m") === col("mbest"))
+    val best = cand.orderBy(col("u").desc, col("m").desc).limit(1)
     best.select(col("m").as("threshold_micro"), col("kept").as("n_kept"),
       col("tp"), col("fp"), col("u").as("utility"),
       (lit(benefit) * col("ptot") - lit(cost) * (col("ntot") - col("ptot")))

@@ -23,18 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object GridStats {
 
-  /** Append an exact `below_<c>` (LONG count of grid mass strictly below
-    * this row's value, within its group) for each count column. Input
-    * must be a GRID — one row per distinct (groupCols, valueCol). With
-    * empty `groupCols` the order is global. One range shuffle for the
-    * grid plus (when grouped) one for the group-total table.
+  /** Append an exact `below_<c>` (LONG count of grid mass strictly
+    * BEFORE this row's value in the sort order — strictly below when
+    * ascending, strictly above when `descending`, within its group) for
+    * each count column. Input must be a GRID — one row per distinct
+    * (groupCols, valueCol). With empty `groupCols` the order is global.
+    * One range shuffle for the grid plus (when grouped) one for the
+    * group-total table.
     */
   def withBelow(
       grid: DataFrame, groupCols: Seq[String], valueCol: String,
-      countCols: Seq[String], parts: Int = 32): DataFrame = {
+      countCols: Seq[String], parts: Int = 32,
+      descending: Boolean = false): DataFrame = {
     require(countCols.nonEmpty)
     val keys = groupCols :+ valueCol
-    val asc = Seq.fill(keys.length)(false)
+    val asc = Seq.fill(groupCols.length)(false) :+ descending
     val ps = Rank.globalPrefixSums(grid, keys, asc, countCols, parts)
     if (groupCols.isEmpty) {
       countCols.foldLeft(ps) { (d, c) =>
