@@ -152,6 +152,13 @@ object Extensions138 {
     * (1.959964 + 0.841621)·√(2·s²/n_arm). Variance from exact
     * DECIMAL moments (n·Σv²−(Σv)², the width-sweep form); only the
     * final √ is a HALF_UP-rounded double.
+    *
+    * Family sibling: x161 [[Extensions64.mdePlanner]] — same
+    * 2.801585·√(2σ²/n_arm) sizing, PER metric with sample variance and
+    * 4dp dollars there vs one-row integer-exact population-variance
+    * micro here; the arithmetic discipline is the delta, so the two
+    * keep separate paths (a shared kernel would move hash-pinned
+    * values).
     */
   def mdeCard(units: DataFrame, metricCentsCol: String): DataFrame = {
     val spark = units.sparkSession
@@ -214,6 +221,13 @@ object Extensions138 {
     * (n, n_a, n_b, chi2_micro, srm_flag) with χ² = (n_a−n_b)²/n and
     * the 95% critical compare in pure integers
     * ((n_a−n_b)²·1000 > 3841·n).
+    *
+    * Family sibling: x123 [[Extensions45.srmCheck]] — the k-arm
+    * design-spine form whose per-arm contributions micro-quantize
+    * BEFORE the cross-arm sum; for a 500/500 design the statistics
+    * agree mathematically ((n_a−n_b)²/n = Σ contribs) but not always
+    * to the last micro, so the integer-exact 2-arm gate here stays its
+    * own path.
     */
   def srmCheck(units: DataFrame, unitCol: String,
       saltPrefix: String = "ab:"): DataFrame = {

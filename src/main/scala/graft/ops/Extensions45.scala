@@ -137,6 +137,11 @@ object Extensions45 {
     * Scale: one hash-agg over assignments (the only corpus-sized step),
     * then ≤ arms rows; missing arms surface as n_obs = 0 via the design
     * spine join.
+    *
+    * Family sibling: x315 [[Extensions138.srmCheck]] — the 2-arm
+    * md5-split specialization whose χ² is integer-exact end to end
+    * ((n_a−n_b)²·1000 > 3841·n); this k-arm form micro-quantizes each
+    * contribution before the sum, so the two keep separate paths.
     */
   def srmCheck(
       assignments: DataFrame, armCol: String,

@@ -140,6 +140,11 @@ object Extensions64 {
     * ordered: (event_type, n_per_arm, mean, sigma, mde_abs, mde_rel)
     * — mde_rel NULL on a zero mean.
     *
+    * Family sibling: x314 [[Extensions138.mdeCard]] — the one-row
+    * integer-exact (DECIMAL moments, population variance, micro)
+    * planning card over a caller-supplied unit metric; this form is
+    * per-metric with sample variance and 4dp dollars.
+    *
     * Scale: one (user, type) hash-agg, one type-level reduce of the
     * sufficient statistics with the user universe counted once — the
     * sizing card of a 10^9-user log costs two aggregation passes.

@@ -41,6 +41,25 @@ class OperatorSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries with no COVERAGE.md row: $missing")
   }
 
+  test("PLANS.md facade audit table names every Graft method (the nearest-family map can't drift)") {
+    // round-14 discipline (from the r13 verdict): no operator ships
+    // without naming its nearest existing family member and the delta.
+    // The audit lives as a PLANS table; a new facade method without a
+    // row fails here.
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val tableRows = plans.linesIterator
+      .filter(l => l.startsWith("| ") && l.count(_ == '|') == 5)
+      .map(_.split("\\|")(1).trim).toSet
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/api/Graft.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val methods = "(?m)^  def (\\w+)".r.findAllMatchIn(src).map(_.group(1)).toSet
+    val missing = methods -- tableRows
+    assert(missing.isEmpty,
+      s"facade methods with no PLANS audit-table row (op -> nearest family -> delta): $missing")
+  }
+
   test("every query has an oracle (the correctness gate covers the whole inventory)") {
     // No rows-only exemptions: even the iterative BPE ops replay in
     // DuckDB via generated chained-CTE oracles (round 6) — a new query
