@@ -23,7 +23,8 @@ class PlanShape15Spec extends SparkSpec {
     // kernel stages sit behind a materialization in their query plans;
     // the kernel itself is pinned below.)
     for (q <- Seq("x157_mann_whitney", "x329_winsorized_mean",
-        "x182_ks_test", "x171_gini", "x134_msprt_bh", "x145_conformal")) {
+        "x182_ks_test", "x171_gini", "x134_msprt_bh", "x145_conformal",
+        "x105_calibrate_gate", "x181_utility_gate")) {
       val plan = planOf(SparkEntry.queries(q)(spark, sf0001))
       val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
       windows.foreach { w =>
@@ -32,6 +33,18 @@ class PlanShape15Spec extends SparkSpec {
       assert(plan.contains("BroadcastExchange"),
         s"$q: global scalars (totals/offsets/cutoffs) must broadcast:\n$plan")
     }
+  }
+
+  test("x180 gains chart: grid windows ride __pid; only the 10-row decile cum keeps the bare shape") {
+    val plan = planOf(SparkEntry.queries("x180_gains_chart")(spark, sf0001))
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, s"windows present:\n$plan")
+    windows.foreach { w =>
+      assert(w.contains("__pid") || w.contains("decile"),
+        s"x180: only __pid or the bounded decile spine may window: $w")
+    }
+    assert(plan.contains("BroadcastExchange"),
+      s"x180: totals must broadcast:\n$plan")
   }
 
   test("rank-sum and step-up kernels window only over __pid") {
