@@ -29,6 +29,11 @@ object Extensions118 {
 
   /** One-row Theil–Sen fit of (`tCol` integer, `yCentsCol`): (n_points,
     * n_pairs, slope_micro, intercept_micro_cents).
+    *
+    * Family sibling: x198 [[Extensions83.theilSenTrend]] — the
+    * micro-quantized slope median over daily sums via the percentile
+    * buffer; this form keeps slopes as exact rationals and picks the
+    * median (and a residual intercept) by rank.
     */
   def theilSen(
       series: DataFrame, tCol: String, yCentsCol: String): DataFrame = {

@@ -36,6 +36,11 @@ object Extensions83 {
     * Scale: the pair table is O(periods²) — a YEAR is ~66k pairs, a
     * dimension-sized self-join of the aggregated daily table, never
     * the corpus. Slopes quantize before the percentile buffer.
+    *
+    * Family sibling: x266 [[Extensions118.theilSen]] — the exact
+    * RATIONAL median slope (+ intercept) picked by rank over the pair
+    * table; this form quantizes slopes to micro first and medians via
+    * the percentile buffer.
     */
   def theilSenTrend(
       events: DataFrame, tsCol: String, valueCol: String): DataFrame = {
