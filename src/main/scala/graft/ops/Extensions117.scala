@@ -29,11 +29,6 @@ object Extensions117 {
 
   import Extensions26.NumBuckets
 
-  /** Exact integer margin for a literal weight vector (the x94 kernel). */
-  private def marginMicro(weights: Array[Long], x: Column): Column =
-    graft.functions.VectorFunctions.long_dot(
-      array(weights.map(lit(_)): _*), x)
-
   /** Leave-one-group-out valuation card over a labeled corpus: one row
     * per `groupCol` value — training size without the group, full-model
     * and without-group validation BRIER score (micro; the proper
@@ -61,26 +56,10 @@ object Extensions117 {
       Extensions26.hashedFeatures(labeled, idCol, textCol, labelCol)
         .join(labeled.select(col(idCol).as("doc_id"),
           col(groupCol).as("grp")), Seq("doc_id")))
-    val train = feat.filter(pmod(col("doc_id"), lit(valMod)) =!= 0L)
-    val valid = Extensions.materialized(
-      feat.filter(pmod(col("doc_id"), lit(valMod)) === 0L))
-    val nVal = valid.count()
+    val isVal = pmod(col("doc_id"), lit(valMod)) === 0L
+    val isTrain = pmod(col("doc_id"), lit(valMod)) =!= 0L
+    val nVal = feat.filter(isVal).count()
     require(nVal > 0, "empty validation fold")
-    // Brier residual = the training loop's own rounded sigmoid minus the
-    // micro label: d = round(1e6·σ(m/1e6)) − 1e6·y, Σd² exact longs
-    def brierMicro(w: Array[Long]): Long = {
-      val d = round(lit(1e6) / (lit(1.0)
-          + exp(-marginMicro(w, col("x")) / lit(1e6))), 0).cast("long") -
-        col("y") * 1000000L
-      // width audit (r12): d² ≤ 1e12 per row, so Σd² wraps a long past
-      // ~9e6 validation rows — the sum runs in DECIMAL(38,0) and the
-      // one-row half-up composition in BigInt (the x132 discipline);
-      // the returned micro Brier is ≤ 1e6 and fits a long by definition
-      val s2 = BigInt(valid.agg(sum((d * d).cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0).toBigInteger)
-      ((s2 * 2 + BigInt(nVal) * 1000000L) /
-        (BigInt(nVal) * 2000000L)).toLong
-    }
     // Bounded collect (r13 sweep): the loop below retrains one GD chain
     // PER GROUP, so a near-unique group column is a cost explosion before
     // it is a driver-memory one — loud-refuse past the cap in one pass,
@@ -92,14 +71,30 @@ object Extensions117 {
     require(groups.length <= groupCap,
       s"dataValuation: more than $groupCap distinct groups — each " +
         "group costs a full retraining; coarsen the group column first")
-    val wFull = Extensions26.trainLogreg(
-      Extensions.materialized(train), iters = iters)
-    val brierFull = brierMicro(wFull)
-    val rows = groups.map { g =>
-      val tg = Extensions.materialized(train.filter(col("grp") =!= g))
-      val nTrain = tg.count()
-      val brierExcl = brierMicro(Extensions26.trainLogreg(tg, iters = iters))
-      Row(g, nTrain, brierFull, brierExcl, brierExcl - brierFull)
+    // r14 (guide §2.4): the G+1 GD chains and the G+1 validation
+    // collects fuse through the multi-model kernel — iters+2 passes
+    // over the feature table instead of (G+1)·(iters+3). Gradients and
+    // Σd² are the same exact-integer term multisets per model, so every
+    // weight vector and Brier is bit-identical to the loop it replaces.
+    val trained = Extensions26.trainLogregMultiTrace(feat,
+      Extensions26.LogregSpec(Some(isTrain), col("y")) +:
+        groups.toSeq.map(g => Extensions26.LogregSpec(
+          Some(isTrain && col("grp") =!= g), col("y"))),
+      iters = iters)
+    // width audit (r12): d² ≤ 1e12 per row, so Σd² wraps a long past
+    // ~9e6 validation rows — the sums run in DECIMAL(38,0) and the
+    // one-row half-up composition in BigInt (the x132 discipline);
+    // the returned micro Brier is ≤ 1e6 and fits a long by definition
+    val sums = Extensions26.brierSumsMulti(feat,
+      trained.traces.map(t => (Some(isVal), t.last)))
+    def brierOf(i: Int): Long = {
+      val (n, s2) = sums(i)
+      ((s2 * 2 + BigInt(n) * 1000000L) / (BigInt(n) * 2000000L)).toLong
+    }
+    val brierFull = brierOf(0)
+    val rows = groups.zipWithIndex.map { case (g, gi) =>
+      Row(g, trained.ns(gi + 1), brierFull, brierOf(gi + 1),
+        brierOf(gi + 1) - brierFull)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1),

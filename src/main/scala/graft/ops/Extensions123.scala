@@ -49,11 +49,23 @@ object Extensions123 {
         .join(labeled.select(col(idCol).as("doc_id"),
           col(outcomeCol).cast("long").as("yo")), Seq("doc_id")))
     val w = Extensions26.trainLogreg(feat, iters = iters)
+    ipwAttScored(feat, col("y"), w, clipLoMicro, clipHiMicro)
+  }
+
+  /** The scoring/aggregation half of [[ipwAtt]] for an already-trained
+    * propensity over an already-featurized table — split out (r14) so
+    * x309's placebo refutation can featurize once and train its real
+    * and placebo chains fused, then run this twice. `treat` is the 0/1
+    * treatment column over `feat` (the real label or the pseudo one).
+    */
+  private[ops] def ipwAttScored(
+      feat: DataFrame, treat: Column, w: Array[Long],
+      clipLoMicro: Long = 10000L, clipHiMicro: Long = 990000L): DataFrame = {
     val e = least(greatest(
       round(lit(1e6) / (lit(1.0) + exp(-marginMicro(w, col("x")) / lit(1e6))), 0)
         .cast("long"), lit(clipLoMicro)), lit(clipHiMicro))
     // control odds weight in micro: w = e/(1e6−e), half-up
-    val scored = feat.select(col("y").as("t"), col("yo"), e.as("e"))
+    val scored = feat.select(treat.as("t"), col("yo"), e.as("e"))
       .withColumn("wm", expr("(e * 1000000 * 2 + (1000000 - e)) DIV (2 * (1000000 - e))"))
     scored.agg(
         sum(col("t")).as("n_treated"),

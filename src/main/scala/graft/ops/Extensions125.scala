@@ -28,10 +28,6 @@ object Extensions125 {
 
   import Extensions26.NumBuckets
 
-  private def marginMicro(weights: Array[Long], x: Column): Column =
-    graft.functions.VectorFunctions.long_dot(
-      array(weights.map(lit(_)): _*), x)
-
   /** Per-fold CV card: (fold, n_train, n_val, brier_micro) plus the
     * exact summary repeated per row (mean_brier_micro, range_micro).
     */
@@ -42,24 +38,27 @@ object Extensions125 {
     val spark = labeled.sparkSession
     val feat = Extensions.materialized(
       Extensions26.hashedFeatures(labeled, idCol, textCol, labelCol))
+    // r14 (guide §2.4): the K fold chains and the K validation collects
+    // fused through the multi-model kernel — `iters`+2 passes over the
+    // feature table instead of K·(iters+3); per-fold gradients/Σd² are
+    // the same integer term multisets, so weights and Briers are
+    // bit-identical (MultiTrainSpec).
+    val foldOf = pmod(col("doc_id"), lit(k.toLong))
+    val trained = Extensions26.trainLogregMultiTrace(feat,
+      (0 until k).map(f =>
+        Extensions26.LogregSpec(Some(foldOf =!= f.toLong), col("y"))),
+      iters = iters)
+    val briers = Extensions26.brierSumsMulti(feat,
+      (0 until k).map(f => (Some(foldOf === f.toLong), trained.traces(f).last)))
     val folds = (0 until k).map { f =>
-      val train = Extensions.materialized(
-        feat.filter(pmod(col("doc_id"), lit(k.toLong)) =!= f.toLong))
-      val valid = feat.filter(pmod(col("doc_id"), lit(k.toLong)) === f.toLong)
-      val w = Extensions26.trainLogreg(train, iters = iters)
-      val d = round(lit(1e6) / (lit(1.0)
-          + exp(-marginMicro(w, col("x")) / lit(1e6))), 0).cast("long") -
-        col("y") * 1000000L
+      val (nVal, s2) = briers(f)
+      require(nVal > 0, s"kFoldCv: fold $f is empty")
       // width audit (r12): Σd² in DECIMAL(38,0), the one-row half-up
       // composition in BigInt (d² ≤ 1e12 per row wraps a long past
       // ~9e6 fold rows); the micro Brier itself is ≤ 1e6
-      val r = valid.agg(count(lit(1)).as("n"),
-        sum((d * d).cast("decimal(38,0)")).as("s2")).collect()(0)
-      val nVal = r.getLong(0)
-      require(nVal > 0, s"kFoldCv: fold $f is empty")
-      val brier = ((BigInt(r.getDecimal(1).toBigInteger) * 2 +
-        BigInt(nVal) * 1000000L) / (BigInt(nVal) * 2000000L)).toLong
-      (f.toLong, train.count(), nVal, brier)
+      val brier = ((s2 * 2 + BigInt(nVal) * 1000000L) /
+        (BigInt(nVal) * 2000000L)).toLong
+      (f.toLong, trained.ns(f), nVal, brier)
     }
     val mean = (2L * folds.map(_._4).sum + k) / (2L * k)
     val range = folds.map(_._4).max - folds.map(_._4).min

@@ -193,15 +193,18 @@ object Extensions133 {
       Extensions26.hashedFeatures(labeled, idCol, textCol, treatCol)
         .join(labeled.select(col(idCol).as("doc_id"),
           col(outcomeCol).cast("long").as("yo")), Seq("doc_id")))
-    val wE = Extensions26.trainLogreg(feat, iters = iters)
-    val w1 = Extensions26.trainLogreg(
-      Extensions.materialized(
-        feat.filter(col("y") === 1L).select(col("yo").as("y"), col("x"))),
+    // r14 (guide §2.4): propensity + both outcome chains fused through
+    // the multi-model kernel — iters+1 passes over the feature table
+    // instead of 3·(iters+1) plus two checkpoint materializations; each
+    // model's gradient sums are the same exact-integer term multisets
+    // (label yo, rows gated by treatment), so all three weight vectors
+    // are bit-identical to the separate trainings.
+    val trained = Extensions26.trainLogregMultiTrace(feat, Seq(
+      Extensions26.LogregSpec(None, col("y")),
+      Extensions26.LogregSpec(Some(col("y") === 1L), col("yo")),
+      Extensions26.LogregSpec(Some(col("y") === 0L), col("yo"))),
       iters = iters)
-    val w0 = Extensions26.trainLogreg(
-      Extensions.materialized(
-        feat.filter(col("y") === 0L).select(col("yo").as("y"), col("x"))),
-      iters = iters)
+    val Seq(wE, w1, w0) = trained.traces.map(_.last)
     def sig(w: Array[Long]): Column =
       round(lit(1e6) / (lit(1.0) + exp(-marginMicro(w, col("x")) / lit(1e6))), 0)
         .cast("long")

@@ -277,18 +277,31 @@ object Extensions136 {
       labeled: DataFrame, idCol: String, textCol: String,
       treatCol: String, outcomeCol: String, iters: Int = 8): DataFrame = {
     import graft.functions.HashFunctions.md5_bucket60
-    val tot = labeled.agg(
-      sum(col(treatCol).cast("long")).as("st"), count(lit(1)).as("n"))
+    // r14 (guide §2.4): the card used to run ipwAtt twice — two full
+    // featurization scans of the corpus and 2·iters training passes.
+    // The feature vector x never depends on the treatment label, so
+    // featurize ONCE, train the real and placebo propensities fused
+    // (one agg per iteration), and score both off the same table.
+    // Identical numbers: the placebo label is the same md5 pseudo-
+    // assignment (rate from the same Σtreat/n over the same rows —
+    // the featurization join is 1:1 on the id), and each chain's
+    // gradient sums are the same exact-integer term multisets.
+    val feat = Extensions.materialized(
+      Extensions26.hashedFeatures(labeled, idCol, textCol, treatCol)
+        .join(labeled.select(col(idCol).as("doc_id"),
+          col(outcomeCol).cast("long").as("yo")), Seq("doc_id")))
+    val tot = feat.agg(sum(col("y")).as("st"), count(lit(1)).as("n"))
       .collect()(0)
     val rate = (1000L * tot.getLong(0) * 2 + tot.getLong(1)) / (2 * tot.getLong(1))
-    val withPseudo = labeled.withColumn("ptreat",
-      (pmod(md5_bucket60(concat(lit("pl:"), col(idCol).cast("string"))),
-        lit(1000L)) < lit(rate)).cast("long"))
-    val real = Extensions123.ipwAtt(labeled, idCol, textCol, treatCol,
-        outcomeCol, iters)
+    val ptreat = (pmod(md5_bucket60(concat(lit("pl:"), col("doc_id").cast("string"))),
+      lit(1000L)) < lit(rate)).cast("long")
+    val trained = Extensions26.trainLogregMultiTrace(feat, Seq(
+      Extensions26.LogregSpec(None, col("y")),
+      Extensions26.LogregSpec(None, ptreat)),
+      iters = iters)
+    val real = Extensions123.ipwAttScored(feat, col("y"), trained.traces(0).last)
       .select(col("n_treated"), col("att_micro"))
-    val placebo = Extensions123.ipwAtt(withPseudo, idCol, textCol, "ptreat",
-        outcomeCol, iters)
+    val placebo = Extensions123.ipwAttScored(feat, ptreat, trained.traces(1).last)
       .select(col("n_treated").as("n_treated_placebo"),
         col("att_micro").as("att_placebo_micro"))
     real.crossJoin(placebo)

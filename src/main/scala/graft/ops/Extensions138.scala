@@ -54,26 +54,24 @@ object Extensions138 {
         .withColumn("bk",
           pmod(md5_bucket60(concat(lit("lc:"), col("doc_id").cast("string"))),
             lit(1000L))))
-    val vl = Extensions.materialized(
-      feat.filter(pmod(col("doc_id"), lit(5L)) === 0L).select(col("y"), col("x")))
-    def marginMicro(w: Array[Long]) =
-      graft.functions.VectorFunctions.long_dot(
-        array(w.map(lit(_)): _*), col("x"))
-    val rows = fracsPermille.map { f =>
-      val train = Extensions.materialized(
-        feat.filter(pmod(col("doc_id"), lit(5L)) =!= 0L && col("bk") < f.toLong)
-          .select(col("y"), col("x")))
-      val nTrain = train.count()
-      val w = Extensions26.trainLogreg(train, iters = iters)
-      val d = (round(lit(1e6) / (lit(1.0) + exp(-marginMicro(w) / lit(1e6))), 0)
-        .cast("long") - col("y") * 1000000L)
-      val b = vl.select(d.as("d"))
-        .agg(sum((col("d") * col("d")).cast("decimal(38,0)")).as("s2"),
-          count(lit(1)).as("nv"))
-        .select(expr(
-          "CAST((2 * s2 + nv * 1000000) DIV (2 * nv * 1000000) AS BIGINT)"))
-        .collect()(0).getLong(0)
-      (f.toLong, nTrain, b)
+    // r14 (guide §2.4): the four fraction chains and their validation
+    // collects fuse through the multi-model kernel — iters+2 passes over
+    // the feature table instead of 4·(iters+3); per-mask gradients/Σd²
+    // are the same exact-integer term multisets, so every weight vector
+    // and Brier is bit-identical to the loop this replaces.
+    val isVal = pmod(col("doc_id"), lit(5L)) === 0L
+    val trained = Extensions26.trainLogregMultiTrace(feat,
+      fracsPermille.map(f => Extensions26.LogregSpec(
+        Some(pmod(col("doc_id"), lit(5L)) =!= 0L && col("bk") < f.toLong),
+        col("y"))),
+      iters = iters)
+    val sums = Extensions26.brierSumsMulti(feat,
+      trained.traces.map(t => (Some(isVal), t.last)))
+    val rows = fracsPermille.zipWithIndex.map { case (f, i) =>
+      val (nv, s2) = sums(i)
+      val b = ((s2 * 2 + BigInt(nv) * 1000000L) /
+        (BigInt(nv) * 2000000L)).toLong
+      (f.toLong, trained.ns(i), b)
     }
     rows.toDF("frac_permille", "n_train", "brier_micro")
       .orderBy(col("frac_permille"))

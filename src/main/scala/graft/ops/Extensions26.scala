@@ -54,25 +54,30 @@ object Extensions26 {
     */
   def hashedFeatures(
       labeled: DataFrame, idCol: String, textCol: String, labelCol: String,
-      numBuckets: Int = NumBuckets): DataFrame = {
-    val bks = col("bks")
+      numBuckets: Int = NumBuckets): DataFrame =
+    // r14: the count-vector build is ONE native pass over the token
+    // array (md5 → bucket → count, bias appended) instead of F+1
+    // interpreted HOF passes over an intermediate bucket array —
+    // measured ~2.6 s of every family query's featurization scan at
+    // sf0.1. Values bit-identical (BucketCountsSpec asserts the native
+    // kernel against the composable transform/filter/concat form).
     labeled
       .select(col(idCol).as("doc_id"), col(labelCol).cast("long").as("y"),
-        transform(split(lower(col(textCol)), " "),
-          t => pmod(graft.functions.HashFunctions.md5_bucket60(t),
-            lit(numBuckets.toLong))).as("bks"))
-      .select(col("doc_id"), col("y"),
-        concat(
-          transform(sequence(lit(0), lit(numBuckets - 1)),
-            j => size(filter(bks, b => b === j.cast("long"))).cast("long")),
-          array(lit(1L))).as("x"))
-  }
+        graft.functions.HashFunctions.md5_bucket_counts(
+          split(lower(col(textCol)), " "), numBuckets).as("x"))
 
   /** Exact integer margin Σ_j w_j·x_j in micro-units for a literal
     * weight vector — the scoring kernel shared by training and serving.
     */
   private def marginMicro(weights: Array[Long], x: Column): Column = {
-    val wLit = array(weights.map(lit(_)): _*)
+    // ONE array literal, not CreateArray over F+1 scalar literals: the
+    // training loop re-plans this expression every iteration (the
+    // weights change), and a 34-node literal tree per model made
+    // Catalyst analysis the dominant per-iteration cost (r14 measure);
+    // a single ArrayType Literal is also a codegen reference object, so
+    // the generated source is iteration-stable and the codegen cache
+    // hits. Values identical — same array, same native long dot.
+    val wLit = typedlit(weights.toSeq)
     // native codegen long dot — one fused loop per row instead of an
     // interpreted HOF lambda; arithmetic identical
     graft.functions.VectorFunctions.long_dot(wLit, x)
@@ -126,25 +131,149 @@ object Extensions26 {
     */
   def trainLogregTrace(
       feat: DataFrame, numBuckets: Int = NumBuckets, iters: Int = 8,
-      lrDen: Long = 20L): Seq[Array[Long]] = {
-    val n = feat.count()
-    require(n > 0, "trainLogreg: empty feature table")
-    var w = Array.fill(numBuckets + 1)(0L)
-    val trace = Seq.newBuilder[Array[Long]]
-    for (_ <- 1 to iters) {
-      val withR = feat.select(col("x"),
-        (round(lit(1e6) / (lit(1.0) + exp(-marginMicro(w, col("x")) / lit(1e6))), 0)
-          .cast("long") - col("y") * 1000000L).as("r"))
-      val sums = (0 to numBuckets).map(j =>
-        sum((element_at(col("x"), j + 1) * col("r")).cast("decimal(38,0)"))
-          .as(s"g$j"))
-      val gradRow = withR.agg(sums.head, sums.tail: _*).collect()(0)
-      w = Array.tabulate(numBuckets + 1)(j =>
-        w(j) - halfAwayDivBig(BigInt(gradRow.getDecimal(j).toBigInteger),
-          BigInt(lrDen) * n))
-      trace += w
+      lrDen: Long = 20L): Seq[Array[Long]] =
+    trainLogregMultiTrace(feat, Seq(LogregSpec(None, col("y"))),
+      numBuckets, iters, lrDen).traces.head
+
+  /** One model of a fused multi-model training pass: rows where
+    * `include` holds (None = every row) train a logreg on label `y`
+    * (a column over the shared feature table).
+    */
+  case class LogregSpec(include: Option[Column], y: Column)
+
+  /** Result of [[trainLogregMultiTrace]]: per model the weight vector
+    * after each iteration, plus the training-row count per model (the
+    * same number `feat.filter(include).count()` returns — callers that
+    * used to re-count their fold reuse it instead of paying a job).
+    */
+  case class MultiTrainResult(traces: Seq[Seq[Array[Long]]], ns: Seq[Long])
+
+  /** Widest fused multi-model pass: M·(F+1) ≈ 560 aggregate columns. */
+  private val MaxFusedModels = 16
+
+  /** Train M logreg models over ONE shared feature table with ONE
+    * aggregation per iteration (r14 optimization round, guide §2.3/§2.4:
+    * aggregate before you shuffle, remove passes outright). The eval
+    * tier's cards (x265 leave-one-group-out, x276 k-fold, x299 AIPW's
+    * three chains, x309's real+placebo pair, x313's four fractions)
+    * each trained M chains as M·iters separate scans of the same
+    * table; every scan is a full pass plus a job round-trip, so the
+    * suite paid M× the fundamental cost. One pass per iteration
+    * computes all M gradients side by side as M·(F+1) conditional
+    * sums.
+    *
+    * Bit-identical to M separate [[trainLogregTrace]] calls by
+    * construction: each gradient entry is the SAME multiset of exact
+    * integer terms (residual·feature cast to DECIMAL(38,0) per row,
+    * `sum` skips the rows `when(include, …)` nulls out), and integer
+    * addition is associative/commutative, so regrouping the pass
+    * structure cannot change a single sum; the O(F) BigInt weight
+    * update per model is untouched. MultiTrainSpec asserts weight-
+    * vector equality against the unfused path per model.
+    *
+    * At 100 TB the win is the same as locally: `iters` scans of the
+    * feature table instead of `M·iters`, with per-scan work M·(F+1)
+    * long multiply-adds per row — map-side partial aggregation keeps
+    * the shuffle at M·(F+1) decimals per partition regardless of M.
+    */
+  def trainLogregMultiTrace(
+      feat: DataFrame, models: Seq[LogregSpec],
+      numBuckets: Int = NumBuckets, iters: Int = 8,
+      lrDen: Long = 20L): MultiTrainResult = {
+    require(models.nonEmpty, "trainLogregMultiTrace: no models")
+    // Plan-width guard: M·(F+1) aggregate columns per pass — past ~16
+    // models the single-pass plan trades job count for codegen size at
+    // a loss, so a wide caller (x265's group cap is 1000) runs in
+    // bounded batches, each still one agg per iteration.
+    if (models.size > MaxFusedModels) {
+      val parts = models.grouped(MaxFusedModels).map(batch =>
+        trainLogregMultiTrace(feat, batch, numBuckets, iters, lrDen)).toSeq
+      return MultiTrainResult(parts.flatMap(_.traces), parts.flatMap(_.ns))
     }
-    trace.result()
+    val m = models.size
+    def gated(inc: Option[Column], c: Column): Column =
+      inc.map(p => when(p, c)).getOrElse(c)
+    val countRow = feat.agg(
+      count(when(models.head.include.getOrElse(lit(true)), lit(1))).as("n0"),
+      models.tail.zipWithIndex.map { case (sp, i) =>
+        count(when(sp.include.getOrElse(lit(true)), lit(1))).as(s"n${i + 1}")
+      }: _*).collect()(0)
+    val ns = (0 until m).map(countRow.getLong)
+    ns.foreach(n => require(n > 0, "trainLogreg: empty feature table"))
+    var ws = Array.fill(m)(Array.fill(numBuckets + 1)(0L))
+    val traces = Array.fill(m)(Seq.newBuilder[Array[Long]])
+    for (_ <- 1 to iters) {
+      // Iteration shape (r14, measured): an M·(F+1)-column flat agg
+      // spends ~1 s/iteration in Catalyst ANALYSIS/OPTIMIZATION alone
+      // (the plan carries ~200 aggregate expressions and is re-planned
+      // every iteration because the weight literals change). Instead:
+      // project the per-model residual ONCE per row (one margin+sigmoid
+      // each — inlining it into the sum terms re-evaluates it F+1
+      // times), posexplode the feature vector, and reduce to the
+      // (F+1)-row gradient grid with M sums — an O(M) plan whose
+      // per-(model, j) sums are the SAME exact-integer term multisets
+      // x_j·r over the same included rows, merely regrouped.
+      val proj = feat.select(models.zipWithIndex.flatMap { case (sp, i) =>
+        val r = round(lit(1e6) / (lit(1.0)
+            + exp(-marginMicro(ws(i), col("x")) / lit(1e6))), 0)
+          .cast("long") - sp.y * 1000000L
+        r.as(s"r$i") +: sp.include.map(p => p.as(s"inc$i")).toSeq
+      } :+ posexplode(col("x")).as(Seq("j", "xj")): _*)
+      val sums = models.zipWithIndex.map { case (sp, i) =>
+        val inc = sp.include.map(_ => col(s"inc$i"))
+        sum(gated(inc, (col("xj") * col(s"r$i")).cast("decimal(38,0)")))
+          .as(s"g$i")
+      }
+      val grid = proj.groupBy(col("j")).agg(sums.head, sums.tail: _*)
+        .collect().map(r => r.getInt(0) -> r).toMap
+      ws = Array.tabulate(m) { i =>
+        val w = ws(i)
+        Array.tabulate(numBuckets + 1)(j =>
+          w(j) - halfAwayDivBig(
+            BigInt(grid(j).getDecimal(i + 1).toBigInteger),
+            BigInt(lrDen) * ns(i)))
+      }
+      (0 until m).foreach(i => traces(i) += ws(i))
+    }
+    MultiTrainResult(traces.toSeq.map(_.result()), ns)
+  }
+
+  /** Fused validation scoring for M (include, weights) pairs over one
+    * table: per model (n_rows, Σd²) with d the training loop's own
+    * rounded-sigmoid Brier residual — ONE aggregation instead of M
+    * (r14; the per-fold/per-group validation collects were M more full
+    * passes). Same exactness argument as [[trainLogregMultiTrace]]:
+    * identical integer term multisets, reassociated.
+    */
+  private[graft] def brierSumsMulti(
+      df: DataFrame, specs: Seq[(Option[Column], Array[Long])]): Seq[(Long, BigInt)] = {
+    require(specs.nonEmpty)
+    if (specs.size > MaxFusedModels)
+      return specs.grouped(MaxFusedModels)
+        .flatMap(batch => brierSumsMulti(df, batch)).toSeq
+    def gated(inc: Option[Column], c: Column): Column =
+      inc.map(p => when(p, c)).getOrElse(c)
+    // same projection discipline as the training pass: one margin per
+    // model per row, then cheap column references in the aggregation
+    val proj = df.select(specs.zipWithIndex.flatMap { case ((inc, w), i) =>
+      val d = round(lit(1e6) / (lit(1.0)
+          + exp(-marginMicro(w, col("x")) / lit(1e6))), 0).cast("long") -
+        col("y") * 1000000L
+      d.as(s"d$i") +: inc.map(p => p.as(s"inc$i")).toSeq
+    }: _*)
+    val cols = specs.zipWithIndex.flatMap { case ((inc, _), i) =>
+      val g = inc.map(_ => col(s"inc$i"))
+      Seq(count(when(g.getOrElse(lit(true)), lit(1))).as(s"n$i"),
+        sum(gated(g, (col(s"d$i") * col(s"d$i")).cast("decimal(38,0)")))
+          .as(s"s$i"))
+    }
+    val row = proj.agg(cols.head, cols.tail: _*).collect()(0)
+    specs.indices.map { i =>
+      val n = row.getLong(2 * i)
+      val s2 = if (row.isNullAt(2 * i + 1)) BigInt(0)
+        else BigInt(row.getDecimal(2 * i + 1).toBigInteger)
+      (n, s2)
+    }
   }
 
   /** Featurize (one corpus scan, materialized) and train — the one-call
@@ -222,17 +351,18 @@ object Extensions26 {
   def scoreWithWeights(
       labeled: DataFrame, idCol: String, textCol: String, labelCol: String,
       weights: Array[Long], numBuckets: Int = NumBuckets): DataFrame = {
-    val wLit = array(weights.map(lit(_)): _*)
-    val bks = col("bks")
+    // r14: margin = native count-vector ⊗ native long dot. The former
+    // aggregate-fold lambda re-built the 33-literal weight array PER
+    // TOKEN (a HOF lambda re-evaluates its closure expressions per
+    // element) and ran interpreted; Σ_j w_j·count_j ≡ Σ_t w[bucket(t)]
+    // + bias exactly (integer reassociation), asserted by
+    // BucketCountsSpec + the x94 oracle replay.
+    val wLit = typedlit(weights.toSeq)
     labeled
       .select(col(idCol).as("doc_id"), (col(labelCol).cast("long") === 1L).as("label"),
-        transform(split(lower(col(textCol)), " "),
-          t => pmod(graft.functions.HashFunctions.md5_bucket60(t),
-            lit(numBuckets.toLong))).as("bks"))
-      .select(col("doc_id"), col("label"),
-        aggregate(bks, lit(weights.last),
-          (acc, b) => acc + element_at(wLit, (b + 1L).cast("int")))
-          .as("margin_micro"))
+        graft.functions.VectorFunctions.long_dot(wLit,
+          graft.functions.HashFunctions.md5_bucket_counts(
+            split(lower(col(textCol)), " "), numBuckets)).as("margin_micro"))
       .withColumn("pred_keep", col("margin_micro") > 0L)
   }
 
@@ -245,17 +375,13 @@ object Extensions26 {
   def scoreText(
       rel: DataFrame, idCol: String, textCol: String,
       weights: Array[Long], numBuckets: Int = NumBuckets): DataFrame = {
-    val wLit = array(weights.map(lit(_)): _*)
-    val bks = col("bks")
+    // same native margin as [[scoreWithWeights]] (r14) — see there
+    val wLit = typedlit(weights.toSeq)
     rel
       .select(col(idCol).as("doc_id"),
-        transform(split(lower(col(textCol)), " "),
-          t => pmod(graft.functions.HashFunctions.md5_bucket60(t),
-            lit(numBuckets.toLong))).as("bks"))
-      .select(col("doc_id"),
-        aggregate(bks, lit(weights.last),
-          (acc, b) => acc + element_at(wLit, (b + 1L).cast("int")))
-          .as("margin_micro"))
+        graft.functions.VectorFunctions.long_dot(wLit,
+          graft.functions.HashFunctions.md5_bucket_counts(
+            split(lower(col(textCol)), " "), numBuckets)).as("margin_micro"))
   }
 
   /** The fixture's Gopher-labeled corpus (label derivation fused
@@ -282,10 +408,20 @@ object Extensions26 {
     weightsCache.getOrElseUpdate(Extensions.fixtureKey(s, dir, "documents"),
       trainFromText(gopherLabeled(s, dir), "doc_id", "text", "keep"))
 
-  /** Fixture x94/x105 shared scoring pass over the cached model. */
+  /** Fixture x94/x105 shared scoring pass over the cached model.
+    *
+    * Materialized (r14): consumers filter/rank on the scored columns,
+    * and Spark's filter pushdown inlines the whole scoring+label
+    * pipeline into the pushed condition — x165's filter re-evaluated
+    * `split(lower(text))` ~15× per row (measured 11.4 s; the scoring
+    * pass alone is 1.3 s). A lineage barrier on the O(docs)×4-column
+    * scored table makes every downstream predicate read computed
+    * columns instead of recomputing the corpus map per reference.
+    */
   private[ops] def fixtureScored(s: SparkSession, dir: String): DataFrame =
-    scoreWithWeights(gopherLabeled(s, dir), "doc_id", "text", "keep",
-      fixtureWeights(s, dir))
+    Extensions.materialized(
+      scoreWithWeights(gopherLabeled(s, dir), "doc_id", "text", "keep",
+        fixtureWeights(s, dir)))
 
   /** x94: train the quality classifier on the documents fixture with the
     * x80 Gopher rule card as labels (the card computation is fused map-
