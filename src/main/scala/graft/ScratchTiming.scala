@@ -24,6 +24,7 @@ object ScratchTiming {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    if (args.headOption.contains("dedup")) { dedupProbe(spark, sfDir); spark.stop(); return }
 
     val docs = Tables.load(spark, sfDir, "documents")
     time("docs scan only")(noop(docs.select(col("doc_id"), col("text"))))
@@ -73,5 +74,93 @@ object ScratchTiming {
       }
     }
     spark.stop()
+  }
+
+  /** Stage-level probe of the x89/x332 dedup-tier hot spots. */
+  private def dedupProbe(spark: SparkSession, sfDir: String): Unit = {
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $name%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // ---- x89 (with r14 barrier) -------------------------------------
+    val candM = time("x89 candidates materialize")(
+      graft.ops.Extensions24.deletion1Candidates(
+        Tables.load(spark, sfDir, "customer"), "c_name")
+        .localCheckpoint(eager = true))
+    time("x89 lev+filter over checkpoint")(noop(
+      candM.withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 1)))
+    time("x89 lev+filter+sort over checkpoint")(noop(
+      candM.withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 1)
+        .orderBy(col("name_a"), col("name_b"))))
+    // ---- x89 -------------------------------------------------------
+    val cust = Tables.load(spark, sfDir, "customer")
+    time("x89 warm (full)")(noop(
+      graft.ops.Extensions24.x89EditDistanceJoin(spark, sfDir)))
+    val base = cust.select(col("c_name").as("s"))
+      .filter(col("s").isNotNull).distinct()
+    val keyed = base.select(col("s"), explode(array_union(
+      array(col("s")),
+      transform(sequence(lit(1), length(col("s"))), i =>
+        concat(col("s").substr(lit(1), i - 1),
+          col("s").substr(i + 1, length(col("s")) - i))))).as("kstr"))
+      .select(col("s"), xxhash64(col("kstr")).as("k"))
+    time("x89 keyed rows (explode neighborhoods)")(noop(keyed))
+    val cand = graft.ops.Extensions24.deletion1Candidates(cust, "c_name")
+    time("x89 candidates (join+distinct)")(noop(cand))
+    println(s"[scratch] x89 candidate count: ${cand.count()}")
+    time("x89 full (2nd)")(noop(
+      graft.ops.Extensions24.x89EditDistanceJoin(spark, sfDir)))
+    // ---- x332 ------------------------------------------------------
+    time("x332 warm (full)")(noop(
+      graft.ops.Extensions146.x332WeightedJaccard(spark, sfDir)))
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf0 = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(filter(split(lower(col("text")), " "),
+          t => length(t) > 0)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    time("x332 tf agg")(noop(tf0))
+    val sh0 = docs.select(col("doc_id").cast("long").as("doc_id"),
+        filter(split(lower(col("text")), " "), t => length(t) > 0).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+        .as("g"))
+      .distinct()
+    time("x332 shingles+distinct")(noop(sh0))
+    println(s"[scratch] x332 shingle rows: ${sh0.count()}")
+    time("x332 full (2nd)")(noop(
+      graft.ops.Extensions146.x332WeightedJaccard(spark, sfDir)))
+    // ---- x99 -------------------------------------------------------
+    time("x99 warm (full)")(noop(
+      graft.ops.Extensions29.x99Triangles(spark, sfDir)))
+    val cs = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+    time("x99 cs distinct")(noop(cs))
+    val shared = cs.as("x").join(cs.as("y"),
+        col("x.c") === col("y.c") && col("x.sp") < col("y.sp"))
+      .groupBy(col("x.sp").as("s1"), col("y.sp").as("s2"))
+      .agg(count(lit(1)).as("shared"))
+    time("x99 shared pairs agg")(noop(shared))
+    println(s"[scratch] x99 shared rows: ${shared.count()}")
+    val tot = shared.agg(count(lit(1)).as("np"), sum(col("shared")).as("ts"))
+    val backbone = shared.crossJoin(broadcast(tot))
+      .filter(col("shared") * col("np") > col("ts"))
+      .select(col("s1"), col("s2"))
+    println(s"[scratch] x99 backbone edges: ${backbone.count()}")
+    time("x99 triangleCounts on backbone")(noop(
+      graft.ops.Extensions29.triangleCounts(backbone, "s1", "s2")))
+    time("x99 full (2nd)")(noop(
+      graft.ops.Extensions29.x99Triangles(spark, sfDir)))
   }
 }

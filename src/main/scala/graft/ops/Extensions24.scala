@@ -130,9 +130,21 @@ object Extensions24 {
     * equal, so the result is exact regardless.
     */
   def editDistance1Pairs(rel: DataFrame, strCol: String): DataFrame =
+    // r14: BOUNDED levenshtein. The unbounded form fills the full L×L
+    // matrix (~4–5 µs per ~18-char pair — measured 4.7 s over the 956k
+    // fixture candidates); the threshold form is O(k·L) and returns the
+    // true distance when ≤ k, else −1 — so `dist = 1` keeps exactly the
+    // rows `dist <= 1` kept (candidates are DISTINCT strings with
+    // name_a < name_b, so dist ≥ 1 always; the −1 overflow rows are the
+    // old > 1 rejects). Same verify, ~20× cheaper per pair — it also
+    // makes the optimizer's pushing of the verify into the key join a
+    // non-event. A barrier (localCheckpoint of the 956k candidates) was
+    // measured SLOWER than recomputing them (11.3 s vs 2.8 s) and was
+    // rejected.
     deletion1Candidates(rel, strCol)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 1)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+      .filter(col("dist") === 1L)
 
   /** The FastSS candidate stage alone — (name_a, name_b), name_a <
     * name_b, distinct string pairs sharing a deletion-1 neighborhood
